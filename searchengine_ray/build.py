@@ -1,0 +1,163 @@
+"""Index-build orchestrator — Ray-Data-native lifecycle (SURVEY.md §3.4).
+
+    read_parquet(source)
+      → map_batches(docstats_batch, pyarrow)          # docstore + sha256 invariant
+      → write_parquet(docstore/)
+    read_parquet(source)
+      → map_batches(ExplodePostings, pyarrow)         # ONE tokenize pass
+      → groupby("part").map_groups(SegmentWriter)     # the one wide shuffle
+      → (tiny manifest-row dataset) → manifest.json
+
+Replaces the reference's single-process in-heap build
+(/root/reference/search_engine/indexer/indexer.py:109-167). Never calls
+ray.init/shutdown — the caller owns the session (driver contract).
+
+Resume: partitions listed done in manifest.json (with their files present)
+are filtered out *before* the shuffle, so a restarted build re-tokenizes
+(cheap, streaming) but re-shuffles and re-writes only missing partitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.functions.arrow_tokenize import tokenize_column
+from searchengine_ray.stages.docstats import docstats_batch
+from searchengine_ray.stages.postings import ExplodePostings, SegmentWriter
+from searchengine_ray.state.manifest import (
+    TOKENIZER_VERSION,
+    done_parts,
+    load_manifest,
+    save_manifest,
+)
+
+
+def estimate_hot_terms(source: "ray.data.Dataset", cfg: IndexConfig,
+                       sample_docs: int = 2000) -> dict[str, int]:
+    """Sampling pre-pass for skew: estimate per-term document frequency on a
+    bounded prefix sample; terms with df-ratio above cfg.hot_term_df_ratio
+    are salted across sub-partitions proportional to their hotness.
+    Over-salting a cold term costs nothing but an extra query-side probe, so
+    prefix (rather than uniform) sampling bias is acceptable (SURVEY.md §4)."""
+    sample = source.limit(sample_docs)
+    tables = [pa.table({"content": b["content"]})
+              for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")]
+    if not tables:
+        return {}
+    content = pa.concat_tables(tables)["content"]
+    di, toks = tokenize_column(content, cfg)
+    if len(di) == 0:
+        return {}
+    t = pa.table({"doc": pa.array(di), "term": toks})
+    df = (t.group_by(["doc", "term"], use_threads=False).aggregate([])
+          .group_by("term", use_threads=False).aggregate([("doc", "count")]))
+    n = max(1, content.length())
+    hot: dict[str, int] = {}
+    terms = df["term"].to_pylist()
+    counts = df["doc_count"].to_numpy(zero_copy_only=False)
+    for term, c in zip(terms, counts):
+        ratio = c / n
+        if ratio > cfg.hot_term_df_ratio:
+            # salts ∝ hotness, capped by partition count
+            hot[term] = int(min(cfg.num_partitions,
+                                max(2, round(ratio / cfg.hot_term_df_ratio))))
+    return hot
+
+
+def build_index(source: "ray.data.Dataset", index_dir: str,
+                cfg: IndexConfig = IndexConfig(), *,
+                resume: bool = True,
+                salt_hot_terms: bool = True,
+                only_parts: set[int] | None = None) -> dict[str, Any]:
+    """Build (or resume) the index at ``index_dir``; returns the manifest.
+
+    ``only_parts`` is a test hook simulating a mid-build crash: only those
+    shuffle partitions are written this run (FIXTURES.md §5 resume fixture).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    prior = load_manifest(index_dir) if resume else None
+    done = done_parts(prior, index_dir)
+
+    if prior and prior.get("hot_terms") is not None:
+        hot_terms = {t: int(n) for t, n in prior["hot_terms"].items()}
+    elif salt_hot_terms:
+        hot_terms = estimate_hot_terms(source, cfg)
+    else:
+        hot_terms = {}
+
+    docstore_dir = os.path.join(index_dir, "docstore")
+    docstore_done = bool(prior and prior.get("docstore_done")
+                         and os.path.isdir(docstore_dir))
+    if not docstore_done:
+        source.map_batches(docstats_batch, batch_format="pyarrow") \
+              .write_parquet(docstore_dir)
+
+    total_parts = cfg.num_partitions + cfg.num_length_partitions
+    skip = set(done)
+    if only_parts is not None:
+        skip |= set(range(total_parts)) - set(only_parts)
+
+    if prior and prior.get("complete") and only_parts is None and resume:
+        return prior  # nothing to do — full build already checkpointed
+
+    exploded = source.map_batches(
+        ExplodePostings(cfg, hot_terms), batch_format="pyarrow")
+    if skip:
+        skip_arr = pa.array(sorted(skip), type=pa.int32())
+        exploded = exploded.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["part"], value_set=skip_arr))),
+            batch_format="pyarrow")
+    writer = SegmentWriter(index_dir, cfg)
+
+    def write_partition(group):
+        return writer(group)
+
+    manifest_rows = (
+        exploded.groupby("part")
+        .map_groups(write_partition, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # Corpus scalars from docstore footers (N) and length partitions (Σ len).
+    num_docs = sum(
+        pq.read_metadata(os.path.join(docstore_dir, f)).num_rows
+        for f in os.listdir(docstore_dir) if f.endswith(".parquet"))
+
+    partitions = dict(prior.get("partitions", {})) if prior else {}
+    for row in manifest_rows:
+        partitions[str(int(row["part"]))] = {
+            "kind": row["kind"], "path": row["path"], "rows": int(row["rows"]),
+            "terms": int(row["terms"]), "bytes": int(row["bytes"]),
+            "sum_doc_len": float(row["sum_doc_len"]), "status": row["status"],
+        }
+    sum_doc_len = sum(e["sum_doc_len"] for e in partitions.values()
+                      if e["kind"] == "lengths")
+    num_terms = sum(e["terms"] for e in partitions.values()
+                    if e["kind"] == "segment")
+    complete = only_parts is None and len(
+        [p for p in partitions.values() if p["status"] == "done"]) >= 1
+    manifest = {
+        "num_docs": num_docs,
+        "avg_doc_len": (sum_doc_len / num_docs) if num_docs else 0.0,
+        "num_terms": num_terms,
+        "num_partitions": cfg.num_partitions,
+        "num_length_partitions": cfg.num_length_partitions,
+        "bm25": {"k1": cfg.k1, "b": cfg.b},
+        "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
+                   "content": cfg.content_boost},
+        "tokenizer_version": TOKENIZER_VERSION,
+        "hot_terms": hot_terms,
+        "docstore_done": True,
+        "complete": complete,
+        "partitions": partitions,
+    }
+    save_manifest(index_dir, manifest)
+    return manifest

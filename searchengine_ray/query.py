@@ -1,0 +1,256 @@
+"""BM25 top-k query engine over the on-disk index.
+
+Scoring is the reference pipeline (SURVEY.md §2.9; /root/reference/
+search_engine/indexer/indexer.py:280-443) vectorized with numpy, with every
+floating-point operation performed in the same order as the oracle so
+results are bit-identical, not merely close:
+
+  per term (in filtered-query order): idf = max(0, ln((N-n+0.5)/(n+0.5)));
+  importance 1.8 for original-query tokens; tf_comp = ((k1+1)·tf) /
+  (k1·(1-b+b·dl/avgdl)+tf); scores[doc] += idf·tf_comp·importance
+  → multiplicative metadata boosts (phrase-in-title/desc/snippet 1.8/1.5/1.3,
+  graduated pct boosts, proximity 1.25) in reference order
+  → normalize by max → sort by (-score, doc_id) → head-k → score > 0.05.
+
+State pattern (SURVEY.md §2.4 ST4): everything loaded once in __init__
+(manifest, doc lengths, docstore arrays); posting segments are read lazily
+per partition and cached. ``QueryEngineActor`` wraps this class as a Ray
+actor for serving; tests and the driver use the in-process class.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from searchengine_ray.codec import decode_postings
+from searchengine_ray.config import IndexConfig, QueryConfig
+from searchengine_ray.functions.hashing import hash64
+from searchengine_ray.functions.tokenizer import (
+    generate_relevant_snippet,
+    prepare_query,
+)
+from searchengine_ray.stages.postings import salt_of
+from searchengine_ray.state.manifest import load_manifest
+
+
+def _read_dir(path: str, columns=None):
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    import pyarrow as pa
+    tables = [pq.read_table(os.path.join(path, f), columns=columns) for f in files]
+    return pa.concat_tables(tables)
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
+                 qcfg: QueryConfig = QueryConfig()):
+        self.index_dir = index_dir
+        self.cfg = cfg
+        self.qcfg = qcfg
+        manifest = load_manifest(index_dir)
+        if manifest is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = manifest
+        self.N = int(manifest["num_docs"])
+        self.avgdl = float(manifest["avg_doc_len"])
+        self.num_partitions = int(manifest["num_partitions"])
+        self.hot_terms: dict[str, int] = manifest.get("hot_terms", {})
+
+        lengths = _read_dir(os.path.join(index_dir, "lengths"))
+        order = np.argsort(lengths["doc_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        self._len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)[order]
+        self._len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)[order]
+
+        store = _read_dir(os.path.join(index_dir, "docstore"),
+                          columns=["doc_id", "doc_key", "title", "meta", "snippet"])
+        ids = store["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        self._doc_ids = ids[order]
+        df = store.select(["doc_key", "title", "meta", "snippet"]).to_pandas()
+        df = df.iloc[order].reset_index(drop=True)
+        self._doc_key = df["doc_key"]
+        self._title = df["title"]
+        self._meta = df["meta"]
+        self._snippet = df["snippet"]
+        self._title_lower = df["title"].str.lower()
+        self._meta_lower = df["meta"].str.lower()
+        self._snippet_lower = df["snippet"].str.lower()
+
+        self._segments: dict[int, dict[str, int]] = {}
+        self._segment_tables: dict[int, object] = {}
+
+    # -- posting access ----------------------------------------------------
+    def _load_part(self, part: int):
+        if part in self._segments:
+            return
+        path = os.path.join(self.index_dir, "segments", f"part-{part:05d}.parquet")
+        if not os.path.exists(path):
+            self._segments[part] = {}
+            self._segment_tables[part] = None
+            return
+        t = pq.read_table(path)
+        self._segments[part] = {term: i for i, term in
+                                enumerate(t["term"].to_pylist())}
+        self._segment_tables[part] = t
+
+    def _lookup_in_part(self, part: int, term: str):
+        self._load_part(part)
+        row = self._segments[part].get(term)
+        if row is None:
+            return None
+        t = self._segment_tables[part]
+        return decode_postings(t["postings"][row].as_py())
+
+    def _postings_single(self, term: str):
+        return self._lookup_in_part(int(hash64(term) % self.num_partitions), term)
+
+    def postings(self, term: str):
+        """(doc_ids ascending, tfs) for a term, merging salted sub-lists for
+        hot terms; None when absent.
+
+        Salting routes a hot term's postings to partitions
+        ``hash(term#salt) % P`` while keeping the ORIGINAL term as the
+        segment key (the explode stage only rewrites the partition column) —
+        so each distinct salted partition is probed once for the plain term
+        and the sub-lists merged by doc_id."""
+        n_salts = self.hot_terms.get(term)
+        if not n_salts:
+            return self._postings_single(term)
+        probe_parts = sorted({int(hash64(salt_of(term, s)) % self.num_partitions)
+                              for s in range(n_salts)})
+        found = [p for p in (self._lookup_in_part(pt, term) for pt in probe_parts)
+                 if p is not None]
+        if not found:
+            return self._postings_single(term)
+        ids = np.concatenate([p[0] for p in found])
+        tfs = np.concatenate([p[1] for p in found])
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order]
+
+    # -- scoring -----------------------------------------------------------
+    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+        cfg, qcfg = self.cfg, self.qcfg
+        top_k = qcfg.top_k if top_k is None else top_k
+        filtered, original_tokens, original_query = prepare_query(query, cfg)
+        if not filtered:
+            return []
+        acc_ids: np.ndarray | None = None
+        acc_scores: np.ndarray | None = None
+        original_set = set(original_tokens)
+        for qt in filtered:
+            post = self.postings(qt)
+            if post is None:
+                continue
+            ids, tfs = post
+            n = ids.size
+            idf = max(0.0, math.log((self.N - n + 0.5) / (n + 0.5)))
+            importance = qcfg.term_importance if qt in original_set else 1.0
+            dl = self._len_vals[np.searchsorted(self._len_ids, ids)]
+            tf = tfs.astype(np.float64)
+            tf_comp = ((cfg.k1 + 1) * tf) / (
+                cfg.k1 * (1 - cfg.b + cfg.b * dl / self.avgdl) + tf)
+            contrib = idf * tf_comp * importance
+            if acc_ids is None:
+                acc_ids, acc_scores = ids.copy(), contrib
+            else:
+                # merge-accumulate keeping insertion-order-independent sums;
+                # addition order per doc matches the oracle's term order.
+                pos = np.searchsorted(acc_ids, ids)
+                pos_clip = np.minimum(pos, acc_ids.size - 1)
+                known = acc_ids[pos_clip] == ids
+                np.add.at(acc_scores, pos_clip[known], contrib[known])
+                if not known.all():
+                    new_ids = ids[~known]
+                    new_scores = contrib[~known]
+                    acc_ids = np.concatenate([acc_ids, new_ids])
+                    acc_scores = np.concatenate([acc_scores, new_scores])
+                    order = np.argsort(acc_ids, kind="stable")
+                    acc_ids, acc_scores = acc_ids[order], acc_scores[order]
+        if acc_ids is None or acc_ids.size == 0:
+            return []
+        scores = self._apply_boosts(acc_ids, acc_scores,
+                                    original_tokens, original_query)
+        max_score = scores.max()
+        if max_score > 0:
+            scores = scores / max_score
+        # deterministic tie-break (-score, doc_id)
+        order = np.lexsort((acc_ids, -scores))[:top_k]
+        results = []
+        for i in order:
+            score = float(scores[i])
+            if score <= self.qcfg.min_score:
+                continue
+            doc_id = int(acc_ids[i])
+            j = int(np.searchsorted(self._doc_ids, doc_id))
+            results.append({
+                "doc_id": doc_id,
+                "url": self._doc_key.iloc[j],
+                "title": self._title.iloc[j],
+                "description": self._meta.iloc[j],
+                "content_snippet": generate_relevant_snippet(
+                    self._snippet.iloc[j], original_tokens, self.qcfg),
+                "score": score,
+            })
+        return results
+
+    def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
+                      original_tokens: list[str], original_query: str) -> np.ndarray:
+        """Reference indexer.py:405-441, vectorized; multiplication order
+        matches the oracle exactly (phrase → title pct → desc pct → prox)."""
+        pos = np.searchsorted(self._doc_ids, ids)
+        title = self._title_lower.iloc[pos].reset_index(drop=True)
+        desc = self._meta_lower.iloc[pos].reset_index(drop=True)
+        snip = self._snippet_lower.iloc[pos].reset_index(drop=True)
+        out = scores.copy()
+        in_title = title.str.contains(original_query, regex=False).to_numpy()
+        in_desc = desc.str.contains(original_query, regex=False).to_numpy()
+        in_snip = snip.str.contains(original_query, regex=False).to_numpy()
+        out = np.where(in_title, out * 1.8,
+                       np.where(in_desc, out * 1.5,
+                                np.where(in_snip, out * 1.3, out)))
+        if original_tokens:
+            k = len(original_tokens)
+            t_hits = np.zeros(len(ids), dtype=np.int64)
+            d_hits = np.zeros(len(ids), dtype=np.int64)
+            all_in_snip = np.ones(len(ids), dtype=bool)
+            for tkn in original_tokens:
+                t_hits += title.str.contains(tkn, regex=False).to_numpy()
+                d_hits += desc.str.contains(tkn, regex=False).to_numpy()
+                all_in_snip &= snip.str.contains(tkn, regex=False).to_numpy()
+            t_pct = t_hits / k
+            d_pct = d_hits / k
+            out = np.where(t_pct > 0, out * (1.0 + t_pct * 2.0), out)
+            out = np.where(d_pct > 0, out * (1.0 + d_pct * 1.0), out)
+            if k > 1:
+                out = np.where(all_in_snip, out * 1.25, out)
+        return out
+
+    def stats(self) -> dict:
+        return {"num_docs": self.N, "num_terms": self.manifest["num_terms"],
+                "avg_doc_len": self.avgdl}
+
+
+def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
+                     qcfg: QueryConfig = QueryConfig()):
+    """Long-lived serving actor (reference analogue: the Flask worker that
+    lazy-loads the whole index once, app.py:72-102). Returns an actor handle
+    with .search.remote(q, k)."""
+    import ray
+
+    @ray.remote
+    class QueryEngineActor:
+        def __init__(self):
+            self.engine = QueryEngine(index_dir, cfg, qcfg)
+
+        def search(self, query: str, top_k: int | None = None):
+            return self.engine.search(query, top_k)
+
+        def stats(self):
+            return self.engine.stats()
+
+    return QueryEngineActor.remote()

@@ -1,0 +1,54 @@
+"""Docstore projection stage — stateless map_batches, Arrow in / Arrow out.
+
+Replaces the reference's per-doc ``document_map`` dict build
+(/root/reference/search_engine/indexer/indexer.py:137-142). Emits one row
+per source row with the stable doc_id, the field mapping used by scoring
+boosts (title=path, meta=repo+' '+lang — FIXTURES.md §2), the 200-char
+snippet (indexer.py:141 semantics) and the per-row sha256(content)
+invariant. No tokenization here — the expensive tokenize pass happens once,
+in the postings explode stage.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from searchengine_ray.functions.hashing import hash64_array, sha256_array
+
+
+def doc_keys(batch: pa.Table) -> pa.Array:
+    """doc_key = repo/path@commit — the reference's ``url`` analogue
+    (reference identity: md5(url), crawler.py:79-83)."""
+    r = pc.cast(batch["repo"], pa.string())
+    p = pc.cast(batch["path"], pa.string())
+    c = pc.cast(batch["commit"], pa.string())
+    part1 = pc.binary_join_element_wise(r, p, "/")
+    return pc.binary_join_element_wise(part1, c, "@")
+
+
+def docstats_batch(batch: pa.Table) -> pa.Table:
+    keys = doc_keys(batch)
+    ids = hash64_array(keys)
+    content = batch["content"]
+    snippet_head = pc.utf8_slice_codeunits(pc.cast(content, pa.string()), 0, 200)
+    nonempty = pc.greater(pc.utf8_length(content), 0)
+    snippet = pc.if_else(
+        nonempty,
+        pc.binary_join_element_wise(snippet_head, "...", ""),
+        pa.scalar("", type=pa.string()),
+    )
+    meta = pc.binary_join_element_wise(
+        pc.cast(batch["repo"], pa.string()), pc.cast(batch["lang"], pa.string()), " ")
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "doc_key": keys,
+        "repo": pc.cast(batch["repo"], pa.string()),
+        "path": pc.cast(batch["path"], pa.string()),
+        "commit": pc.cast(batch["commit"], pa.string()),
+        "lang": pc.cast(batch["lang"], pa.string()),
+        "title": pc.cast(batch["path"], pa.string()),
+        "meta": meta,
+        "snippet": snippet,
+        "content_sha256": pa.array(sha256_array(content), type=pa.binary()),
+    })

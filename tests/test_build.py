@@ -1,0 +1,144 @@
+"""Build invariants, checkpoint/resume, and partition-invariance
+(SURVEY.md §5.3-5.5, FIXTURES.md §5 resume fixture)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.build import build_index
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.oracle import oracle_search
+from searchengine_ray.query import QueryEngine
+from searchengine_ray.sources.corpus import read_source
+from searchengine_ray.state.manifest import load_manifest
+
+
+def _read_dir(path, columns=None):
+    import pyarrow as pa
+    return pa.concat_tables([
+        pq.read_table(f, columns=columns)
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+    ])
+
+
+def test_sha256_invariant(built):
+    """Per-row sha256(content) of docstore rows equals the source table
+    (BASELINE.json input_hint per-row invariant)."""
+    store = _read_dir(os.path.join(built.index_dir, "docstore"),
+                      columns=["doc_key", "content_sha256"])
+    got = {k: s for k, s in zip(store["doc_key"].to_pylist(),
+                                store["content_sha256"].to_pylist())}
+    src = built.table
+    keys = [f"{r}/{p}@{c}" for r, p, c in zip(
+        src["repo"].to_pylist(), src["path"].to_pylist(),
+        src["commit"].to_pylist())]
+    assert len(got) == len(keys)
+    for key, content in zip(keys, src["content"].to_pylist()):
+        assert got[key] == hashlib.sha256(content.encode()).digest()
+
+
+def test_doc_id_uniqueness(built):
+    store = _read_dir(os.path.join(built.index_dir, "docstore"),
+                      columns=["doc_id"])
+    ids = store["doc_id"].to_numpy(zero_copy_only=False)
+    assert np.unique(ids).size == ids.size
+
+
+def test_lengths_match_oracle(built):
+    lens = _read_dir(os.path.join(built.index_dir, "lengths"))
+    got = dict(zip(lens["doc_id"].to_pylist(), lens["doc_len"].to_pylist()))
+    assert got == pytest.approx(built.oracle.document_lengths)
+
+
+def test_manifest_scalars(built):
+    m = built.manifest
+    assert m["num_docs"] == len(built.table)
+    assert m["avg_doc_len"] == pytest.approx(built.oracle.average_doc_length)
+    assert m["complete"] is True
+    # every partition entry is done and its file exists
+    for entry in m["partitions"].values():
+        assert entry["status"] == "done"
+        assert os.path.exists(os.path.join(built.index_dir, entry["path"]))
+
+
+def test_df_totals_match_oracle(built):
+    """Σ per-term df across segments == Σ oracle posting lengths (salted
+    sub-lists sum to the term's true df)."""
+    seg = _read_dir(os.path.join(built.index_dir, "segments"),
+                    columns=["term", "df"])
+    from collections import Counter
+    got = Counter()
+    for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+        got[t] += d
+    want = {t: len(p) for t, p in built.oracle.inverted_index.items()}
+    assert dict(got) == want
+
+
+def test_resume_after_partial_build(built, tmp_path):
+    """Kill-after-subset resume: build only half the partitions, then
+    resume; the final index must answer queries identically and the second
+    run must not rewrite completed partitions."""
+    cfg = IndexConfig(num_partitions=8, num_length_partitions=2)
+    index_dir = str(tmp_path / "resume_index")
+    src = read_source(built.corpus_dir)
+    half = set(range(5))
+    m1 = build_index(src, index_dir, cfg, only_parts=half)
+    done_after_first = {k for k, v in m1["partitions"].items()
+                        if v["status"] == "done"}
+    assert 0 < len(done_after_first) <= len(half)
+    mtimes = {
+        k: os.path.getmtime(os.path.join(index_dir, v["path"]))
+        for k, v in m1["partitions"].items()
+    }
+    m2 = build_index(src, index_dir, cfg)
+    assert m2["complete"] is True
+    # completed partitions were not rewritten
+    for k in done_after_first:
+        path = os.path.join(index_dir, m2["partitions"][k]["path"])
+        assert os.path.getmtime(path) == mtimes[k]
+    eng = QueryEngine(index_dir, cfg)
+    for q in ("queue71", "py org2", "src/module_96/file_25.py"):
+        got = eng.search(q, top_k=10)
+        want = oracle_search(built.oracle, q, top_k=10)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_completed_build_is_noop_on_rebuild(built):
+    m = load_manifest(built.index_dir)
+    m2 = build_index(read_source(built.corpus_dir), built.index_dir,
+                     built.cfg)
+    assert m2 == m
+
+
+def test_partition_count_invariance(built, tmp_path):
+    """Results must be identical with a different shuffle width
+    (SURVEY.md §5.5)."""
+    cfg = IndexConfig(num_partitions=3, num_length_partitions=1)
+    index_dir = str(tmp_path / "p3_index")
+    build_index(read_source(built.corpus_dir), index_dir, cfg)
+    eng = QueryEngine(index_dir, cfg)
+    for q in ("queue71", "py org2", "tokenStream", "java parse"):
+        got = eng.search(q, top_k=10)
+        want = oracle_search(built.oracle, q, top_k=10)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-9)
+
+
+def test_no_salting_still_correct(built, tmp_path):
+    cfg = IndexConfig(num_partitions=4, num_length_partitions=1)
+    index_dir = str(tmp_path / "nosalt_index")
+    build_index(read_source(built.corpus_dir), index_dir, cfg,
+                salt_hot_terms=False)
+    eng = QueryEngine(index_dir, cfg)
+    got = eng.search("py org2", top_k=10)
+    want = oracle_search(built.oracle, "py org2", top_k=10)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
