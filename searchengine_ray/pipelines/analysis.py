@@ -1,0 +1,238 @@
+"""Text-analysis operators over the corpus — stateless Arrow map_batches.
+
+Each operator mirrors a reference behavior (SURVEY.md §2 ids cited per
+function) or a training-data-pipeline staple (language id, quality scoring,
+token counting, fingerprinting). Every function takes/returns
+``ray.data.Dataset`` and is paired with an ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` — column names must stay in lockstep.
+
+Scale notes: all per-doc ops are embarrassingly parallel (no shuffle);
+``term_df`` is the only wide op (groupby term) and pre-aggregates
+(doc,term)-distinct pairs inside each batch before the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from searchengine_ray.config import DEFAULT_STOPWORDS, IndexConfig
+from searchengine_ray.functions.arrow_tokenize import tokenize_column
+
+# Deterministic language markers for the n-gram/marker heuristic language id.
+# Shared rule between the Ray pipeline and the SQL oracle: first marker hit
+# in priority order wins, else 'unknown'. (A real pipeline would plug a
+# fastText-style model into the same actor-pool slot.)
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("the", "en"),
+    ("der", "de"),
+    ("le", "fr"),
+    ("el", "es"),
+]
+
+# BPE-ish token pattern: alpha runs, digit runs, or single non-space symbol
+# (reference has only whitespace tokenization — this is the training-data
+# token-counting extension).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc token statistics over ``text`` (whitespace tokens, reference
+    fallback tokenizer semantics M1 at utils/text_processing.py:79-81).
+
+    Columns: doc_id, n_ws_tokens (whitespace split), n_tokens (code-aware
+    tokenize, len>1), n_bpe_tokens (BPE-ish regex), n_chars.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        ws = pc.list_value_length(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(text)))
+        ws = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0),
+                        pa.scalar(0, type=pa.int32()), ws)
+        di, _ = tokenize_column(text, None, apply_filter=False)
+        n_tok = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n_tok, di, 1)
+        n_bpe = pc.count_substring_regex(text, BPE_PATTERN)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_ws_tokens": pc.cast(ws, pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc quality heuristics (training-data staple): stopword ratio,
+    distinct-token ratio, mean token length — all over whitespace tokens.
+
+    Columns: doc_id, n_ws_tokens, n_stopwords, n_distinct, sum_token_len,
+    mean_token_len_u (= sum_token_len*1e6 // n_ws_tokens — scaled-integer
+    mean, exact in Ray and SQL; 0 for empty docs).
+    """
+    stop = pa.array(sorted(DEFAULT_STOPWORDS), type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        n = len(batch)
+        n_ws = np.zeros(n, dtype=np.int64)
+        np.add.at(n_ws, parents, 1)
+        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop, parents, is_stop.astype(np.int64))
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_len, parents, tok_len)
+        # distinct tokens per doc
+        t = pa.table({"d": pa.array(parents), "t": flat})
+        g = t.group_by(["d", "t"], use_threads=False).aggregate([])
+        n_distinct = np.zeros(n, dtype=np.int64)
+        np.add.at(n_distinct, g["d"].to_numpy(zero_copy_only=False), 1)
+        mean_u = np.where(n_ws > 0,
+                          (sum_len * 1_000_000) // np.maximum(n_ws, 1), 0)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_ws_tokens": pa.array(n_ws),
+            "n_stopwords": pa.array(n_stop),
+            "n_distinct": pa.array(n_distinct),
+            "sum_token_len": pa.array(sum_len),
+            "mean_token_len_u": pa.array(mean_u),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Marker-word language id (deterministic heuristic; the model-based
+    variant would be an actor-pool stage in the same slot).
+
+    Columns: doc_id, lang_pred. Rule: first (priority-ordered) marker word
+    present as a whitespace token wins, else 'unknown'.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        padded = pc.binary_join_element_wise(" ", text, " ", "")
+        out = np.full(len(batch), "unknown", dtype=object)
+        assigned = np.zeros(len(batch), dtype=bool)
+        for marker, lang in LANG_MARKERS:
+            hit = pc.match_substring(padded, f" {marker} ").to_numpy(
+                zero_copy_only=False)
+            take = hit & ~assigned
+            out[take] = lang
+            assigned |= hit
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "lang_pred": pa.array(out.tolist(), type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snippets(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Docstore snippet truncation (M12, reference indexer.py:141 semantics:
+    first 200 chars + '...' when non-empty). Columns: doc_id, snippet."""
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        head = pc.utf8_slice_codeunits(text, 0, 200)
+        snip = pc.if_else(pc.greater(pc.utf8_length(text), 0),
+                          pc.binary_join_element_wise(head, "...", ""),
+                          pa.scalar("", type=pa.string()))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "snippet": snip,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def term_df(ds: "ray.data.Dataset", cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+    """Per-term document frequency over ``text`` (A5 analogue, SURVEY.md
+    §2.6): code-aware tokenize + stopword/len filter, distinct per doc,
+    then a small groupby-count shuffle. Partial aggregation: the
+    (doc,term)-distinct reduction happens inside each batch, so the shuffle
+    moves at most |unique (doc,term)| rows, never raw token streams.
+
+    Columns: term, df (int64).
+    """
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        t = pa.table({"doc": pa.array(di), "term": toks})
+        g = t.group_by(["doc", "term"], use_threads=False).aggregate([])
+        return pa.table({"term": g["term"]})
+
+    exploded = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    agg = exploded.groupby("term").count()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": pc.cast(batch["term"], pa.string()),
+            "df": pc.cast(batch["count()"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_sources(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source doc counts (A8 domain-stats analogue, crawler.py:199-208).
+    Columns: source, n_docs."""
+    agg = ds.groupby("source").count()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pc.cast(batch["source"], pa.string()),
+            "n_docs": pc.cast(batch["count()"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling hash over k-token shingles, per-window minimum kept. Deterministic
+    (blake2b-based shingle hash — no Python hash()). Columns: doc_id,
+    n_shingles, n_fingerprints, min_fp, max_fp. Not SQL-expressible →
+    rows-only driver check; unit-tested in pytest."""
+    from searchengine_ray.functions.hashing import hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch["text"], pa.string()).to_pylist()
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        rows = {"doc_id": [], "n_shingles": [], "n_fingerprints": [],
+                "min_fp": [], "max_fp": []}
+        for did, text in zip(doc_ids, texts):
+            toks = (text or "").split()
+            hashes = np.array(
+                [hash64(" ".join(toks[i:i + k])) for i in range(max(0, len(toks) - k + 1))],
+                dtype=np.uint64)
+            if hashes.size == 0:
+                fps = np.empty(0, dtype=np.uint64)
+            elif hashes.size <= window:
+                fps = np.array([hashes.min()], dtype=np.uint64)
+            else:
+                idx = np.arange(hashes.size - window + 1)
+                wins = hashes[idx[:, None] + np.arange(window)]
+                fps = np.unique(wins.min(axis=1))
+            rows["doc_id"].append(int(did))
+            rows["n_shingles"].append(int(hashes.size))
+            rows["n_fingerprints"].append(int(fps.size))
+            rows["min_fp"].append(int(fps.min()) if fps.size else 0)
+            rows["max_fp"].append(int(fps.max()) if fps.size else 0)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "n_shingles": pa.array(rows["n_shingles"], type=pa.int64()),
+            "n_fingerprints": pa.array(rows["n_fingerprints"], type=pa.int64()),
+            "min_fp": pa.array(rows["min_fp"], type=pa.uint64()),
+            "max_fp": pa.array(rows["max_fp"], type=pa.uint64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,418 @@
+"""Deduplication operators — the training-data-pipeline extension family.
+
+The reference's only dedup is the crawler's exact visited-URL set
+(/root/reference/search_engine/crawler/crawler.py:245-247 — SURVEY.md §2.8
+D1); everything here generalises that to content-level exact and near-dup
+detection at corpus scale:
+
+  exact_dedup          sha256(content) hash-partition + per-group min  (D1↑)
+  ngram_jaccard_pairs  exact n-gram-shingle Jaccard via shingle inverted index
+  simhash              64-bit SimHash signatures (Charikar, STOC'02)
+  simhash_neardup      banded SimHash candidate pairs ≤ max hamming
+  minhash_lsh_pairs    MinHash signatures + banded LSH (Broder '97 / MMDS ch.3)
+
+Scale notes (100 TB): every op is one explode `map_batches` (stateless,
+Arrow-vectorized — shingling and hashing never loop over Python rows) plus
+ONE wide shuffle keyed by content-hash / shingle / band-bucket. Pair
+emission inside a shingle/bucket group is quadratic in group size, so hot
+groups are capped (`max_df` / `max_bucket`) — the cap is part of the
+operator contract and mirrored in the SQL oracle. The per-doc set-size side
+table is broadcast via `ray.put` at test scale; the 10^12-doc path replaces
+the broadcast with a hash-join on a doc-partitioned sizes table (documented,
+not needed at bench scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from searchengine_ray.config import IndexConfig
+
+JACCARD_SCALE = 1_000_000  # scaled-integer jaccard: exact in Ray AND SQL
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact duplicate groups: key = sha256(text); keeper = min doc_id.
+
+    Columns: content_sha (hex string), keeper_id (int64), n_copies (int64).
+    One wide shuffle on the 32-byte digest (uniform — no skew by
+    construction). The digest, not the text, crosses the shuffle.
+    """
+    def key_batch(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        return pa.table({
+            "content_sha": pa.array(shas, type=pa.string()),
+            "doc_id": pc.cast(batch[id_col], pa.int64()),
+        })
+
+    agg = (ds.map_batches(key_batch, batch_format="pyarrow")
+             .groupby("content_sha")
+             .aggregate(ray.data.aggregate.Min("doc_id"),
+                        ray.data.aggregate.Count()))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "content_sha": pc.cast(batch["content_sha"], pa.string()),
+            "keeper_id": pc.cast(batch["min(doc_id)"], pa.int64()),
+            "n_copies": pc.cast(batch["count()"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+def _shingle_batch(batch: pa.Table, n: int, text_col: str, id_col: str,
+                   cfg: IndexConfig | None = None) -> pa.Table:
+    """Distinct (doc_id, shingle) rows for a batch — fully Arrow-vectorized:
+    tokenize the column, then join each token with its n-1 successors
+    (masking joins that cross document boundaries). No Python row loop."""
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+
+    di, toks = tokenize_column(batch[text_col], cfg, apply_filter=False)
+    ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    if len(di) < n:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "shingle": pa.array([], type=pa.string())})
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    m = len(di) - n + 1
+    parts = [toks.slice(k, m) for k in range(n)]
+    shingles = pc.binary_join_element_wise(*parts, " ")
+    same_doc = di[: m] == di[n - 1:]
+    t = pa.table({
+        "doc_id": pa.array(ids[di[:m][same_doc]]),
+        "shingle": pc.filter(shingles, pa.array(same_doc)),
+    })
+    g = t.group_by(["doc_id", "shingle"], use_threads=False).aggregate([])
+    return g.select(["doc_id", "shingle"])
+
+
+def shingles(ds: "ray.data.Dataset", n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Distinct word-n-gram shingles per document (tokenize() token space)."""
+    return ds.map_batches(
+        lambda b: _shingle_batch(b, n, text_col, id_col),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
+                        tau_u: int = 100_000, max_df: int = 200,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> "ray.data.Dataset":
+    """All document pairs with n-gram-shingle Jaccard ≥ tau_u/1e6.
+
+    Columns: a_id, b_id, inter, uni, jaccard_u (all int64;
+    jaccard_u = inter*1e6 // uni — integer arithmetic, exact vs SQL).
+
+    Plan: shingle explode → (shuffle 1) per-shingle groups emit candidate
+    pairs (groups larger than ``max_df`` are dropped — a hot shingle carries
+    no dedup signal and would emit O(df²) pairs) → (shuffle 2) pair-count =
+    |intersection| → sizes lookup (broadcast) → exact Jaccard filter.
+    """
+    sh = shingles(ds, n, text_col, id_col).materialize()
+
+    sizes_tbl = sh.groupby("doc_id").count().take_all()
+    sizes = {int(r["doc_id"]): int(r["count()"]) for r in sizes_tbl}
+    sizes_ref = ray.put(sizes)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        k = len(group)
+        if k < 2 or k > max_df:
+            return pa.table({"a_id": pa.array([], type=pa.int64()),
+                             "b_id": pa.array([], type=pa.int64())})
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        iu = np.triu_indices(k, 1)
+        return pa.table({"a_id": pa.array(ids[iu[0]]),
+                         "b_id": pa.array(ids[iu[1]])})
+
+    pair_counts = (sh.groupby("shingle")
+                     .map_groups(emit_pairs, batch_format="pyarrow")
+                     .groupby(["a_id", "b_id"]).count())
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = batch["a_id"].to_numpy(zero_copy_only=False)
+        b = batch["b_id"].to_numpy(zero_copy_only=False)
+        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sza = np.fromiter((sz[int(x)] for x in a), dtype=np.int64, count=len(a))
+        szb = np.fromiter((sz[int(x)] for x in b), dtype=np.int64, count=len(b))
+        uni = sza + szb - inter
+        jac = np.where(uni > 0, (inter * JACCARD_SCALE) // np.maximum(uni, 1), 0)
+        keep = jac >= tau_u
+        return pa.table({
+            "a_id": pa.array(a[keep].astype(np.int64)),
+            "b_id": pa.array(b[keep].astype(np.int64)),
+            "inter": pa.array(inter[keep]),
+            "uni": pa.array(uni[keep]),
+            "jaccard_u": pa.array(jac[keep]),
+        })
+
+    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _md5_64(token: str) -> int:
+    """First 8 bytes (big-endian) of md5 — reproducible in the SQL oracle as
+    ('0x' || substr(md5(t),1,16))::UBIGINT."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
+def simhash(ds: "ray.data.Dataset", cfg: IndexConfig = IndexConfig(),
+            text_col: str = "text", id_col: str = "doc_id") -> "ray.data.Dataset":
+    """64-bit SimHash per doc over filtered-token tf (Charikar, STOC'02).
+
+    Columns: doc_id (int64), sh0..sh3 (int64, 16-bit chunks, little-chunk
+    order: bit j of the signature lives in sh{j//16} bit {j%16}). Integer
+    arithmetic end-to-end → exactly reproducible in SQL via md5. A bit is 1
+    iff the tf-weighted ±1 sum over token-hash bits is > 0.
+    """
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch[text_col], cfg, apply_filter=True)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        nb = len(batch)
+        # tf per (doc, term) via arrow group_by; hash each DISTINCT term once
+        t = pa.table({"d": pa.array(di), "t": toks})
+        g = t.group_by(["d", "t"], use_threads=False).aggregate([("d", "count")])
+        gd = g["d"].to_numpy(zero_copy_only=False)
+        tf = g["d_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = g["t"].combine_chunks().dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        hvals = np.fromiter((_md5_64(u) for u in uniq), dtype=np.uint64,
+                            count=len(uniq))[codes]
+        # bit matrix (rows × 64) of ±tf contributions, accumulated per doc
+        bits = ((hvals[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        contrib = (2 * bits - 1) * tf[:, None]
+        acc = np.zeros((nb, 64), dtype=np.int64)
+        np.add.at(acc, gd, contrib)
+        sig_bits = (acc > 0).astype(np.int64)
+        chunks = [
+            (sig_bits[:, 16 * c:16 * (c + 1)]
+             << np.arange(16, dtype=np.int64)[None, :]).sum(axis=1)
+            for c in range(4)
+        ]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "sh0": pa.array(chunks[0]), "sh1": pa.array(chunks[1]),
+            "sh2": pa.array(chunks[2]), "sh3": pa.array(chunks[3]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(ds: "ray.data.Dataset",
+                          max_hamming: int = 3,
+                          cfg: IndexConfig = IndexConfig(),
+                          max_bucket: int = 500,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Banding: with 4 chunks of 16 bits, any pair within hamming ≤ 3 shares at
+    least one exact chunk (pigeonhole) → candidate generation is 4 groupbys
+    expressed as one (chunk_id, chunk_value)-keyed shuffle; exact hamming
+    verified on the candidates; duplicates across bands removed by the final
+    (a,b) groupby. Columns: a_id, b_id, hamming (int64).
+    """
+    sigs = simhash(ds, cfg, text_col, id_col)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        chunks = [batch[f"sh{c}"].to_numpy(zero_copy_only=False)
+                  for c in range(4)]
+        sig = (chunks[0].astype(np.uint64)
+               | (chunks[1].astype(np.uint64) << np.uint64(16))
+               | (chunks[2].astype(np.uint64) << np.uint64(32))
+               | (chunks[3].astype(np.uint64) << np.uint64(48)))
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+            "key": pa.array(np.concatenate([c.astype(np.int64) for c in chunks])),
+            "doc_id": pa.array(np.tile(ids, 4)),
+            "sig": pa.array(np.tile(sig, 4)),
+        })
+
+    def emit(group: pa.Table) -> pa.Table:
+        k = len(group)
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64())})
+        if k < 2 or k > max_bucket:
+            return empty
+        order = np.argsort(group["doc_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        sig = group["sig"].to_numpy(zero_copy_only=False)[order]
+        iu = np.triu_indices(k, 1)
+        ham = np.bitwise_count(sig[iu[0]] ^ sig[iu[1]]).astype(np.int64) \
+            if hasattr(np, "bitwise_count") else np.array(
+                [bin(int(sig[i]) ^ int(sig[j])).count("1")
+                 for i, j in zip(iu[0], iu[1])], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table({"a_id": pa.array(ids[iu[0][keep]].astype(np.int64)),
+                         "b_id": pa.array(ids[iu[1][keep]].astype(np.int64)),
+                         "hamming": pa.array(ham[keep])})
+
+    pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+                 .groupby(["band", "key"])
+                 .map_groups(emit, batch_format="pyarrow")
+                 .groupby(["a_id", "b_id"])
+                 .aggregate(ray.data.aggregate.Min("hamming")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": pc.cast(batch["a_id"], pa.int64()),
+            "b_id": pc.cast(batch["b_id"], pa.int64()),
+            "hamming": pc.cast(batch["min(hamming)"], pa.int64()),
+        })
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """num_perm (a, b) pairs for the multiply-add family
+    h_j(x) = (a_j·x + b_j) mod 2^64 with a_j odd — native uint64 wraparound,
+    fully vectorizable, deterministic across processes (seeded, no Python
+    hash())."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) \
+        + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
+                       seed: int = 42, text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    """MinHash signatures over n-gram shingles. Columns: doc_id,
+    sig (list<int64>, uint64 values viewed as int64 — equality-comparable).
+    Docs with no shingles get the all-ones sentinel signature. The
+    (shingles × perms) hash is one numpy outer product per batch."""
+    a_arr, b_arr = _minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from searchengine_ray.functions.hashing import hash64_array
+        sh = _shingle_batch(batch, n, text_col, id_col)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        doc_ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+        nb = len(batch)
+        id_pos = {int(d): i for i, d in enumerate(ids)}
+        rows = np.fromiter((id_pos[int(d)] for d in doc_ids), dtype=np.int64,
+                           count=len(doc_ids))
+        sigs = np.full((nb, num_perm), _EMPTY_SENTINEL, dtype=np.uint64)
+        if len(doc_ids):
+            x = hash64_array(sh["shingle"])
+            with np.errstate(over="ignore"):
+                hv = x[:, None] * a_arr[None, :] + b_arr[None, :]  # mod 2^64
+            np.minimum.at(sigs, rows, hv)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "sig": pa.array([row.view(np.int64).tolist() for row in sigs],
+                            type=pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
+                      bands: int = 16, tau: float = 0.5, seed: int = 42,
+                      max_bucket: int = 500, text_col: str = "text",
+                      id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Candidate near-dup pairs via banded MinHash-LSH, filtered by the
+    signature-estimated Jaccard ≥ tau.
+
+    Columns: a_id, b_id, est_matches (int64; matching minhash count of
+    num_perm). bands must divide num_perm; rows/band r = num_perm//bands →
+    LSH s-curve threshold ≈ (1/bands)^(1/r). One (band, bucket-hash) keyed
+    shuffle; per-bucket pair emission capped at max_bucket docs.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(ds, n, num_perm, seed, text_col, id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from searchengine_ray.functions.hashing import hash64
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        out_band, out_key, out_id, out_sig = [], [], [], []
+        for bidx in range(bands):
+            seg = sig[:, bidx * r:(bidx + 1) * r]
+            keys = [hash64(",".join(map(str, row))) % (1 << 63) for row in seg]
+            out_band.extend([bidx] * len(ids))
+            out_key.extend(keys)
+            out_id.extend(ids.tolist())
+            out_sig.extend(sig.tolist())
+        return pa.table({
+            "band": pa.array(out_band, type=pa.int64()),
+            "key": pa.array(out_key, type=pa.int64()),
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+        })
+
+    min_matches = int(np.ceil(tau * num_perm))
+
+    def emit(group: pa.Table) -> pa.Table:
+        k = len(group)
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "est_matches": pa.array([], type=pa.int64())})
+        if k < 2 or k > max_bucket:
+            return empty
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sig = np.array(group["sig"].to_pylist(), dtype=np.int64)[order]
+        iu = np.triu_indices(k, 1)
+        matches = (sig[iu[0]] == sig[iu[1]]).sum(axis=1).astype(np.int64)
+        keep = matches >= min_matches
+        return pa.table({"a_id": pa.array(ids[iu[0][keep]].astype(np.int64)),
+                         "b_id": pa.array(ids[iu[1][keep]].astype(np.int64)),
+                         "est_matches": pa.array(matches[keep])})
+
+    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
+                 .groupby(["band", "key"])
+                 .map_groups(emit, batch_format="pyarrow")
+                 .groupby(["a_id", "b_id"])
+                 .aggregate(ray.data.aggregate.Max("est_matches")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a_id": pc.cast(batch["a_id"], pa.int64()),
+            "b_id": pc.cast(batch["b_id"], pa.int64()),
+            "est_matches": pc.cast(batch["max(est_matches)"], pa.int64()),
+        })
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,488 @@
+"""Driver contract implementation: Ray pipelines + DuckDB oracle SQL.
+
+Every entry in QUERIES is a pipeline over the driver's testdata tables
+(``documents`` / ``embeddings`` — TESTDATA.md); SQL-expressible ones have a
+matching entry in ORACLES whose column names/types are kept in lockstep
+(the driver hash-compares values with columns sorted by name).
+
+The BM25 oracle is the flagship: `sql_bm25` generates, from the SAME query
+analysis the engine uses (prepare_query), a full ANSI-SQL restatement of
+the reference scoring pipeline (SURVEY.md §2.9; /root/reference/
+search_engine/indexer/indexer.py:280-443): weighted tf (field boosts
+5/3/1), weighted doc length, clamped idf, term-importance, multiplicative
+metadata boosts in reference order, max-normalization, min-score filter.
+All float expressions are written in the engine's operation order; emitted
+scores are round(·, 6) on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from searchengine_ray.config import IndexConfig, QueryConfig
+from searchengine_ray.functions.tokenizer import (
+    prepare_query,
+    sql_filtered_tokens_expr,
+    sql_tokens_expr,
+)
+from searchengine_ray.pipelines import analysis, dedup, multimodal, similarity
+from searchengine_ray.sources.corpus import adapt_documents
+
+CFG = IndexConfig()
+QCFG = QueryConfig()
+
+# Field mapping of the adapted documents table (FIXTURES.md §2 applied to
+# TESTDATA's documents: title=path='doc_{id}.txt', meta=source+' '+lang).
+SQL_TITLE = "('doc_' || doc_id || '.txt')"
+SQL_META = "(source || ' ' || lang)"
+SQL_CONTENT = "text"
+
+# Fixed reference query set for the driver check (terms drawn from the
+# testdata vocabulary; includes multi-term and single-term shapes).
+BM25_QUERIES = {
+    "bm25_zh_dup": "zh dup",
+    "bm25_src7_window": "src7 window",
+    "bm25_en": "en",
+}
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# index build/cache over the adapted documents table
+# ---------------------------------------------------------------------------
+
+def index_dir_for(sf_dir: str) -> str:
+    import hashlib
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp", "seray_driver_index", key)
+
+
+def ensure_index(sf_dir: str) -> str:
+    """Build (once; resume-aware) the full-text index over the adapted
+    documents table. Salting disabled so manifest num_terms is the exact
+    distinct-term count (salting is exercised by tests + bench instead)."""
+    from searchengine_ray.build import build_index
+    idx = index_dir_for(sf_dir)
+    build_index(adapt_documents(sf_dir), idx, CFG, resume=True,
+                salt_hot_terms=False)
+    return idx
+
+
+def _orig_id_from_title(title: str) -> int:
+    # adapt_documents writes path = f"doc_{doc_id}.txt"
+    return int(title[4:-4])
+
+
+# ---------------------------------------------------------------------------
+# engine-backed queries
+# ---------------------------------------------------------------------------
+
+def q_doc_lengths(sf_dir: str) -> pa.Table:
+    """Per-doc weighted document length from the index lengths table
+    (reference indexer.py:144-146 semantics; integral by construction)."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    # map engine doc_id → original doc_id via the docstore title
+    pos = np.searchsorted(eng._doc_ids, eng._len_ids)
+    titles = eng._title.iloc[pos]
+    orig = np.array([_orig_id_from_title(t) for t in titles], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(orig),
+        "doc_len": pa.array(eng._len_vals.astype(np.int64)),
+    })
+
+
+def sql_doc_lengths() -> str:
+    ft = sql_filtered_tokens_expr(SQL_TITLE, CFG)
+    fm = sql_filtered_tokens_expr(SQL_META, CFG)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, CFG)
+    return (
+        f"SELECT doc_id, (5*len({ft}) + 3*len({fm}) + len({fc}))::BIGINT AS doc_len "
+        f"FROM documents"
+    )
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    from searchengine_ray.state.manifest import load_manifest
+    idx = ensure_index(sf_dir)
+    m = load_manifest(idx)
+    sum_len = sum(e["sum_doc_len"] for e in m["partitions"].values()
+                  if e["kind"] == "lengths")
+    return pa.table({
+        "num_docs": pa.array([int(m["num_docs"])], type=pa.int64()),
+        "num_terms": pa.array([int(m["num_terms"])], type=pa.int64()),
+        "sum_doc_len": pa.array([int(round(sum_len))], type=pa.int64()),
+    })
+
+
+def sql_index_stats() -> str:
+    ft = sql_filtered_tokens_expr(SQL_TITLE, CFG)
+    fm = sql_filtered_tokens_expr(SQL_META, CFG)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, CFG)
+    return (
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs, "
+        "(SELECT count(DISTINCT t) FROM (SELECT unnest(list_concat("
+        f"list_concat({ft}, {fm}), {fc})) AS t FROM documents))::BIGINT AS num_terms, "
+        f"(SELECT sum(5*len({ft}) + 3*len({fm}) + len({fc})) FROM documents)::BIGINT "
+        "AS sum_doc_len"
+    )
+
+
+def q_bm25(sf_dir: str, query: str) -> pa.Table:
+    """All docs scoring > min_score for the query (top_k unbounded so the
+    result is a SET — order-insensitive vs the SQL oracle)."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    res = eng.search(query, top_k=1 << 30)
+    return pa.table({
+        "doc_id": pa.array([_orig_id_from_title(r["title"]) for r in res],
+                           type=pa.int64()),
+        "score_r": pa.array([round(r["score"], 6) for r in res],
+                            type=pa.float64()),
+    })
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_bm25(query: str, cfg: IndexConfig = CFG,
+             qcfg: QueryConfig = QCFG) -> str:
+    """Generate the full BM25+boosts oracle SQL for a fixed query string.
+
+    Query analysis (expansion, tokenize, stopword filter, importance) runs
+    in Python via the SAME functions the engine uses; the corpus-side math
+    is pure SQL in the engine's float-operation order.
+    """
+    filtered, original_tokens, original_query = prepare_query(query, cfg)
+    if not filtered:
+        return "SELECT 1::BIGINT AS doc_id, 1.0 AS score_r WHERE false"
+    # occurrence-count × importance per distinct term
+    weights: dict[str, float] = {}
+    for t in filtered:
+        imp = qcfg.term_importance if t in set(original_tokens) else 1.0
+        weights[t] = weights.get(t, 0.0) + imp
+    qvals = ", ".join(f"({_sql_quote(t)}, {w!r})" for t, w in sorted(weights.items()))
+    ft = sql_filtered_tokens_expr(SQL_TITLE, cfg)
+    fm = sql_filtered_tokens_expr(SQL_META, cfg)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, cfg)
+    oq = _sql_quote(original_query)
+    k = len(original_tokens)
+    t_hits = " + ".join(
+        f"(CASE WHEN contains(title_l, {_sql_quote(t)}) THEN 1 ELSE 0 END)"
+        for t in original_tokens) or "0"
+    d_hits = " + ".join(
+        f"(CASE WHEN contains(meta_l, {_sql_quote(t)}) THEN 1 ELSE 0 END)"
+        for t in original_tokens) or "0"
+    all_in_snip = " AND ".join(
+        f"contains(snippet_l, {_sql_quote(t)})" for t in original_tokens) or "false"
+    k1, b = cfg.k1, cfg.b
+    return f"""
+WITH qterms(term, w) AS (VALUES {qvals}),
+docs AS (
+  SELECT doc_id,
+         lower({SQL_TITLE}) AS title_l,
+         lower({SQL_META}) AS meta_l,
+         lower(CASE WHEN length(text) > 0 THEN substr(text, 1, 200) || '...'
+                    ELSE '' END) AS snippet_l,
+         {ft} AS ftoks, {fm} AS mtoks, {fc} AS ctoks
+  FROM documents),
+lens AS (
+  SELECT doc_id, CAST(5*len(ftoks) + 3*len(mtoks) + len(ctoks) AS DOUBLE) AS dl
+  FROM docs),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens),
+occ AS (
+  SELECT doc_id, unnest(ftoks) AS term, 5.0 AS w FROM docs
+  UNION ALL SELECT doc_id, unnest(mtoks), 3.0 FROM docs
+  UNION ALL SELECT doc_id, unnest(ctoks), 1.0 FROM docs),
+tf AS (
+  SELECT doc_id, term, sum(w) AS tf FROM occ
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+base AS (
+  SELECT tf.doc_id,
+         sum( greatest(0.0, ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5)))
+              * (({k1} + 1) * tf.tf)
+                / ({k1} * (1 - {b} + {b} * lens.dl / stats.avgdl) + tf.tf)
+              * q.w ) AS score
+  FROM tf
+  JOIN df USING (term) JOIN lens USING (doc_id) JOIN qterms q USING (term),
+  stats
+  GROUP BY tf.doc_id),
+boosted AS (
+  SELECT base.doc_id,
+         base.score
+         * (CASE WHEN contains(d.title_l, {oq}) THEN 1.8
+                 WHEN contains(d.meta_l, {oq}) THEN 1.5
+                 WHEN contains(d.snippet_l, {oq}) THEN 1.3 ELSE 1.0 END)
+         * (CASE WHEN ({t_hits}) > 0
+                 THEN 1.0 + (CAST(({t_hits}) AS DOUBLE) / {k}) * 2.0
+                 ELSE 1.0 END)
+         * (CASE WHEN ({d_hits}) > 0
+                 THEN 1.0 + (CAST(({d_hits}) AS DOUBLE) / {k}) * 1.0
+                 ELSE 1.0 END)
+         * (CASE WHEN {k} > 1 AND ({all_in_snip}) THEN 1.25 ELSE 1.0 END)
+         AS score
+  FROM base JOIN docs d USING (doc_id)),
+final AS (
+  SELECT doc_id, score / (SELECT max(score) FROM boosted) AS s FROM boosted)
+SELECT doc_id, round(s, 6) AS score_r FROM final WHERE s > {qcfg.min_score}
+"""
+
+
+# ---------------------------------------------------------------------------
+# analysis / dedup / similarity / multimodal oracle SQL
+# ---------------------------------------------------------------------------
+
+def sql_token_stats() -> str:
+    toks = sql_tokens_expr("text")
+    return (
+        "SELECT doc_id, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
+        "trim(text), '\\s+')) END::BIGINT AS n_ws_tokens, "
+        f"len({toks})::BIGINT AS n_tokens, "
+        f"len(regexp_extract_all(text, '{analysis.BPE_PATTERN}'))::BIGINT AS n_bpe_tokens, "
+        "length(text)::BIGINT AS n_chars "
+        "FROM documents"
+    )
+
+
+def sql_quality_score() -> str:
+    from searchengine_ray.config import DEFAULT_STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in sorted(DEFAULT_STOPWORDS))
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_ws_tokens,
+       len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS n_stopwords,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       list_sum(list_transform(toks, t -> length(t)))::BIGINT AS sum_token_len,
+       CASE WHEN len(toks) > 0
+            THEN (list_sum(list_transform(toks, t -> length(t)))::BIGINT
+                  * 1000000) // len(toks)
+            ELSE 0 END::BIGINT AS mean_token_len_u
+FROM ws
+"""
+
+
+def sql_lang_id() -> str:
+    cases = " ".join(
+        f"WHEN contains(' ' || text || ' ', ' {m} ') THEN '{lang}'"
+        for m, lang in analysis.LANG_MARKERS)
+    return f"SELECT doc_id, CASE {cases} ELSE 'unknown' END AS lang_pred FROM documents"
+
+
+def sql_snippets() -> str:
+    return ("SELECT doc_id, CASE WHEN length(text) > 0 THEN "
+            "substr(text, 1, 200) || '...' ELSE '' END AS snippet FROM documents")
+
+
+def sql_term_df() -> str:
+    toks = sql_filtered_tokens_expr("text", CFG)
+    return (
+        "SELECT term, count(*)::BIGINT AS df FROM ("
+        f"SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents"
+        ") GROUP BY term"
+    )
+
+
+def sql_top_sources() -> str:
+    return "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source"
+
+
+def sql_exact_dedup() -> str:
+    return ("SELECT sha256(text) AS content_sha, min(doc_id)::BIGINT AS keeper_id, "
+            "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)")
+
+
+def sql_ngram_jaccard(n: int = 3, tau_u: int = 100_000, max_df: int = 200) -> str:
+    toks = sql_tokens_expr("text")
+    return f"""
+WITH toklists AS (SELECT doc_id, {toks} AS L FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(L) - {n} + 2, 1)),
+                                 i -> array_to_string(L[i:i+{n - 1}], ' ')))
+           AS shingle
+    FROM toklists)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) BETWEEN 2 AND {max_df}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b USING (shingle) JOIN keep USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+j AS (
+  SELECT a_id, b_id, inter, (sa.sz + sb.sz - inter)::BIGINT AS uni
+  FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id)
+SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, inter, uni,
+       ((inter * {dedup.JACCARD_SCALE}) // uni)::BIGINT AS jaccard_u
+FROM j WHERE (inter * {dedup.JACCARD_SCALE}) // uni >= {tau_u}
+"""
+
+
+def sql_simhash(cfg: IndexConfig = CFG) -> str:
+    toks = sql_filtered_tokens_expr("text", cfg)
+    chunk_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN j >= {16 * c} AND j < {16 * (c + 1)} AND s > 0 "
+        f"THEN (1::BIGINT << (j - {16 * c})) ELSE 0 END), 0)::BIGINT AS sh{c}"
+        for c in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS t FROM documents)
+  GROUP BY doc_id, t),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv, tf FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (hv >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, (SELECT unnest(range(0, 64)) AS j)
+  GROUP BY doc_id, j)
+SELECT d.doc_id, {chunk_cols}
+FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def sql_embedding_neardup(tau: float = 0.3) -> str:
+    return f"""
+SELECT a.vec_id::BIGINT AS a_id, b.vec_id::BIGINT AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_r
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= {tau}
+"""
+
+
+def sql_ann_topk(query_ids: list[int], k: int) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, e.vec_id::BIGINT AS vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]) AS cos
+  FROM q CROSS JOIN embeddings e),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cos_r FROM ranked WHERE rn <= {k}
+"""
+
+
+def sql_multimodal() -> str:
+    checksum = " + ".join(
+        f"('0x' || substr(sha256(text), {2 * j + 1}, 2))::BIGINT" for j in range(8))
+    return (
+        "SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_len, "
+        "sha256(text) AS blob_sha256, "
+        f"({checksum})::BIGINT AS feat_checksum FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def build_queries() -> dict[str, Callable[[str], Any]]:
+    q: dict[str, Callable[[str], Any]] = {
+        "token_stats": lambda sf: analysis.token_stats(_docs(sf)),
+        "quality_score": lambda sf: analysis.quality_score(_docs(sf)),
+        "lang_id": lambda sf: analysis.lang_id(_docs(sf)),
+        "snippets": lambda sf: analysis.snippets(_docs(sf)),
+        "term_df": lambda sf: analysis.term_df(_docs(sf), CFG),
+        "top_sources": lambda sf: analysis.top_sources(_docs(sf)),
+        "fingerprint": lambda sf: analysis.fingerprint(_docs(sf)),
+        "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
+        "simhash": lambda sf: dedup.simhash(_docs(sf), CFG),
+        "dedup_simhash": lambda sf: dedup.simhash_neardup_pairs(_docs(sf), 3, CFG),
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
+        "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
+        "ann_cosine_topk": lambda sf: similarity.brute_topk(
+            _embs(sf), ANN_QUERY_IDS, ANN_K),
+        "ann_lsh_topk": lambda sf: similarity.lsh_topk(
+            _embs(sf), ANN_QUERY_IDS, ANN_K),
+        "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
+        "doc_lengths": q_doc_lengths,
+        "index_stats": q_index_stats,
+    }
+    for name, text in BM25_QUERIES.items():
+        q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o = {
+        "token_stats": sql_token_stats(),
+        "quality_score": sql_quality_score(),
+        "lang_id": sql_lang_id(),
+        "snippets": sql_snippets(),
+        "term_df": sql_term_df(),
+        "top_sources": sql_top_sources(),
+        "dedup_exact": sql_exact_dedup(),
+        "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "simhash": sql_simhash(),
+        "embedding_neardup": sql_embedding_neardup(),
+        "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
+        "multimodal_features": sql_multimodal(),
+        "doc_lengths": sql_doc_lengths(),
+        "index_stats": sql_index_stats(),
+    }
+    for name, text in BM25_QUERIES.items():
+        o[name] = sql_bm25(text)
+    return o
+    # no oracle (rows-only driver check; pytest-verified instead):
+    # fingerprint (winnowing), dedup_simhash / dedup_minhash_lsh (banded
+    # candidate generation), ann_lsh_topk (approximate by design)
+
+
+def flagship(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
+    """Flagship pipeline: build the inverted index over the adapted
+    documents table, serve the reference query set, return ranked results."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    rows = []
+    for name, qtext in BM25_QUERIES.items():
+        for rank, r in enumerate(eng.search(qtext, top_k=QCFG.top_k), 1):
+            rows.append({
+                "query": qtext, "rank": rank, "doc_id": r["doc_id"],
+                "url": r["url"], "title": r["title"],
+                "score": round(r["score"], 6),
+            })
+    return pd.DataFrame(rows,
+                        columns=["query", "rank", "doc_id", "url", "title",
+                                 "score"])

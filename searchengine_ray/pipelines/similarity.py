@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (list<float>).
+
+The reference's vector path is FAISS IndexFlatL2 over MiniLM vectors
+(/root/reference/search_engine/indexer/bert_embeddings.py:133-162, 204-225 —
+SURVEY.md §2.7 K4). Rebuilt Ray-Data-first:
+
+  brute_topk    exact cosine top-k — per-batch numpy matmul against a
+                broadcast query matrix (`ray.put` once, zero-copy read in
+                every task), partial top-k per batch, tiny final reduce.
+  embedding_neardup  all pairs with cosine ≥ tau (block × broadcast matmul).
+  lsh_topk      signed-random-projection LSH bucketing as the scale path —
+                candidates = bucket collisions in any of L tables, exact
+                re-rank on candidates only.
+
+Scale notes: brute_topk moves only (batch × k) rows to the driver — the
+matmul streams. embedding_neardup broadcasts the full normalized matrix,
+which caps at ~10^6 vectors per node heap; beyond that the LSH variant (or
+an IVF partition-by-centroid groupby) is the documented path. All float
+math is float64 so results are reproducible against the DuckDB oracle
+(list_cosine_similarity on DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+COS_ROUND = 6  # emitted scores are round(cos, 6) in Ray AND SQL
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(batch) if len(batch) else 0
+    return flat.reshape(len(batch), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-300)
+
+
+def load_query_vectors(ds: "ray.data.Dataset", query_ids: list[int],
+                       id_col: str = "vec_id",
+                       col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Fetch the (tiny) query rows out of the dataset: ids + unit vectors."""
+    qid_arr = pa.array(sorted(query_ids), type=pa.int64())
+    small = ds.map_batches(
+        lambda b: b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()),
+                                    value_set=qid_arr)),
+        batch_format="pyarrow").take_all()
+    rows = sorted(small, key=lambda r: int(r[id_col]))
+    ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    mat = np.array([r[col] for r in rows], dtype=np.float64)
+    return ids, _normalize(mat)
+
+
+def brute_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
+               id_col: str = "vec_id",
+               col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k per query vector (baseline ANN).
+
+    Returns a pyarrow Table (query_id:int64, vec_id:int64, cos_r:float64 =
+    round(cosine, 6)); ties broken by ascending vec_id. Two passes over the
+    dataset: one tiny filtered read for the query rows, one streaming scored
+    pass emitting per-batch partial top-k (k rows per query per batch).
+    """
+    qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
+    qref = ray.put((qids, qmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_q, qm = ray.get(qref)
+        vecs = _normalize(_emb_matrix(batch, col))
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        sims = qm @ vecs.T  # (Q, B)
+        out_q, out_v, out_c = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k with (-cos, vec_id) order
+            idx = np.lexsort((vids, -row))[:kk]
+            out_q.append(np.full(kk, ids_q[qi], dtype=np.int64))
+            out_v.append(vids[idx])
+            out_c.append(row[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    # tiny final reduce on the driver: ≤ (num_batches × Q × k) rows
+    best: dict[int, list] = {}
+    for r in partials:
+        best.setdefault(int(r["query_id"]), []).append(
+            (-float(r["cos"]), int(r["vec_id"])))
+    out_q, out_v, out_c = [], [], []
+    for qid in sorted(best):
+        for negcos, vid in heapq.nsmallest(k, best[qid]):
+            out_q.append(qid)
+            out_v.append(vid)
+            out_c.append(round(-negcos, COS_ROUND))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "cos_r": pa.array(out_c, type=pa.float64()),
+    })
+
+
+def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
+                      id_col: str = "vec_id",
+                      col: str = "embedding") -> "ray.data.Dataset":
+    """All vector pairs (a<b) with round(cosine, 6) ≥ tau — the
+    embedding-cosine near-dup detector. Columns: a_id, b_id (int64),
+    cos_r (float64). The right side is the full normalized matrix broadcast
+    once via ray.put; each streaming batch multiplies against it."""
+    all_rows = ds.map_batches(
+        lambda b: pa.table({
+            "vec_id": pc.cast(b[id_col], pa.int64()),
+            col: b[col] if not isinstance(b[col], pa.ChunkedArray)
+            else b[col].combine_chunks(),
+        }), batch_format="pyarrow").take_all()
+    rows = sorted(all_rows, key=lambda r: int(r["vec_id"]))
+    full_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    full_mat = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
+    mat_ref = ray.put((full_ids, full_mat))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_all, m_all = ray.get(mat_ref)
+        vecs = _normalize(_emb_matrix(batch, col))
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        sims = np.round(vecs @ m_all.T, COS_ROUND)  # (B, N)
+        li, ri = np.nonzero(sims >= tau)
+        a = vids[li]
+        b = ids_all[ri]
+        keep = a < b
+        return pa.table({
+            "a_id": pa.array(a[keep]),
+            "b_id": pa.array(b[keep]),
+            "cos_r": pa.array(sims[li[keep], ri[keep]]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path
+# ---------------------------------------------------------------------------
+
+def lsh_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
+             num_planes: int = 8, num_tables: int = 8, seed: int = 42,
+             id_col: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k: signed-random-projection LSH.
+
+    Each of ``num_tables`` tables hashes a vector to ``num_planes`` sign
+    bits; candidates for a query are vectors sharing its bucket in ANY
+    table; exact cosine re-ranks candidates. Same output schema as
+    brute_topk — recall vs brute_topk is property-tested. Streaming: one
+    pass computes bucket codes per batch and scores only in-bucket rows
+    against the broadcast queries.
+    """
+    qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    pw2 = 1 << np.arange(num_planes)
+
+    def codes_of(mat: np.ndarray) -> np.ndarray:
+        # (rows, tables) bucket codes
+        proj = np.einsum("tpd,rd->rtp", planes, mat)
+        return ((proj > 0).astype(np.int64) * pw2[None, None, :]).sum(axis=2)
+
+    qcodes = codes_of(qmat)  # (Q, T)
+    qref = ray.put((qids, qmat, qcodes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_q, qm, qc = ray.get(qref)
+        vecs = _normalize(_emb_matrix(batch, col))
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        vc = codes_of(vecs)  # (B, T)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(ids_q)):
+            cand = (vc == qc[qi][None, :]).any(axis=1)
+            if not cand.any():
+                continue
+            row = vecs[cand] @ qm[qi]
+            cvids = vids[cand]
+            kk = min(k, row.size)
+            idx = np.lexsort((cvids, -row))[:kk]
+            out_q.append(np.full(kk, ids_q[qi], dtype=np.int64))
+            out_v.append(cvids[idx])
+            out_c.append(row[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {}
+    for r in partials:
+        best.setdefault(int(r["query_id"]), []).append(
+            (-float(r["cos"]), int(r["vec_id"])))
+    out_q, out_v, out_c = [], [], []
+    for qid in sorted(best):
+        for negcos, vid in heapq.nsmallest(k, best[qid]):
+            out_q.append(qid)
+            out_v.append(vid)
+            out_c.append(round(-negcos, COS_ROUND))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "cos_r": pa.array(out_c, type=pa.float64()),
+    })
