@@ -1,0 +1,213 @@
+"""Benchmark entry point (driver-run per round; see BASELINE.md).
+
+Headline pipelines:
+  index_build   streaming inverted-index build over the deterministic
+                synthetic source-code corpus (the north-star input shape)
+  bm25_queries  warm-actor BM25 top-k latency over the reference query set
+  + the training-data pipelines over $GRAFT_SF_DIR documents/embeddings
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "index_build": {"docs": D, "sec": S, "docs_per_sec": R},
+   "bm25_p50_ms": ..., "bm25_p95_ms": ...}
+
+--scaling: runs the index build twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + efficiency
+(throughput_32 / (4 * throughput_8)) — the sandbox stand-in for the
+N-vs-4N-node cluster criterion (BASELINE.json north_rule).
+
+This script OWNS its Ray session (the only places allowed to: bench.py,
+CLI entry points, tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS_DOCS = int(os.environ.get("SERAY_BENCH_DOCS", "96000"))
+BENCH_CORPUS_DIR = f"/tmp/seray_bench_corpus_{BENCH_CORPUS_DOCS}"
+# scaling runs use a larger corpus so per-doc compute dominates the
+# fixed shuffle/startup latency (the quantity that actually scales)
+SCALING_DOCS = int(os.environ.get("SERAY_SCALING_DOCS", "192000"))
+SCALING_DIR = f"/tmp/seray_bench_corpus_{SCALING_DOCS}"
+BM25_BENCH_QUERIES = [
+    "queue71", "py org2", "parse token stream", "src/module_96/file_25.py",
+    "hashMap codec", "spill window partition", "rust engine", "vector matrix",
+]
+
+
+def _ray_init(num_cpus: int):
+    import ray
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based sort shuffle parallelizes the postings exchange better
+    # than the default pull-based variant (measured; see BASELINE.md)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
+def _bench_cfg():
+    """Build config for bench scale: shuffle width ≈ 4× CPUs for wave
+    balance (the library default of 32 targets small corpora)."""
+    from searchengine_ray.config import IndexConfig
+    return IndexConfig(num_partitions=128, num_length_partitions=16)
+
+
+def ensure_bench_corpus(docs: int, out_dir: str) -> str:
+    from searchengine_ray.sources.corpus import write_corpus
+    return write_corpus(out_dir, docs, rows_per_file=4000)
+
+
+def run_index_build(index_dir: str, corpus_dir: str = BENCH_CORPUS_DIR,
+                    docs: int = BENCH_CORPUS_DOCS) -> dict:
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.sources.corpus import read_source
+    ensure_bench_corpus(docs, corpus_dir)
+    # warm the worker pool (one no-op round trip per CPU) so the timed
+    # region measures steady-state throughput, not process spawn
+    ray.data.range(1024, override_num_blocks=64).map_batches(
+        lambda b: b).materialize()
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # block sizing is data-driven (~3k docs ≈ 8-16 MB per block): small
+    # enough to parallelize, large enough that per-block shuffle overhead
+    # stays negligible (measured: 240 auto-split blocks cost 2-3× vs 64)
+    num_blocks = max(32, docs // 3000)
+    src = ray.data.read_parquet(
+        corpus_dir, columns=["repo", "path", "commit", "lang", "content"],
+        override_num_blocks=num_blocks)
+    t0 = time.perf_counter()
+    manifest = build_index(src, index_dir, _bench_cfg())
+    sec = time.perf_counter() - t0
+    return {"docs": manifest["num_docs"], "sec": round(sec, 3),
+            "docs_per_sec": round(manifest["num_docs"] / sec, 1),
+            "num_terms": manifest["num_terms"]}
+
+
+def run_bm25_latency(index_dir: str) -> dict:
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(index_dir, _bench_cfg())
+    for q in BM25_BENCH_QUERIES:  # warm segment caches
+        eng.search(q)
+    lat = []
+    for _ in range(5):
+        for q in BM25_BENCH_QUERIES:
+            t0 = time.perf_counter()
+            eng.search(q, top_k=20)
+            lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    return {"p50_ms": round(statistics.median(lat), 2),
+            "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+            "n": len(lat)}
+
+
+def run_pipelines(sf_dir: str) -> dict[str, float]:
+    """Time each driver-contract pipeline at the bench scale factor."""
+    from searchengine_ray.pipelines.driver_api import build_queries
+    import pyarrow as pa
+    import ray.data
+    timings: dict[str, float] = {}
+    skip = {"doc_lengths", "index_stats"}  # covered by index_build
+    for name, fn in build_queries().items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if isinstance(out, ray.data.Dataset):
+            out = out.materialize()
+            _ = out.count()
+        elif isinstance(out, pa.Table):
+            _ = out.num_rows
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def scale_probe(num_cpus: int) -> dict:
+    """Child-process mode: index build only, fresh Ray session. Best of 2
+    runs — single-machine wall times vary ±30% with page-cache/disk state,
+    and min-over-repeats estimates the true cost."""
+    _ray_init(num_cpus)
+    res = min((run_index_build(f"/tmp/seray_scale_index_{num_cpus}",
+                               SCALING_DIR, SCALING_DOCS)
+               for _ in range(2)), key=lambda r: r["sec"])
+    import ray
+    ray.shutdown()
+    return res
+
+
+def run_scaling() -> dict:
+    # corpus generated once (child processes reuse the _SUCCESS-marked dir)
+    _ray_init(8)
+    ensure_bench_corpus(SCALING_DOCS, SCALING_DIR)
+    import ray
+    ray.shutdown()
+    out = {}
+    for cpus in (8, 32):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_scale_run",
+             str(cpus)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+    eff = out[32]["docs_per_sec"] / (4 * out[8]["docs_per_sec"])
+    return {"cpus_8": out[8], "cpus_32": out[32],
+            "scaling_efficiency": round(eff, 3)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_scale_run", type=int, default=None)
+    args = ap.parse_args()
+
+    if args._scale_run is not None:
+        print(json.dumps(scale_probe(args._scale_run)))
+        return
+
+    if args.scaling:
+        res = run_scaling()
+        print(json.dumps({
+            "metric": "index-build scaling efficiency (8 -> 32 cpus, "
+                      "fresh sessions, same input)",
+            "value": res["scaling_efficiency"], "unit": "efficiency",
+            "queries": {}, "sf": "synthetic-corpus",
+            "num_cpus": [8, 32], "scaling": res,
+        }))
+        return
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    _ray_init(num_cpus)
+    t_all = time.perf_counter()
+    index_dir = "/tmp/seray_bench_index"
+    build = run_index_build(index_dir)
+    bm25 = run_bm25_latency(index_dir)
+    queries = run_pipelines(sf_dir)
+    queries["index_build"] = build["sec"]
+    total = round(time.perf_counter() - t_all, 3)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    print(json.dumps({
+        "metric": "index-build throughput (docs/sec) + BM25 top-k p50 + "
+                  "training-data pipeline wall times",
+        "value": total, "unit": "sec", "queries": queries,
+        "sf": sf, "num_cpus": num_cpus,
+        "index_build": build,
+        "bm25_p50_ms": bm25["p50_ms"], "bm25_p95_ms": bm25["p95_ms"],
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,6 @@ from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
 
 import ray.data
 
@@ -48,22 +47,34 @@ def estimate_hot_terms(source: "ray.data.Dataset", cfg: IndexConfig,
     Over-salting a cold term costs nothing but an extra query-side probe, so
     prefix (rather than uniform) sampling bias is acceptable (SURVEY.md §4)."""
     sample = source.limit(sample_docs)
-    tables = [pa.table({"content": b["content"]})
-              for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")]
-    if not tables:
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch["content"], cfg)
+        t = pa.table({"doc": pa.array(di), "term": toks})
+        g = (t.group_by(["doc", "term"], use_threads=False).aggregate([])
+             .group_by("term", use_threads=False).aggregate([("doc", "count")]))
+        # sentinel row carries the batch's doc count (term=None)
+        return pa.table({
+            "term": pa.concat_arrays([g["term"].combine_chunks(),
+                                      pa.nulls(1, pa.string())]),
+            "doc_count": pa.concat_arrays([
+                g["doc_count"].combine_chunks(),
+                pa.array([len(batch)], type=pa.int64()).cast(g["doc_count"].type)]),
+        })
+
+    rows = sample.map_batches(partial_df, batch_format="pyarrow").take_all()
+    if not rows:
         return {}
-    content = pa.concat_tables(tables)["content"]
-    di, toks = tokenize_column(content, cfg)
-    if len(di) == 0:
-        return {}
-    t = pa.table({"doc": pa.array(di), "term": toks})
-    df = (t.group_by(["doc", "term"], use_threads=False).aggregate([])
-          .group_by("term", use_threads=False).aggregate([("doc", "count")]))
-    n = max(1, content.length())
+    n = 0
+    df: dict[str, int] = {}
+    for r in rows:
+        if r["term"] is None:
+            n += int(r["doc_count"])
+        else:
+            df[r["term"]] = df.get(r["term"], 0) + int(r["doc_count"])
+    n = max(1, n)
     hot: dict[str, int] = {}
-    terms = df["term"].to_pylist()
-    counts = df["doc_count"].to_numpy(zero_copy_only=False)
-    for term, c in zip(terms, counts):
+    for term, c in df.items():
         ratio = c / n
         if ratio > cfg.hot_term_df_ratio:
             # salts ∝ hotness, capped by partition count
@@ -96,9 +107,22 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
     docstore_dir = os.path.join(index_dir, "docstore")
     docstore_done = bool(prior and prior.get("docstore_done")
                          and os.path.isdir(docstore_dir))
+    docstore_thread = None
+    docstore_err: list[BaseException] = []
     if not docstore_done:
-        source.map_batches(docstats_batch, batch_format="pyarrow") \
-              .write_parquet(docstore_dir)
+        # independent pass over the source — run it CONCURRENTLY with the
+        # postings shuffle (two Ray Data jobs share the cluster; the
+        # streaming executors interleave), hiding its wall time entirely
+        def _docstore_job():
+            try:
+                source.map_batches(docstats_batch, batch_format="pyarrow") \
+                      .write_parquet(docstore_dir)
+            except BaseException as e:  # re-raised on join
+                docstore_err.append(e)
+
+        import threading
+        docstore_thread = threading.Thread(target=_docstore_job, daemon=True)
+        docstore_thread.start()
 
     total_parts = cfg.num_partitions + cfg.num_length_partitions
     skip = set(done)
@@ -125,11 +149,10 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         .map_groups(write_partition, batch_format="pyarrow")
         .take_all()
     )
-
-    # Corpus scalars from docstore footers (N) and length partitions (Σ len).
-    num_docs = sum(
-        pq.read_metadata(os.path.join(docstore_dir, f)).num_rows
-        for f in os.listdir(docstore_dir) if f.endswith(".parquet"))
+    if docstore_thread is not None:
+        docstore_thread.join()
+        if docstore_err:
+            raise docstore_err[0]
 
     partitions = dict(prior.get("partitions", {})) if prior else {}
     for row in manifest_rows:
@@ -140,6 +163,9 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         }
     sum_doc_len = sum(e["sum_doc_len"] for e in partitions.values()
                       if e["kind"] == "lengths")
+    # N = one length row per doc — no driver-side footer scan needed
+    num_docs = sum(e["rows"] for e in partitions.values()
+                   if e["kind"] == "lengths")
     num_terms = sum(e["terms"] for e in partitions.values()
                     if e["kind"] == "segment")
     complete = only_parts is None and len(

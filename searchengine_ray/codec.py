@@ -83,6 +83,70 @@ def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return doc_ids, tfs
 
 
+def encode_postings_batch(doc_ids: np.ndarray, tfs: np.ndarray,
+                          starts: np.ndarray, ends: np.ndarray
+                          ) -> list[bytes]:
+    """Encode MANY terms' postings in one vectorized pass.
+
+    ``doc_ids``/``tfs`` are the concatenated per-term runs (each run sorted
+    ascending by doc_id); ``starts``/``ends`` delimit runs. Byte-identical
+    to ``encode_postings`` per run (property-tested) — the delta/varbyte
+    math runs once over the whole partition; the per-term loop only slices.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    n = ids.size
+    if n == 0:
+        return []
+    deltas = np.empty_like(ids)
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[starts] = ids[starts]
+    nbytes = np.ones(n, dtype=np.int64)
+    v = deltas >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0)
+        v >>= np.uint64(7)
+    vends = np.cumsum(nbytes)
+    vstarts = vends - nbytes
+    out = np.zeros(int(vends[-1]), dtype=np.uint8)
+    for k in range(int(nbytes.max())):
+        sel = nbytes > k
+        byte = ((deltas[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1 > k)
+        byte[cont] |= np.uint8(0x80)
+        out[vstarts[sel] + k] = byte
+    vb_all = out.tobytes()
+    tf_all = np.ascontiguousarray(tfs, dtype=np.float32).tobytes()
+    term_vs = vstarts[starts]
+    term_ve = np.concatenate([vstarts[starts[1:]], [int(vends[-1])]])
+    counts = (ends - starts).astype(np.uint32)
+    vb_lens = (term_ve - term_vs).astype(np.uint32)
+    headers = np.stack([counts, vb_lens], axis=1).astype("<u4").tobytes()
+    res = []
+    for i in range(len(starts)):
+        res.append(headers[8 * i:8 * i + 8]
+                   + vb_all[term_vs[i]:term_ve[i]]
+                   + tf_all[4 * starts[i]:4 * ends[i]])
+    return res
+
+
+def block_max_tf_batch(tfs: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                       block_size: int = BLOCK_SIZE_DEFAULT) -> list[bytes]:
+    """Per-term block-max metadata for many contiguous runs in one
+    ``np.maximum.reduceat`` (runs must tile the array)."""
+    t = np.ascontiguousarray(tfs, dtype=np.float32)
+    if t.size == 0:
+        return []
+    counts = ends - starts
+    nblocks = (counts + block_size - 1) // block_size
+    offsets = np.concatenate([[0], np.cumsum(nblocks)])
+    term_of_block = np.repeat(np.arange(len(starts)), nblocks)
+    j = np.arange(int(offsets[-1])) - offsets[term_of_block]
+    bstarts = starts[term_of_block] + block_size * j
+    bmax = np.maximum.reduceat(t, bstarts)
+    return [bmax[offsets[i]:offsets[i + 1]].tobytes()
+            for i in range(len(starts))]
+
+
 def block_max_tf(tfs: np.ndarray, block_size: int = BLOCK_SIZE_DEFAULT) -> bytes:
     """Per-block (``block_size`` postings) max weighted tf, float32.
 

@@ -115,6 +115,44 @@ def shingles(ds: "ray.data.Dataset", n: int = 3, text_col: str = "text",
 # exact n-gram Jaccard via shingle inverted index
 # ---------------------------------------------------------------------------
 
+NUM_PAIR_PARTITIONS = 64
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 fallback via bytes)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _run_boundaries(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-value runs in a sorted code array."""
+    b = np.nonzero(np.diff(codes))[0] + 1
+    return np.concatenate([[0], b]), np.concatenate([b, [len(codes)]])
+
+
+def _emit_run_pairs(ids_sorted_by_key: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For each key-run, all (a<b) pairs (runs longer than ``cap`` dropped).
+    Returns (a, b, run_index_of_pair). Vectorized per run."""
+    outs_a, outs_b, outs_r = [], [], []
+    for ri, (s, e) in enumerate(zip(starts, ends)):
+        k = e - s
+        if k < 2 or k > cap:
+            continue
+        ids = np.sort(ids_sorted_by_key[s:e])
+        iu = np.triu_indices(k, 1)
+        outs_a.append(ids[iu[0]])
+        outs_b.append(ids[iu[1]])
+        outs_r.append(np.full(len(iu[0]), ri, dtype=np.int64))
+    if not outs_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return (np.concatenate(outs_a), np.concatenate(outs_b),
+            np.concatenate(outs_r))
+
+
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
                         tau_u: int = 100_000, max_df: int = 200,
                         text_col: str = "text",
@@ -124,10 +162,13 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
     Columns: a_id, b_id, inter, uni, jaccard_u (all int64;
     jaccard_u = inter*1e6 // uni — integer arithmetic, exact vs SQL).
 
-    Plan: shingle explode → (shuffle 1) per-shingle groups emit candidate
-    pairs (groups larger than ``max_df`` are dropped — a hot shingle carries
-    no dedup signal and would emit O(df²) pairs) → (shuffle 2) pair-count =
-    |intersection| → sizes lookup (broadcast) → exact Jaccard filter.
+    Plan: shingle explode → (shuffle 1) shingle-hash-partitioned groups
+    (NUM_PAIR_PARTITIONS coarse partitions, not one Ray group per shingle —
+    per-shingle runs are found by an in-partition sort) emit candidate
+    pairs; per-shingle groups larger than ``max_df`` are dropped — a hot
+    shingle carries no dedup signal and would emit O(df²) pairs → (shuffle
+    2) pair-count = |intersection| → sizes lookup (broadcast) → exact
+    Jaccard filter.
     """
     sh = shingles(ds, n, text_col, id_col).materialize()
 
@@ -135,17 +176,23 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
     sizes = {int(r["doc_id"]): int(r["count()"]) for r in sizes_tbl}
     sizes_ref = ray.put(sizes)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        k = len(group)
-        if k < 2 or k > max_df:
-            return pa.table({"a_id": pa.array([], type=pa.int64()),
-                             "b_id": pa.array([], type=pa.int64())})
-        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        iu = np.triu_indices(k, 1)
-        return pa.table({"a_id": pa.array(ids[iu[0]]),
-                         "b_id": pa.array(ids[iu[1]])})
+    def add_part(batch: pa.Table) -> pa.Table:
+        from searchengine_ray.functions.hashing import hash64_array
+        h = hash64_array(batch["shingle"])
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(NUM_PAIR_PARTITIONS)).astype(np.int32)))
 
-    pair_counts = (sh.groupby("shingle")
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        t = group.sort_by("shingle")
+        codes = (t["shingle"].combine_chunks().dictionary_encode()
+                 .indices.to_numpy(zero_copy_only=False))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        starts, ends = _run_boundaries(codes)
+        a, b, _ = _emit_run_pairs(ids, starts, ends, max_df)
+        return pa.table({"a_id": pa.array(a), "b_id": pa.array(b)})
+
+    pair_counts = (sh.map_batches(add_part, batch_format="pyarrow")
+                     .groupby("part")
                      .map_groups(emit_pairs, batch_format="pyarrow")
                      .groupby(["a_id", "b_id"]).count())
 
@@ -235,9 +282,10 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset",
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     Banding: with 4 chunks of 16 bits, any pair within hamming ≤ 3 shares at
-    least one exact chunk (pigeonhole) → candidate generation is 4 groupbys
-    expressed as one (chunk_id, chunk_value)-keyed shuffle; exact hamming
-    verified on the candidates; duplicates across bands removed by the final
+    least one exact chunk (pigeonhole) → candidates share a (band, chunk
+    value) bucket; buckets are coarsely hash-partitioned and found by an
+    in-partition sort (no per-bucket Ray group). Exact hamming is verified
+    on the candidates; duplicates across bands are removed by the final
     (a,b) groupby. Columns: a_id, b_id, hamming (int64).
     """
     sigs = simhash(ds, cfg, text_col, id_col)
@@ -251,36 +299,40 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset",
                | (chunks[1].astype(np.uint64) << np.uint64(16))
                | (chunks[2].astype(np.uint64) << np.uint64(32))
                | (chunks[3].astype(np.uint64) << np.uint64(48)))
+        bucket = (np.repeat(np.arange(4, dtype=np.int64), n) << np.int64(16)) \
+            | np.concatenate([c.astype(np.int64) for c in chunks])
         return pa.table({
-            "band": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
-            "key": pa.array(np.concatenate([c.astype(np.int64) for c in chunks])),
+            "part": pa.array((bucket % NUM_PAIR_PARTITIONS).astype(np.int32)),
+            "bucket": pa.array(bucket),
             "doc_id": pa.array(np.tile(ids, 4)),
             "sig": pa.array(np.tile(sig, 4)),
         })
 
     def emit(group: pa.Table) -> pa.Table:
-        k = len(group)
-        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
-                          "b_id": pa.array([], type=pa.int64()),
-                          "hamming": pa.array([], type=pa.int64())})
-        if k < 2 or k > max_bucket:
-            return empty
-        order = np.argsort(group["doc_id"].to_numpy(zero_copy_only=False),
-                           kind="stable")
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
-        sig = group["sig"].to_numpy(zero_copy_only=False)[order]
-        iu = np.triu_indices(k, 1)
-        ham = np.bitwise_count(sig[iu[0]] ^ sig[iu[1]]).astype(np.int64) \
-            if hasattr(np, "bitwise_count") else np.array(
-                [bin(int(sig[i]) ^ int(sig[j])).count("1")
-                 for i, j in zip(iu[0], iu[1])], dtype=np.int64)
+        t = group.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        codes = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["sig"].to_numpy(zero_copy_only=False)
+        starts, ends = _run_boundaries(codes)
+        pos = {int(d): i for i, d in enumerate(ids)}
+        a, b, _ = _emit_run_pairs(ids, starts, ends, max_bucket)
+        if len(a) == 0:
+            return pa.table({"a_id": pa.array([], type=pa.int64()),
+                             "b_id": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        sa = sig[np.fromiter((pos[int(x)] for x in a), dtype=np.int64,
+                             count=len(a))]
+        sb = sig[np.fromiter((pos[int(x)] for x in b), dtype=np.int64,
+                             count=len(b))]
+        x = sa ^ sb
+        ham = _popcount64(x)
         keep = ham <= max_hamming
-        return pa.table({"a_id": pa.array(ids[iu[0][keep]].astype(np.int64)),
-                         "b_id": pa.array(ids[iu[1][keep]].astype(np.int64)),
+        return pa.table({"a_id": pa.array(a[keep]),
+                         "b_id": pa.array(b[keep]),
                          "hamming": pa.array(ham[keep])})
 
     pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
-                 .groupby(["band", "key"])
+                 .groupby("part")
                  .map_groups(emit, batch_format="pyarrow")
                  .groupby(["a_id", "b_id"])
                  .aggregate(ray.data.aggregate.Min("hamming")))
@@ -362,48 +414,62 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(ds, n, num_perm, seed, text_col, id_col)
+    # vectorized band-bucket key: polynomial multiply-add over the band's
+    # sig rows in wrapping uint64 (equal band-signatures → equal keys;
+    # 64-bit collisions are negligible vs the estimate filter downstream)
+    _POLY = np.uint64(0x9E3779B97F4A7C15)
 
     def explode(batch: pa.Table) -> pa.Table:
-        from searchengine_ray.functions.hashing import hash64
+        nb = len(batch)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
-        out_band, out_key, out_id, out_sig = [], [], [], []
-        for bidx in range(bands):
-            seg = sig[:, bidx * r:(bidx + 1) * r]
-            keys = [hash64(",".join(map(str, row))) % (1 << 63) for row in seg]
-            out_band.extend([bidx] * len(ids))
-            out_key.extend(keys)
-            out_id.extend(ids.tolist())
-            out_sig.extend(sig.tolist())
+        sig_u = sig.view(np.uint64)
+        out = []
+        with np.errstate(over="ignore"):
+            for bidx in range(bands):
+                key = np.full(nb, np.uint64(bidx * 2 + 1), dtype=np.uint64)
+                for c in range(bidx * r, (bidx + 1) * r):
+                    key = key * _POLY + sig_u[:, c]
+                out.append(key)
+        bucket = np.concatenate(out).view(np.int64)
         return pa.table({
-            "band": pa.array(out_band, type=pa.int64()),
-            "key": pa.array(out_key, type=pa.int64()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+            "part": pa.array(((np.concatenate(out) % np.uint64(NUM_PAIR_PARTITIONS))
+                              ).astype(np.int32)),
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
+            "sig": pa.array(np.tile(sig, (bands, 1)).tolist(),
+                            type=pa.list_(pa.int64())),
         })
 
     min_matches = int(np.ceil(tau * num_perm))
 
     def emit(group: pa.Table) -> pa.Table:
-        k = len(group)
+        t = group.sort_by([("bucket", "ascending"), ("doc_id", "ascending")])
+        codes = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        starts, ends = _run_boundaries(codes)
+        a, b, _ = _emit_run_pairs(ids, starts, ends, max_bucket)
         empty = pa.table({"a_id": pa.array([], type=pa.int64()),
                           "b_id": pa.array([], type=pa.int64()),
                           "est_matches": pa.array([], type=pa.int64())})
-        if k < 2 or k > max_bucket:
+        if len(a) == 0:
             return empty
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sig = np.array(group["sig"].to_pylist(), dtype=np.int64)[order]
-        iu = np.triu_indices(k, 1)
-        matches = (sig[iu[0]] == sig[iu[1]]).sum(axis=1).astype(np.int64)
+        # dedup candidate pairs within the partition before the sig compare
+        ab = np.stack([a, b], axis=1)
+        ab = np.unique(ab, axis=0)
+        a, b = ab[:, 0], ab[:, 1]
+        sig = np.array(t["sig"].to_pylist(), dtype=np.int64)
+        pos = {int(d): i for i, d in enumerate(ids)}
+        ia = np.fromiter((pos[int(x)] for x in a), dtype=np.int64, count=len(a))
+        ib = np.fromiter((pos[int(x)] for x in b), dtype=np.int64, count=len(b))
+        matches = (sig[ia] == sig[ib]).sum(axis=1).astype(np.int64)
         keep = matches >= min_matches
-        return pa.table({"a_id": pa.array(ids[iu[0][keep]].astype(np.int64)),
-                         "b_id": pa.array(ids[iu[1][keep]].astype(np.int64)),
+        return pa.table({"a_id": pa.array(a[keep]),
+                         "b_id": pa.array(b[keep]),
                          "est_matches": pa.array(matches[keep])})
 
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-                 .groupby(["band", "key"])
+                 .groupby("part")
                  .map_groups(emit, batch_format="pyarrow")
                  .groupby(["a_id", "b_id"])
                  .aggregate(ray.data.aggregate.Max("est_matches")))

@@ -77,12 +77,24 @@ class QueryEngine:
         self._title = df["title"]
         self._meta = df["meta"]
         self._snippet = df["snippet"]
-        self._title_lower = df["title"].str.lower()
-        self._meta_lower = df["meta"].str.lower()
-        self._snippet_lower = df["snippet"].str.lower()
+        # Arrow-kernel copies for the boost stage (pc.match_substring is
+        # the hot path — C++ substring scan, no pandas object loop)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        take = pa.array(order)
+        self._title_lower = pc.utf8_lower(pc.take(
+            store["title"].combine_chunks(), take))
+        self._meta_lower = pc.utf8_lower(pc.take(
+            store["meta"].combine_chunks(), take))
+        self._snippet_lower = pc.utf8_lower(pc.take(
+            store["snippet"].combine_chunks(), take))
 
         self._segments: dict[int, dict[str, int]] = {}
         self._segment_tables: dict[int, object] = {}
+        # decoded-postings cache (term → (ids, tfs) | _ABSENT); serving
+        # actors are long-lived, so hot query terms decode once
+        self._postings_cache: dict[str, object] = {}
+        self._postings_cache_cap = 100_000
 
     # -- posting access ----------------------------------------------------
     def _load_part(self, part: int):
@@ -118,6 +130,15 @@ class QueryEngine:
         segment key (the explode stage only rewrites the partition column) —
         so each distinct salted partition is probed once for the plain term
         and the sub-lists merged by doc_id."""
+        cached = self._postings_cache.get(term, "miss")
+        if not isinstance(cached, str):
+            return cached
+        res = self._postings_uncached(term)
+        if len(self._postings_cache) < self._postings_cache_cap:
+            self._postings_cache[term] = res
+        return res
+
+    def _postings_uncached(self, term: str):
         n_salts = self.hot_terms.get(term)
         if not n_salts:
             return self._postings_single(term)
@@ -173,8 +194,12 @@ class QueryEngine:
                     acc_ids, acc_scores = acc_ids[order], acc_scores[order]
         if acc_ids is None or acc_ids.size == 0:
             return []
-        scores = self._apply_boosts(acc_ids, acc_scores,
-                                    original_tokens, original_query)
+        if top_k <= 1024:
+            acc_ids, scores = self._boost_topk(
+                acc_ids, acc_scores, original_tokens, original_query, top_k)
+        else:
+            scores = self._apply_boosts(acc_ids, acc_scores,
+                                        original_tokens, original_query)
         max_score = scores.max()
         if max_score > 0:
             scores = scores / max_score
@@ -198,18 +223,63 @@ class QueryEngine:
             })
         return results
 
+    # Upper bound of the multiplicative metadata boosts (§2.9.7):
+    # phrase 1.8 × title-pct (1+1·2.0) × desc-pct (1+1·1.0) × proximity 1.25
+    MAX_BOOST = 1.8 * 3.0 * 2.0 * 1.25
+
+    def _boost_topk(self, ids: np.ndarray, base: np.ndarray,
+                    original_tokens: list[str], original_query: str,
+                    top_k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k boosting with admissible pruning: process docs in
+        descending base-score order; once the k-th best boosted score
+        exceeds base·MAX_BOOST of every remaining doc, no remaining doc can
+        (a) enter the top-k, (b) pass the normalized min-score filter at a
+        top-k rank, or (c) change the normalization max — so stop. Results
+        are bit-identical to boosting everything (asserted in tests)."""
+        order = np.argsort(base, kind="stable")[::-1]
+        chunk = max(4 * top_k, 256)
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        kth = -np.inf
+        n_collected = 0
+        i = 0
+        while i < len(order):
+            nxt = base[order[i]]
+            # nxt <= 0 ⇒ boosted 0 ⇒ below min_score, never in results
+            if n_collected >= top_k and (nxt * self.MAX_BOOST < kth or nxt <= 0):
+                break
+            sel = order[i:i + chunk]
+            s = self._apply_boosts(ids[sel], base[sel],
+                                   original_tokens, original_query)
+            out_ids.append(ids[sel])
+            out_scores.append(s)
+            n_collected += len(sel)
+            flat = np.concatenate(out_scores)
+            if len(flat) >= top_k:
+                kth = np.partition(flat, len(flat) - top_k)[len(flat) - top_k]
+            i += chunk
+        return np.concatenate(out_ids), np.concatenate(out_scores)
+
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
                       original_tokens: list[str], original_query: str) -> np.ndarray:
-        """Reference indexer.py:405-441, vectorized; multiplication order
-        matches the oracle exactly (phrase → title pct → desc pct → prox)."""
+        """Reference indexer.py:405-441, vectorized via Arrow
+        match_substring kernels; multiplication order matches the oracle
+        exactly (phrase → title pct → desc pct → prox)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
         pos = np.searchsorted(self._doc_ids, ids)
-        title = self._title_lower.iloc[pos].reset_index(drop=True)
-        desc = self._meta_lower.iloc[pos].reset_index(drop=True)
-        snip = self._snippet_lower.iloc[pos].reset_index(drop=True)
+        take = pa.array(pos)
+        title = pc.take(self._title_lower, take)
+        desc = pc.take(self._meta_lower, take)
+        snip = pc.take(self._snippet_lower, take)
+
+        def _contains(arr, pat: str) -> np.ndarray:
+            return pc.match_substring(arr, pat).to_numpy(zero_copy_only=False)
+
         out = scores.copy()
-        in_title = title.str.contains(original_query, regex=False).to_numpy()
-        in_desc = desc.str.contains(original_query, regex=False).to_numpy()
-        in_snip = snip.str.contains(original_query, regex=False).to_numpy()
+        in_title = _contains(title, original_query)
+        in_desc = _contains(desc, original_query)
+        in_snip = _contains(snip, original_query)
         out = np.where(in_title, out * 1.8,
                        np.where(in_desc, out * 1.5,
                                 np.where(in_snip, out * 1.3, out)))
@@ -219,9 +289,9 @@ class QueryEngine:
             d_hits = np.zeros(len(ids), dtype=np.int64)
             all_in_snip = np.ones(len(ids), dtype=bool)
             for tkn in original_tokens:
-                t_hits += title.str.contains(tkn, regex=False).to_numpy()
-                d_hits += desc.str.contains(tkn, regex=False).to_numpy()
-                all_in_snip &= snip.str.contains(tkn, regex=False).to_numpy()
+                t_hits += _contains(title, tkn)
+                d_hits += _contains(desc, tkn)
+                all_in_snip &= _contains(snip, tkn)
             t_pct = t_hits / k
             d_pct = d_hits / k
             out = np.where(t_pct > 0, out * (1.0 + t_pct * 2.0), out)

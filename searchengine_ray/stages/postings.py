@@ -29,17 +29,22 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from searchengine_ray.codec import block_max_tf, encode_postings
+from searchengine_ray.codec import block_max_tf_batch, encode_postings_batch
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.arrow_tokenize import weighted_term_counts
 from searchengine_ray.functions.hashing import hash64, hash64_array
 from searchengine_ray.stages.docstats import doc_keys
 
+# Shuffle row: part + term string + doc_id + wtf float32 — wtf values are
+# integral sums of the boost constants bounded far below 2^24, so f32 is
+# exact (cast back to f64 at the reducer). term stays a plain string:
+# dictionary encoding was measured SLOWER end-to-end (dictionary
+# unification during shuffle concat dominates the byte savings).
 POSTING_SCHEMA = pa.schema([
     ("part", pa.int32()),
     ("term", pa.string()),
     ("doc_id", pa.uint64()),
-    ("wtf", pa.float64()),
+    ("wtf", pa.float32()),
 ])
 
 SEGMENT_SCHEMA = pa.schema([
@@ -79,6 +84,14 @@ class ExplodePostings:
     def __init__(self, cfg: IndexConfig, hot_terms: dict[str, int] | None = None):
         self.cfg = cfg
         self.hot_terms = hot_terms or {}
+        # salt → partition routing tables, hashed ONCE per hot term here
+        # (not per posting row): hot term t with n salts routes row r to
+        # partition table[t][doc_id(r) % n]
+        self._hot_parts = {
+            t: np.array([hash64(salt_of(t, s)) % cfg.num_partitions
+                         for s in range(n)], dtype=np.int32)
+            for t, n in self.hot_terms.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -97,32 +110,49 @@ class ExplodePostings:
         post_doc_ids = ids[doc_index]
         terms = counts["term"]
         wtf = counts["wtf"].to_numpy(zero_copy_only=False)
-        term_hashes = hash64_array(terms)
-        parts = (term_hashes % np.uint64(cfg.num_partitions)).astype(np.int32)
-        term_list = None
-        if self.hot_terms:
-            # Salt hot terms: sub-partition by doc_id hash.
-            term_list = terms.to_pylist()
-            for i, t in enumerate(term_list):
-                n_salts = self.hot_terms.get(t)
-                if n_salts:
-                    s = int(post_doc_ids[i] % np.uint64(n_salts))
-                    parts[i] = np.int32(hash64(salt_of(t, s)) % cfg.num_partitions)
+        dic = (terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+               else terms).dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary.to_pylist()
+        # partition by hash of the DISTINCT term, gathered through codes
+        uniq_hash = np.fromiter((hash64(u) for u in uniq), dtype=np.uint64,
+                                count=len(uniq))
+        parts = (uniq_hash % np.uint64(cfg.num_partitions)).astype(
+            np.int32)[codes]
+        if self._hot_parts:
+            # Salt hot terms: sub-partition by doc_id. One LUT build over
+            # the batch's DISTINCT terms (Python touches only the few
+            # thousand uniques), then a single vectorized gather per row:
+            # part = LUT[code, doc_id % salts[code]].
+            nsalts = np.zeros(len(uniq), dtype=np.uint64)
+            max_salt = max((len(t) for t in self._hot_parts.values()), default=1)
+            lut = np.zeros((len(uniq), max_salt), dtype=np.int32)
+            for code, u in enumerate(uniq):
+                table = self._hot_parts.get(u)
+                if table is not None:
+                    nsalts[code] = len(table)
+                    lut[code, :len(table)] = table
+            row_salts = nsalts[codes]
+            hot_rows = np.nonzero(row_salts > 0)[0]
+            if hot_rows.size:
+                salt_idx = (post_doc_ids[hot_rows]
+                            % row_salts[hot_rows]).astype(np.int64)
+                parts[hot_rows] = lut[codes[hot_rows], salt_idx]
         # Per-doc length rows (doc_len = sum of weighted tfs, indexer.py:144-146)
         doc_len = np.zeros(len(batch), dtype=np.float64)
         np.add.at(doc_len, doc_index, wtf)
         len_parts = (cfg.num_partitions
                      + (ids % np.uint64(cfg.num_length_partitions)).astype(np.int64)
                      ).astype(np.int32)
+        term_col = terms.combine_chunks() if isinstance(
+            terms, pa.ChunkedArray) else terms
         return pa.Table.from_arrays(
             [
                 pa.array(np.concatenate([parts, len_parts])),
-                pa.concat_arrays([
-                    terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
-                    pa.nulls(len(batch), type=pa.string()),
-                ]),
+                pa.concat_arrays([term_col, pa.nulls(len(batch),
+                                                     type=pa.string())]),
                 pa.array(np.concatenate([post_doc_ids, ids])),
-                pa.array(np.concatenate([wtf, doc_len])),
+                pa.array(np.concatenate([wtf, doc_len]).astype(np.float32)),
             ],
             schema=POSTING_SCHEMA,
         )
@@ -153,9 +183,19 @@ class SegmentWriter:
 
     def _build_segment(self, group: pa.Table, part: int) -> pa.Table:
         cfg = self.cfg
-        order = pc.sort_indices(group, sort_keys=[("term", "ascending"),
-                                                  ("doc_id", "ascending")])
-        g = group.take(order)
+        term_col = group["term"].combine_chunks() if isinstance(
+            group["term"], pa.ChunkedArray) else group["term"]
+        if pa.types.is_dictionary(term_col.type):
+            term_col = term_col.cast(pa.string())
+        flat = pa.table({
+            "term": term_col,
+            "doc_id": group["doc_id"].combine_chunks() if isinstance(
+                group["doc_id"], pa.ChunkedArray) else group["doc_id"],
+            "wtf": pc.cast(group["wtf"], pa.float64()),
+        })
+        order = pc.sort_indices(flat, sort_keys=[("term", "ascending"),
+                                                 ("doc_id", "ascending")])
+        g = flat.take(order)
         terms = g["term"].combine_chunks() if isinstance(g["term"], pa.ChunkedArray) else g["term"]
         doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
         wtf = g["wtf"].to_numpy(zero_copy_only=False)
@@ -166,14 +206,11 @@ class SegmentWriter:
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(codes)]])
         uniq_terms = [dic.dictionary[int(codes[s])].as_py() for s in starts]
-        rows_term, rows_hash, rows_df, rows_post, rows_bm = [], [], [], [], []
-        for t, s, e in zip(uniq_terms, starts, ends):
-            ids, tfs = doc_ids[s:e], wtf[s:e]
-            rows_term.append(t)
-            rows_hash.append(hash64(t))
-            rows_df.append(e - s)
-            rows_post.append(encode_postings(ids, tfs))
-            rows_bm.append(block_max_tf(tfs, cfg.block_size))
+        rows_term = uniq_terms
+        rows_hash = [hash64(t) for t in uniq_terms]
+        rows_df = (ends - starts).tolist()
+        rows_post = encode_postings_batch(doc_ids, wtf, starts, ends)
+        rows_bm = block_max_tf_batch(wtf, starts, ends, cfg.block_size)
         seg = pa.Table.from_arrays(
             [
                 pa.array(rows_term, type=pa.string()),
@@ -193,8 +230,13 @@ class SegmentWriter:
         )
 
     def _build_lengths(self, group: pa.Table, part: int) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        g = group.take(order)
+        flat = pa.table({
+            "doc_id": group["doc_id"].combine_chunks() if isinstance(
+                group["doc_id"], pa.ChunkedArray) else group["doc_id"],
+            "wtf": pc.cast(group["wtf"], pa.float64()),
+        })
+        order = pc.sort_indices(flat, sort_keys=[("doc_id", "ascending")])
+        g = flat.take(order)
         lens = pa.Table.from_arrays(
             [g["doc_id"].combine_chunks() if isinstance(g["doc_id"], pa.ChunkedArray)
              else g["doc_id"],
