@@ -1,0 +1,330 @@
+"""Tests for the training-data pipeline family: dedup, similarity,
+multimodal, and the batch codec (SURVEY.md §5 strategy: every distributed
+operator has an in-process brute-force oracle)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.config import IndexConfig
+from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+
+CFG = IndexConfig()
+
+
+def docs_table() -> pa.Table:
+    """Small corpus with planted exact dupes and near-dupes."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(40):
+        toks = [vocab[j] for j in rng.integers(0, 50, size=30)]
+        texts.append(" ".join(toks))
+    texts[10] = texts[3]                       # exact dupe
+    texts[25] = texts[7]                       # exact dupe
+    base = texts[5].split()
+    base[2] = "w49"                            # near dupe of 5 (1 token off)
+    texts.append(" ".join(base))               # doc 40
+    texts.append(texts[5])                     # doc 41: exact dupe of 5
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds(docs=None):
+    import ray.data
+    return ray.data.from_arrow(docs_table())
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(docs_ds):
+    from searchengine_ray.pipelines.dedup import exact_dedup
+    rows = exact_dedup(docs_ds).take_all()
+    t = docs_table()
+    by_sha: dict[str, list[int]] = {}
+    for i, txt in enumerate(t["text"].to_pylist()):
+        by_sha.setdefault(hashlib.sha256(txt.encode()).hexdigest(), []).append(i)
+    got = {r["content_sha"]: (r["keeper_id"], r["n_copies"]) for r in rows}
+    assert got == {s: (min(ids), len(ids)) for s, ids in by_sha.items()}
+    # the planted dupes collapse
+    assert got[hashlib.sha256(t["text"][3].as_py().encode()).hexdigest()] == (3, 2)
+    assert got[hashlib.sha256(t["text"][5].as_py().encode()).hexdigest()] == (5, 2)
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard (exact, vs brute force)
+# ---------------------------------------------------------------------------
+
+def brute_shingles(text: str, n: int = 3) -> set[str]:
+    toks = tokenize(text)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_jaccard_matches_brute_force(docs_ds):
+    from searchengine_ray.pipelines.dedup import (JACCARD_SCALE,
+                                                  ngram_jaccard_pairs)
+    tau_u, max_df = 100_000, 200
+    rows = ngram_jaccard_pairs(docs_ds, n=3, tau_u=tau_u, max_df=max_df).take_all()
+    got = {(r["a_id"], r["b_id"]): (r["inter"], r["uni"], r["jaccard_u"])
+           for r in rows}
+
+    t = docs_table()
+    texts = t["text"].to_pylist()
+    sh = [brute_shingles(x) for x in texts]
+    # apply the same hot-shingle cap as the operator contract
+    df: dict[str, int] = {}
+    for s in sh:
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    sh = [{g for g in s if 2 <= df[g] <= max_df} for s in sh]
+    # union still uses FULL shingle sets? No: operator computes sizes over
+    # all distinct shingles per doc (sizes from the exploded set, pre-cap)
+    full_sizes = [len(brute_shingles(x)) for x in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            uni = full_sizes[a] + full_sizes[b] - inter
+            j = (inter * JACCARD_SCALE) // uni
+            if j >= tau_u:
+                want[(a, b)] = (inter, uni, j)
+    assert got == want
+    assert (5, 41) in got         # exact dupe pair → jaccard 1.0
+    assert got[(5, 41)][2] == JACCARD_SCALE
+    assert (5, 40) in got         # near-dupe pair
+
+
+# ---------------------------------------------------------------------------
+# simhash (vs per-doc reference impl) + banded near-dup
+# ---------------------------------------------------------------------------
+
+def ref_simhash(text: str) -> int:
+    toks = filter_tokens(tokenize(text), CFG)
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    acc = [0] * 64
+    for t, c in tf.items():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for j in range(64):
+            acc[j] += c if (h >> j) & 1 else -c
+    sig = 0
+    for j in range(64):
+        if acc[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+def test_simhash_matches_reference(docs_ds):
+    from searchengine_ray.pipelines.dedup import simhash
+    rows = simhash(docs_ds, CFG).take_all()
+    texts = docs_table()["text"].to_pylist()
+    for r in rows:
+        want = ref_simhash(texts[r["doc_id"]])
+        got = (r["sh0"] | (r["sh1"] << 16) | (r["sh2"] << 32)
+               | (r["sh3"] << 48))
+        assert got == want, r["doc_id"]
+
+
+def test_simhash_neardup_complete_up_to_hamming_3(docs_ds):
+    from searchengine_ray.pipelines.dedup import simhash_neardup_pairs
+    rows = simhash_neardup_pairs(docs_ds, max_hamming=3, cfg=CFG).take_all()
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in rows}
+    texts = docs_table()["text"].to_pylist()
+    sigs = [ref_simhash(x) for x in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    # 4×16-bit banding is COMPLETE for hamming ≤ 3 (pigeonhole)
+    assert got == want
+    assert got[(5, 41)] == 0      # exact dupes → identical signature
+
+
+# ---------------------------------------------------------------------------
+# minhash LSH
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_finds_planted_dupes(docs_ds):
+    from searchengine_ray.pipelines.dedup import minhash_lsh_pairs
+    rows = minhash_lsh_pairs(docs_ds, n=3, num_perm=64, bands=16,
+                             tau=0.5).take_all()
+    got = {(r["a_id"], r["b_id"]): r["est_matches"] for r in rows}
+    # exact dupes have identical signatures → 64/64 matches
+    assert got.get((5, 41)) == 64
+    assert got.get((3, 10)) == 64
+    assert got.get((7, 25)) == 64
+    # near-dupe (jaccard ~0.8) found with high estimate
+    assert got.get((5, 40), 0) >= 32
+    # no false positives below the tau estimate by construction
+    assert all(v >= 32 for v in got.values())
+
+
+def test_minhash_estimate_tracks_true_jaccard(docs_ds):
+    from searchengine_ray.pipelines.dedup import minhash_lsh_pairs
+    rows = minhash_lsh_pairs(docs_ds, n=3, num_perm=64, bands=16,
+                             tau=0.3).take_all()
+    texts = docs_table()["text"].to_pylist()
+    sh = [brute_shingles(x) for x in texts]
+    for r in rows:
+        a, b = r["a_id"], r["b_id"]
+        true_j = len(sh[a] & sh[b]) / max(1, len(sh[a] | sh[b]))
+        est = r["est_matches"] / 64
+        assert abs(est - true_j) < 0.3, (a, b, est, true_j)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def emb_table(n: int = 120, dim: int = 16) -> pa.Table:
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, dim)) * 3
+    vecs = centers[np.arange(n) % 4] + rng.standard_normal((n, dim)) * 0.3
+    return pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(vecs.astype(np.float32).tolist(),
+                              type=pa.list_(pa.float32())),
+    })
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    import ray.data
+    return ray.data.from_arrow(emb_table())
+
+
+def brute_cosine(t: pa.Table) -> np.ndarray:
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    return m @ m.T
+
+
+def test_brute_topk_matches_numpy(emb_ds):
+    from searchengine_ray.pipelines.similarity import brute_topk
+    k, qids = 5, [0, 1, 2]
+    out = brute_topk(emb_ds, qids, k=k)
+    sims = brute_cosine(emb_table())
+    got: dict[int, list[int]] = {}
+    for q, v, c in zip(out["query_id"].to_pylist(), out["vec_id"].to_pylist(),
+                       out["cos_r"].to_pylist()):
+        got.setdefault(q, []).append(v)
+        assert abs(c - round(float(sims[q, v]), 6)) < 1e-9
+    for q in qids:
+        row = sims[q]
+        want = np.lexsort((np.arange(len(row)), -row))[:k].tolist()
+        assert got[q] == want
+
+
+def test_lsh_topk_recall(emb_ds):
+    from searchengine_ray.pipelines.similarity import brute_topk, lsh_topk
+    k, qids = 5, [0, 1, 2, 3]
+    exact = brute_topk(emb_ds, qids, k=k)
+    approx = lsh_topk(emb_ds, qids, k=k, num_planes=6, num_tables=8)
+    ex: dict[int, set[int]] = {}
+    ap: dict[int, set[int]] = {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    for q, v in zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()):
+        ap.setdefault(q, set()).add(v)
+    recalls = [len(ex[q] & ap.get(q, set())) / k for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # approx scores are still TRUE cosines for the returned ids
+    sims = brute_cosine(emb_table())
+    for q, v, c in zip(approx["query_id"].to_pylist(),
+                       approx["vec_id"].to_pylist(),
+                       approx["cos_r"].to_pylist()):
+        assert abs(c - round(float(sims[q, v]), 6)) < 1e-9
+
+
+def test_embedding_neardup(emb_ds):
+    from searchengine_ray.pipelines.similarity import embedding_neardup
+    tau = 0.9
+    rows = embedding_neardup(emb_ds, tau=tau).take_all()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    sims = np.round(brute_cosine(emb_table()), 6)
+    want = {(a, b) for a in range(sims.shape[0])
+            for b in range(a + 1, sims.shape[0]) if sims[a, b] >= tau}
+    assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(docs_ds):
+    from searchengine_ray.pipelines.multimodal import (FEATURE_DIM,
+                                                       feature_summary)
+    rows = feature_summary(docs_ds).take_all()
+    texts = docs_table()["text"].to_pylist()
+    assert len(rows) == len(texts)
+    for r in rows:
+        blob = texts[r["doc_id"]].encode()
+        d = hashlib.sha256(blob).digest()
+        assert r["blob_len"] == len(blob)
+        assert r["blob_sha256"] == d.hex()
+        assert r["feat_checksum"] == sum(d[:FEATURE_DIM])
+
+
+def test_decode_stubs_raise():
+    from searchengine_ray.pipelines.multimodal import decode_audio, decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+# ---------------------------------------------------------------------------
+# batch codec ≡ per-term codec
+# ---------------------------------------------------------------------------
+
+def test_batch_codec_equivalent_to_per_term():
+    from searchengine_ray.codec import (block_max_tf, block_max_tf_batch,
+                                        encode_postings,
+                                        encode_postings_batch)
+    rng = np.random.default_rng(3)
+    runs = []
+    for _ in range(30):
+        n = int(rng.integers(1, 400))
+        ids = np.sort(rng.choice(np.arange(10_000_000, dtype=np.uint64),
+                                 size=n, replace=False))
+        tfs = rng.integers(1, 50, size=n).astype(np.float64)
+        runs.append((ids, tfs))
+    all_ids = np.concatenate([r[0] for r in runs])
+    all_tfs = np.concatenate([r[1] for r in runs])
+    lens = np.array([len(r[0]) for r in runs])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    batch_post = encode_postings_batch(all_ids, all_tfs, starts, ends)
+    batch_bm = block_max_tf_batch(all_tfs, starts, ends, 128)
+    for i, (ids, tfs) in enumerate(runs):
+        assert batch_post[i] == encode_postings(ids, tfs)
+        assert batch_bm[i] == block_max_tf(tfs, 128)
+
+
+# ---------------------------------------------------------------------------
+# boost pruning ≡ full boosting (query engine)
+# ---------------------------------------------------------------------------
+
+def test_boost_pruning_equivalent(built):
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+    for q in ["queue71", "py org2", "parse token stream", "rust engine",
+              "src/module_96/file_25.py", "hashMap codec"]:
+        pruned = eng.search(q, top_k=20)
+        full = eng.search(q, top_k=2000)[:20]
+        assert [(r["doc_id"], r["score"]) for r in pruned] == \
+               [(r["doc_id"], r["score"]) for r in full], q
