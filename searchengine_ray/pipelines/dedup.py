@@ -132,25 +132,24 @@ def _run_boundaries(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate([[0], b]), np.concatenate([b, [len(codes)]])
 
 
-def _emit_run_pairs(ids_sorted_by_key: np.ndarray, starts: np.ndarray,
-                    ends: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """For each key-run, all (a<b) pairs (runs longer than ``cap`` dropped).
-    Returns (a, b, run_index_of_pair). Vectorized per run."""
-    outs_a, outs_b, outs_r = [], [], []
-    for ri, (s, e) in enumerate(zip(starts, ends)):
+def _emit_run_pairs(ids: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """For each key-run in ``ids``, all pair POSITIONS (pa, pb) such that
+    ids[pa] < ids[pb] (runs longer than ``cap`` dropped) — positions let
+    callers gather id/size/signature columns without per-row dict lookups."""
+    outs_a, outs_b = [], []
+    for s, e in zip(starts, ends):
         k = e - s
         if k < 2 or k > cap:
             continue
-        ids = np.sort(ids_sorted_by_key[s:e])
+        pos = s + np.argsort(ids[s:e], kind="stable")
         iu = np.triu_indices(k, 1)
-        outs_a.append(ids[iu[0]])
-        outs_b.append(ids[iu[1]])
-        outs_r.append(np.full(len(iu[0]), ri, dtype=np.int64))
+        outs_a.append(pos[iu[0]])
+        outs_b.append(pos[iu[1]])
     if not outs_a:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z
-    return (np.concatenate(outs_a), np.concatenate(outs_b),
-            np.concatenate(outs_r))
+        return z, z
+    return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
@@ -162,48 +161,63 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
     Columns: a_id, b_id, inter, uni, jaccard_u (all int64;
     jaccard_u = inter*1e6 // uni — integer arithmetic, exact vs SQL).
 
-    Plan: shingle explode → (shuffle 1) shingle-hash-partitioned groups
-    (NUM_PAIR_PARTITIONS coarse partitions, not one Ray group per shingle —
-    per-shingle runs are found by an in-partition sort) emit candidate
-    pairs; per-shingle groups larger than ``max_df`` are dropped — a hot
-    shingle carries no dedup signal and would emit O(df²) pairs → (shuffle
-    2) pair-count = |intersection| → sizes lookup (broadcast) → exact
+    Plan: shingle explode (each row carries its doc's total distinct-shingle
+    count — a doc never spans batches, so the count is known locally; no
+    separate sizes pass or broadcast) → (shuffle 1) shingle-hash-partitioned
+    groups (NUM_PAIR_PARTITIONS coarse partitions, not one Ray group per
+    shingle — per-shingle runs are found by an in-partition sort) emit
+    candidate pairs; per-shingle groups larger than ``max_df`` are dropped —
+    a hot shingle carries no dedup signal and would emit O(df²) pairs →
+    (shuffle 2) pair-count = |intersection|, sz_sum rides along → exact
     Jaccard filter.
     """
-    sh = shingles(ds, n, text_col, id_col).materialize()
-
-    sizes_tbl = sh.groupby("doc_id").count().take_all()
-    sizes = {int(r["doc_id"]): int(r["count()"]) for r in sizes_tbl}
-    sizes_ref = ray.put(sizes)
-
-    def add_part(batch: pa.Table) -> pa.Table:
+    def explode(batch: pa.Table) -> pa.Table:
         from searchengine_ray.functions.hashing import hash64_array
-        h = hash64_array(batch["shingle"])
-        return batch.append_column(
-            "part", pa.array((h % np.uint64(NUM_PAIR_PARTITIONS)).astype(np.int32)))
+        sh = _shingle_batch(batch, n, text_col, id_col)
+        ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+        # per-doc distinct-shingle count, dense over this batch's rows
+        uniq, inv, counts = np.unique(ids, return_inverse=True,
+                                      return_counts=True)
+        h = hash64_array(sh["shingle"])
+        return pa.table({
+            "part": pa.array((h % np.uint64(NUM_PAIR_PARTITIONS))
+                             .astype(np.int32)),
+            "shingle": sh["shingle"],
+            "doc_id": sh["doc_id"],
+            "sz": pa.array(counts[inv]),
+        })
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         t = group.sort_by("shingle")
         codes = (t["shingle"].combine_chunks().dictionary_encode()
                  .indices.to_numpy(zero_copy_only=False))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sz = t["sz"].to_numpy(zero_copy_only=False)
         starts, ends = _run_boundaries(codes)
-        a, b, _ = _emit_run_pairs(ids, starts, ends, max_df)
-        return pa.table({"a_id": pa.array(a), "b_id": pa.array(b)})
+        pa_pos, pb_pos = _emit_run_pairs(ids, starts, ends, max_df)
+        a, b = ids[pa_pos], ids[pb_pos]
+        # Ray's multi-key aggregate is Python-level (measured 14s on 1.3M
+        # pair rows); route pairs through a coarse hash partition and
+        # reduce with Arrow's C++ group_by in the next stage instead.
+        with np.errstate(over="ignore"):
+            mix = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        return pa.table({"ppart": pa.array((mix % np.uint64(NUM_PAIR_PARTITIONS))
+                                           .astype(np.int32)),
+                         "a_id": pa.array(a),
+                         "b_id": pa.array(b),
+                         "sz_sum": pa.array((sz[pa_pos] + sz[pb_pos])
+                                            .astype(np.int64))})
 
-    pair_counts = (sh.map_batches(add_part, batch_format="pyarrow")
-                     .groupby("part")
-                     .map_groups(emit_pairs, batch_format="pyarrow")
-                     .groupby(["a_id", "b_id"]).count())
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch["a_id"].to_numpy(zero_copy_only=False)
-        b = batch["b_id"].to_numpy(zero_copy_only=False)
-        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sza = np.fromiter((sz[int(x)] for x in a), dtype=np.int64, count=len(a))
-        szb = np.fromiter((sz[int(x)] for x in b), dtype=np.int64, count=len(b))
-        uni = sza + szb - inter
+    def reduce_pairs(group: pa.Table) -> pa.Table:
+        g = (group.select(["a_id", "b_id", "sz_sum"])
+             .group_by(["a_id", "b_id"], use_threads=False)
+             .aggregate([("sz_sum", "count"), ("sz_sum", "min")]))
+        a = g["a_id"].to_numpy(zero_copy_only=False)
+        b = g["b_id"].to_numpy(zero_copy_only=False)
+        inter = g["sz_sum_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz_sum = g["sz_sum_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = sz_sum - inter
         jac = np.where(uni > 0, (inter * JACCARD_SCALE) // np.maximum(uni, 1), 0)
         keep = jac >= tau_u
         return pa.table({
@@ -214,7 +228,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", n: int = 3,
             "jaccard_u": pa.array(jac[keep]),
         })
 
-    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("part")
+              .map_groups(emit_pairs, batch_format="pyarrow")
+              .groupby("ppart")
+              .map_groups(reduce_pairs, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -314,21 +332,15 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset",
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = t["sig"].to_numpy(zero_copy_only=False)
         starts, ends = _run_boundaries(codes)
-        pos = {int(d): i for i, d in enumerate(ids)}
-        a, b, _ = _emit_run_pairs(ids, starts, ends, max_bucket)
-        if len(a) == 0:
+        pa_pos, pb_pos = _emit_run_pairs(ids, starts, ends, max_bucket)
+        if len(pa_pos) == 0:
             return pa.table({"a_id": pa.array([], type=pa.int64()),
                              "b_id": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})
-        sa = sig[np.fromiter((pos[int(x)] for x in a), dtype=np.int64,
-                             count=len(a))]
-        sb = sig[np.fromiter((pos[int(x)] for x in b), dtype=np.int64,
-                             count=len(b))]
-        x = sa ^ sb
-        ham = _popcount64(x)
+        ham = _popcount64(sig[pa_pos] ^ sig[pb_pos])
         keep = ham <= max_hamming
-        return pa.table({"a_id": pa.array(a[keep]),
-                         "b_id": pa.array(b[keep]),
+        return pa.table({"a_id": pa.array(ids[pa_pos[keep]].astype(np.int64)),
+                         "b_id": pa.array(ids[pb_pos[keep]].astype(np.int64)),
                          "hamming": pa.array(ham[keep])})
 
     pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
@@ -448,24 +460,21 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
         codes = t["bucket"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         starts, ends = _run_boundaries(codes)
-        a, b, _ = _emit_run_pairs(ids, starts, ends, max_bucket)
+        pa_pos, pb_pos = _emit_run_pairs(ids, starts, ends, max_bucket)
         empty = pa.table({"a_id": pa.array([], type=pa.int64()),
                           "b_id": pa.array([], type=pa.int64()),
                           "est_matches": pa.array([], type=pa.int64())})
-        if len(a) == 0:
+        if len(pa_pos) == 0:
             return empty
-        # dedup candidate pairs within the partition before the sig compare
-        ab = np.stack([a, b], axis=1)
-        ab = np.unique(ab, axis=0)
-        a, b = ab[:, 0], ab[:, 1]
+        # dedup candidate position-pairs within the partition before the
+        # (wide) signature compare
+        ab = np.unique(np.stack([pa_pos, pb_pos], axis=1), axis=0)
+        pa_pos, pb_pos = ab[:, 0], ab[:, 1]
         sig = np.array(t["sig"].to_pylist(), dtype=np.int64)
-        pos = {int(d): i for i, d in enumerate(ids)}
-        ia = np.fromiter((pos[int(x)] for x in a), dtype=np.int64, count=len(a))
-        ib = np.fromiter((pos[int(x)] for x in b), dtype=np.int64, count=len(b))
-        matches = (sig[ia] == sig[ib]).sum(axis=1).astype(np.int64)
+        matches = (sig[pa_pos] == sig[pb_pos]).sum(axis=1).astype(np.int64)
         keep = matches >= min_matches
-        return pa.table({"a_id": pa.array(a[keep]),
-                         "b_id": pa.array(b[keep]),
+        return pa.table({"a_id": pa.array(ids[pa_pos[keep]].astype(np.int64)),
+                         "b_id": pa.array(ids[pb_pos[keep]].astype(np.int64)),
                          "est_matches": pa.array(matches[keep])})
 
     pairs = (sigs.map_batches(explode, batch_format="pyarrow")
