@@ -1,0 +1,120 @@
+"""CLI entry points (SURVEY.md §2.12 — the reference exposes argparse CLIs
+per stage: build_index.py:18-30, run_crawler.py:31-47; here one typed CLI).
+
+  python -m searchengine_ray.cli gen-corpus --out DIR --docs N
+  python -m searchengine_ray.cli build --source DIR --index DIR
+                                      [--partitions P] [--no-salt] [--no-resume]
+  python -m searchengine_ray.cli query --index DIR --q "text" [--top-k K]
+                                      [--page N --per-page M] [--exclude-repo R ...]
+  python -m searchengine_ray.cli stats --index DIR
+
+This module OWNS a Ray session (guarded — the driver/tests never route
+through it). On a real cluster the same commands run under
+``ray job submit -- python -m searchengine_ray.cli build ...`` with
+RAY_ADDRESS pointing at the cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_gen_corpus(args) -> int:
+    _ensure_ray()
+    from searchengine_ray.sources.corpus import write_corpus
+    write_corpus(args.out, args.docs, seed=args.seed,
+                 rows_per_file=args.rows_per_file)
+    print(json.dumps({"out": args.out, "docs": args.docs}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.sources.corpus import read_source
+    cfg = IndexConfig(num_partitions=args.partitions,
+                      num_length_partitions=max(2, args.partitions // 8))
+    manifest = build_index(read_source(args.source), args.index, cfg,
+                           resume=not args.no_resume,
+                           salt_hot_terms=not args.no_salt)
+    print(json.dumps({k: manifest[k] for k in
+                      ("num_docs", "num_terms", "avg_doc_len", "complete")}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from searchengine_ray.config import IndexConfig, QueryConfig
+    from searchengine_ray.query import QueryEngine
+    cfg = IndexConfig(num_partitions=args.partitions,
+                      num_length_partitions=max(2, args.partitions // 8))
+    eng = QueryEngine(args.index, cfg, QueryConfig())
+    if args.page is not None:
+        out = eng.search_page(args.q, page=args.page, per_page=args.per_page,
+                              exclude_repos=args.exclude_repo or None)
+    else:
+        out = eng.search(args.q, top_k=args.top_k)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query import QueryEngine
+    cfg = IndexConfig(num_partitions=args.partitions,
+                      num_length_partitions=max(2, args.partitions // 8))
+    print(json.dumps(QueryEngine(args.index, cfg).stats()))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searchengine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--rows-per-file", type=int, default=4000)
+    g.set_defaults(fn=cmd_gen_corpus)
+
+    b = sub.add_parser("build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--no-salt", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--top-k", type=int, default=20)
+    q.add_argument("--partitions", type=int, default=32)
+    q.add_argument("--page", type=int, default=None)
+    q.add_argument("--per-page", type=int, default=15)
+    q.add_argument("--exclude-repo", action="append")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.add_argument("--partitions", type=int, default=32)
+    s.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

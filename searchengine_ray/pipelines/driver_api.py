@@ -34,7 +34,8 @@ from searchengine_ray.functions.tokenizer import (
     sql_filtered_tokens_expr,
     sql_tokens_expr,
 )
-from searchengine_ray.pipelines import analysis, dedup, multimodal, similarity
+from searchengine_ray.pipelines import (analysis, dedup, events, multimodal,
+                                        similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -64,6 +65,10 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
 
 def _embs(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +441,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
+        "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
+        "events_sessionize": lambda sf: events.sessionize(_events(sf)),
+        "events_props_extract": lambda sf: events.props_extract(_events(sf)),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
     }
@@ -458,6 +466,9 @@ def build_oracles() -> dict[str, str]:
         "embedding_neardup": sql_embedding_neardup(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
+        "events_windowed_agg": events.sql_windowed_agg(),
+        "events_sessionize": events.sql_sessionize(),
+        "events_props_extract": events.sql_props_extract(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),
     }

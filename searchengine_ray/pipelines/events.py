@@ -1,0 +1,168 @@
+"""Event-stream operators over the ``events`` table — the windowed /
+sessionized custom-operator family.
+
+The reference has NO streaming features (SURVEY.md §2.11) — its only
+incremental loop is the crawler BFS frontier. These operators are the
+engine's extension for event-log inputs, built as Ray-Data compositions
+(map_batches + groupby().map_groups) with the partitioning assumption
+documented per operator:
+
+  windowed_agg   tumbling time window × event_type aggregate — partial
+                 aggregation inside each batch (map_batches), tiny final
+                 groupby over (window, type) partials
+  sessionize     gap-based session windows per user — ONE shuffle keyed by
+                 user_id (assumes a user's events fit in a worker; the
+                 10^12-row path salts by (user_id, day) and merges
+                 cross-day sessions in a second pass)
+  props_extract  JSON-ish scalar extraction via RE2 (pc.extract_regex)
+
+Monetary-style doubles are exchanged as scaled integers
+(round(value·100) — exact, order-insensitive sums) so results hash-match
+the DuckDB oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def windowed_agg(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Tumbling 1-hour windows per event_type.
+
+    Columns: window_start_us (int64 epoch µs), event_type, n_events,
+    sum_value_c (Σ round(value·100), int64). Partial aggregation inside
+    each batch → the shuffle moves at most |windows × types| rows per
+    batch, never raw events.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // WINDOW_US) * WINDOW_US
+        val_c = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        t = pa.table({
+            "window_start_us": pa.array(win),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "v": pa.array(val_c),
+        })
+        return (t.group_by(["window_start_us", "event_type"],
+                           use_threads=False)
+                 .aggregate([("n", "sum"), ("v", "sum")])
+                 .rename_columns(["window_start_us", "event_type",
+                                  "n", "v"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["window_start_us", "event_type"])
+             .aggregate(ray.data.aggregate.Sum("n"), ray.data.aggregate.Sum("v")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_us": pc.cast(batch["window_start_us"], pa.int64()),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n_events": pc.cast(batch["sum(n)"], pa.int64()),
+            "sum_value_c": pc.cast(batch["sum(v)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_windowed_agg() -> str:
+    return f"""
+SELECT (epoch_us(ts) // {WINDOW_US}) * {WINDOW_US} AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize(ds: "ray.data.Dataset",
+               gap_us: int = 1_800_000_000) -> "ray.data.Dataset":
+    """Gap-based sessions per user (new session when the gap to the
+    previous event exceeds ``gap_us``; default 30 min).
+
+    Columns: user_id, session_start_us, n_events, duration_us (all int64).
+    One shuffle keyed by user_id; per-user session assignment is a sorted
+    diff + cumsum (vectorized).
+    """
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = int(group["user_id"][0].as_py())
+        ts = np.sort(pc.cast(group["ts"], pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        if ts.size == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "session_start_us": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "duration_us": pa.array([], type=pa.int64())})
+        new_sess = np.concatenate([[True], np.diff(ts) > gap_us])
+        sess_id = np.cumsum(new_sess) - 1
+        nsess = int(sess_id[-1]) + 1
+        starts = ts[new_sess]
+        ends = np.zeros(nsess, dtype=np.int64)
+        np.maximum.at(ends, sess_id, ts)
+        counts = np.zeros(nsess, dtype=np.int64)
+        np.add.at(counts, sess_id, 1)
+        return pa.table({
+            "user_id": pa.array(np.full(nsess, uid, dtype=np.int64)),
+            "session_start_us": pa.array(starts),
+            "n_events": pa.array(counts),
+            "duration_us": pa.array(ends - starts),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def sql_sessionize(gap_us: int = 1_800_000_000) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   > {gap_us} OR lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, t,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e)
+SELECT user_id::BIGINT AS user_id,
+       min(t)::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS duration_us
+FROM s GROUP BY user_id, sess
+"""
+
+
+def props_extract(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Extract the integer ``k`` from the JSON-ish props column with an RE2
+    kernel (reference has no JSON functions, SURVEY.md §2.10 — this is the
+    engine extension; a real pipeline would swap in a JSON parser in the
+    same map_batches slot). Columns: event_id, props_k (int64, -1 when
+    absent)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.cast(batch["props"], pa.string()),
+                             r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k")
+        out = pc.if_else(pc.is_valid(k),
+                         pc.cast(k, pa.int64()),
+                         pa.scalar(-1, type=pa.int64()))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "props_k": out,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_props_extract() -> str:
+    return ("SELECT event_id, CASE WHEN regexp_extract(props, '\"k\": (\\d+)', 1) = '' "
+            "THEN -1 ELSE regexp_extract(props, '\"k\": (\\d+)', 1)::BIGINT END "
+            "AS props_k FROM events")

@@ -300,6 +300,29 @@ class QueryEngine:
                 out = np.where(all_in_snip, out * 1.25, out)
         return out
 
+    def search_page(self, query: str, page: int = 1, per_page: int = 15,
+                    exclude_repos: list[str] | None = None) -> dict:
+        """Web-serving wrapper: over-fetch ×3, post-filter, paginate —
+        reference /search handler semantics (app.py:128-185: fetch
+        ``results_per_page*3`` at app.py:140, excluded-domain filter at
+        app.py:143-154 with repo-exclusion as our F4 analogue, slice
+        ``[start:start+per_page]`` at app.py:171-185; ``results_per_page``
+        default 15 per utils/config.py:104)."""
+        import math
+        fetched = self.search(query, top_k=per_page * 3 * max(1, page))
+        if exclude_repos:
+            fetched = [r for r in fetched
+                       if not any(x in r["url"] for x in exclude_repos)]
+        total = len(fetched)
+        start = (page - 1) * per_page
+        return {
+            "query": query,
+            "page": page,
+            "total_pages": max(1, math.ceil(total / per_page)),
+            "total_results": total,
+            "results": fetched[start:start + per_page],
+        }
+
     def stats(self) -> dict:
         return {"num_docs": self.N, "num_terms": self.manifest["num_terms"],
                 "avg_doc_len": self.avgdl}

@@ -1,0 +1,138 @@
+"""Serving layer (actor, pagination, CLI) + events pipelines."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# serving actor (ST4) + pagination / filters (K5/K6/F4)
+# ---------------------------------------------------------------------------
+
+def test_query_actor_matches_inprocess(built):
+    import ray
+    from searchengine_ray.query import QueryEngine, make_query_actor
+    eng = QueryEngine(built.index_dir, built.cfg)
+    actor = make_query_actor(built.index_dir, built.cfg)
+    try:
+        for q in ["queue71", "py org2"]:
+            a = ray.get(actor.search.remote(q, 10))
+            b = eng.search(q, top_k=10)
+            assert a == b
+        assert ray.get(actor.stats.remote()) == eng.stats()
+    finally:
+        ray.kill(actor)
+
+
+def test_search_page_slices_and_filters(built):
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+    full = eng.search("py org2", top_k=90)
+    p1 = eng.search_page("py org2", page=1, per_page=15)
+    p2 = eng.search_page("py org2", page=2, per_page=15)
+    assert p1["results"] == full[:15]
+    assert p2["results"] == full[15:30]
+    assert p1["total_results"] == len(eng.search("py org2", top_k=45))
+    # F4 analogue: repo exclusion drops every matching url
+    excl = eng.search_page("py org2", per_page=15, exclude_repos=["org2/"])
+    assert all("org2/" not in r["url"] for r in excl["results"])
+
+
+def test_cli_query_and_stats(built, capsys):
+    from searchengine_ray import cli
+    rc = cli.main(["stats", "--index", built.index_dir, "--partitions", "8"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["num_docs"] == 400
+    rc = cli.main(["query", "--index", built.index_dir, "--partitions", "8",
+                   "--q", "queue71", "--top-k", "3"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out and out[0]["score"] == 1.0
+    rc = cli.main(["query", "--index", built.index_dir, "--partitions", "8",
+                   "--q", "py org2", "--page", "1", "--per-page", "5"])
+    assert rc == 0
+    page = json.loads(capsys.readouterr().out)
+    assert len(page["results"]) == 5 and page["page"] == 1
+
+
+def test_cli_build_roundtrip(tmp_path, capsys):
+    from searchengine_ray import cli
+    from searchengine_ray.sources.corpus import write_corpus
+    src = str(tmp_path / "corpus")
+    idx = str(tmp_path / "index")
+    write_corpus(src, 120, rows_per_file=60)
+    rc = cli.main(["build", "--source", src, "--index", idx,
+                   "--partitions", "8"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["num_docs"] == 120 and m["complete"]
+
+
+# ---------------------------------------------------------------------------
+# events pipelines vs pandas oracles (driver testdata, read-only)
+# ---------------------------------------------------------------------------
+
+def events_df() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    import ray.data
+    return ray.data.read_parquet(f"{SF}/events.parquet")
+
+
+def test_windowed_agg(events_ds):
+    from searchengine_ray.pipelines.events import WINDOW_US, windowed_agg
+    rows = windowed_agg(events_ds).take_all()
+    got = {(r["window_start_us"], r["event_type"]):
+           (r["n_events"], r["sum_value_c"]) for r in rows}
+    df = events_df()
+    us = df["ts"].astype("int64") // 1000 if df["ts"].dtype.kind == "M" else None
+    # ts is timestamp[us] → int64 view is µs already via .view
+    us = df["ts"].values.astype("datetime64[us]").astype("int64")
+    win = (us // WINDOW_US) * WINDOW_US
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    want: dict = {}
+    for w, t, v in zip(win, df["event_type"], vc):
+        k = (int(w), t)
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + int(v))
+    assert got == want
+
+
+def test_sessionize(events_ds):
+    from searchengine_ray.pipelines.events import sessionize
+    gap = 1_800_000_000
+    rows = sessionize(events_ds).take_all()
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], r["duration_us"]) for r in rows}
+    df = events_df()
+    us = df["ts"].values.astype("datetime64[us]").astype("int64")
+    want: dict = {}
+    for uid, g in pd.DataFrame({"u": df["user_id"], "t": us}).groupby("u"):
+        ts = np.sort(g["t"].to_numpy())
+        new = np.concatenate([[True], np.diff(ts) > gap])
+        sid = np.cumsum(new) - 1
+        for s in range(sid[-1] + 1):
+            seg = ts[sid == s]
+            want[(int(uid), int(seg[0]))] = (len(seg), int(seg[-1] - seg[0]))
+    assert got == want
+
+
+def test_props_extract(events_ds):
+    import re
+    from searchengine_ray.pipelines.events import props_extract
+    rows = props_extract(events_ds).take_all()
+    got = {r["event_id"]: r["props_k"] for r in rows}
+    df = events_df()
+    for eid, props in zip(df["event_id"], df["props"]):
+        m = re.search(r'"k": (\d+)', props)
+        assert got[int(eid)] == (int(m.group(1)) if m else -1)
