@@ -87,17 +87,23 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                 cfg: IndexConfig = IndexConfig(), *,
                 resume: bool = True,
                 salt_hot_terms: bool = True,
-                only_parts: set[int] | None = None) -> dict[str, Any]:
+                only_parts: set[int] | None = None,
+                hot_terms_override: dict[str, int] | None = None) -> dict[str, Any]:
     """Build (or resume) the index at ``index_dir``; returns the manifest.
 
     ``only_parts`` is a test hook simulating a mid-build crash: only those
     shuffle partitions are written this run (FIXTURES.md §5 resume fixture).
+    ``hot_terms_override`` pins the salt routing — required when building a
+    DELTA index that will be merged into a base (merge.py needs identical
+    hot-term routing across sources).
     """
     os.makedirs(index_dir, exist_ok=True)
     prior = load_manifest(index_dir) if resume else None
     done = done_parts(prior, index_dir)
 
-    if prior and prior.get("hot_terms") is not None:
+    if hot_terms_override is not None:
+        hot_terms = {t: int(n) for t, n in hot_terms_override.items()}
+    elif prior and prior.get("hot_terms") is not None:
         hot_terms = {t: int(n) for t, n in prior["hot_terms"].items()}
     elif salt_hot_terms:
         hot_terms = estimate_hot_terms(source, cfg)

@@ -138,6 +138,29 @@ class QueryEngine:
             self._postings_cache[term] = res
         return res
 
+    def _df_in_part(self, part: int, term: str) -> int | None:
+        self._load_part(part)
+        row = self._segments[part].get(term)
+        if row is None:
+            return None
+        return int(self._segment_tables[part]["df"][row].as_py())
+
+    def term_df(self, term: str) -> int | None:
+        """Document frequency from the segment df column — no posting
+        decode. Salted hot terms sum their sub-list dfs."""
+        n_salts = self.hot_terms.get(term)
+        if not n_salts:
+            return self._df_in_part(int(hash64(term) % self.num_partitions),
+                                    term)
+        probe = sorted({int(hash64(salt_of(term, s)) % self.num_partitions)
+                        for s in range(n_salts)})
+        found = [d for d in (self._df_in_part(p, term) for p in probe)
+                 if d is not None]
+        if not found:
+            return self._df_in_part(int(hash64(term) % self.num_partitions),
+                                    term)
+        return sum(found)
+
     def _postings_uncached(self, term: str):
         n_salts = self.hot_terms.get(term)
         if not n_salts:
@@ -164,6 +187,15 @@ class QueryEngine:
         acc_scores: np.ndarray | None = None
         original_set = set(original_tokens)
         for qt in filtered:
+            df = self.term_df(qt)
+            if df is None:
+                continue
+            if self.N - df + 0.5 <= df + 0.5:
+                # clamped idf = 0 (term in > half the corpus): contributes 0
+                # to every score — skip the decode entirely. Docs matching
+                # ONLY zero-idf terms score 0 and are dropped by the
+                # min-score filter either way (asserted vs naive in tests).
+                continue
             post = self.postings(qt)
             if post is None:
                 continue

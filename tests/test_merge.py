@@ -1,0 +1,73 @@
+"""Incremental merge: two delta indexes over disjoint corpus halves merge
+into an index whose query results are bit-identical to building the full
+corpus at once (the sorted-run merge preserves posting order and scores)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from searchengine_ray.config import IndexConfig
+
+CFG = IndexConfig(num_partitions=8, num_length_partitions=2)
+QUERIES = ["queue71", "py org2", "parse token stream", "rust engine",
+           "src/module_96/file_25.py", "hashMap codec", "def"]
+
+
+@pytest.fixture(scope="module")
+def merged_setup(tmp_path_factory):
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.merge import merge_indexes
+    from searchengine_ray.sources.corpus import generate_corpus_table
+
+    root = tmp_path_factory.mktemp("merge")
+    full_t = generate_corpus_table(300, seed=42, start=0)
+    half_a = full_t.slice(0, 150)
+    half_b = full_t.slice(150, 150)
+
+    full_dir = str(root / "full")
+    a_dir = str(root / "a")
+    b_dir = str(root / "b")
+    out_dir = str(root / "merged")
+
+    m_full = build_index(ray.data.from_arrow(full_t), full_dir, CFG)
+    hot = m_full["hot_terms"]
+    build_index(ray.data.from_arrow(half_a), a_dir, CFG,
+                hot_terms_override=hot)
+    build_index(ray.data.from_arrow(half_b), b_dir, CFG,
+                hot_terms_override=hot)
+    m_merged = merge_indexes([a_dir, b_dir], out_dir, CFG,
+                             concurrency=(1, 2))
+    return full_dir, out_dir, m_full, m_merged
+
+
+def test_manifest_scalars_match(merged_setup):
+    _, _, m_full, m_merged = merged_setup
+    assert m_merged["num_docs"] == m_full["num_docs"] == 300
+    assert m_merged["num_terms"] == m_full["num_terms"]
+    assert m_merged["avg_doc_len"] == m_full["avg_doc_len"]
+
+
+def test_segment_bytes_identical(merged_setup):
+    """Sorted-run merge reproduces the one-shot build's segment files
+    byte-for-byte (same terms, same doc order, same codec)."""
+    full_dir, out_dir, _, _ = merged_setup
+    full_segs = sorted(glob.glob(full_dir + "/segments/*.parquet"))
+    merged_segs = sorted(glob.glob(out_dir + "/segments/*.parquet"))
+    assert [f.split("/")[-1] for f in full_segs] == \
+           [f.split("/")[-1] for f in merged_segs]
+    import pyarrow.parquet as pq
+    for fa, fb in zip(full_segs, merged_segs):
+        ta, tb = pq.read_table(fa), pq.read_table(fb)
+        assert ta.equals(tb), fa
+
+
+def test_query_results_identical(merged_setup):
+    from searchengine_ray.query import QueryEngine
+    full_dir, out_dir, _, _ = merged_setup
+    full_eng = QueryEngine(full_dir, CFG)
+    merged_eng = QueryEngine(out_dir, CFG)
+    for q in QUERIES:
+        assert full_eng.search(q, top_k=20) == merged_eng.search(q, top_k=20), q
