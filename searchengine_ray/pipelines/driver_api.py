@@ -440,6 +440,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
+        "ann_ivf_topk": lambda sf: similarity.ivf_topk(
+            _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
         "events_sessionize": lambda sf: events.sessionize(_events(sf)),

@@ -152,6 +152,93 @@ def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN — partition-by-centroid scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
+                    sample_rows: int = 512, lloyd_iters: int = 2,
+                    id_col: str = "vec_id",
+                    col: str = "embedding") -> np.ndarray:
+    """Deterministic mini k-means on a bounded prefix sample (driver-side —
+    the sample is tiny; at 10^9+ vectors this becomes a map_batches partial
+    k-means, same contract). Returns unit-norm (n_centroids, dim)."""
+    rows = ds.limit(sample_rows).take_all()
+    mat = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
+    stride = max(1, len(mat) // n_centroids)
+    cents = mat[::stride][:n_centroids]
+    for _ in range(lloyd_iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            sel = mat[assign == c]
+            if len(sel):
+                cents[c] = sel.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """Approximate cosine top-k via inverted-file (IVF) partitioning.
+
+    Vectors are assigned to their nearest centroid; a query scores only
+    vectors whose centroid is among its ``n_probe`` closest. Same output
+    schema as brute_topk; recall is property-tested. Scale path: the
+    assignment defines a one-off ``groupby(centroid) → write_parquet``
+    bucketing, after which each query reads only n_probe bucket files —
+    here the probe filter runs inline in the same streaming pass.
+    """
+    cents = train_centroids(ds, n_centroids, id_col=id_col, col=col)
+    qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
+    qprobe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]  # (Q, P)
+    ref = ray.put((qids, qmat, cents, qprobe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_q, qm, cc, qp = ray.get(ref)
+        vecs = _normalize(_emb_matrix(batch, col))
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        assign = np.argmax(vecs @ cc.T, axis=1)  # (B,)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(ids_q)):
+            cand = np.isin(assign, qp[qi])
+            if not cand.any():
+                continue
+            row = vecs[cand] @ qm[qi]
+            cvids = vids[cand]
+            kk = min(k, row.size)
+            idx = np.lexsort((cvids, -row))[:kk]
+            out_q.append(np.full(kk, ids_q[qi], dtype=np.int64))
+            out_v.append(cvids[idx])
+            out_c.append(row[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {}
+    for r in partials:
+        best.setdefault(int(r["query_id"]), []).append(
+            (-float(r["cos"]), int(r["vec_id"])))
+    out_q, out_v, out_c = [], [], []
+    for qid in sorted(best):
+        for negcos, vid in heapq.nsmallest(k, best[qid]):
+            out_q.append(qid)
+            out_v.append(vid)
+            out_c.append(round(-negcos, COS_ROUND))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "cos_r": pa.array(out_c, type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
 

@@ -17,21 +17,26 @@ import pyarrow.compute as pc
 from searchengine_ray.functions.hashing import hash64_array, sha256_array
 
 
+def str_col(batch: pa.Table, name: str) -> pa.Array:
+    """String column with nulls → "" (per-row error policy, SURVEY.md §4:
+    malformed rows are normalized, never silently dropped — a null key
+    field still yields a deterministic doc identity)."""
+    return pc.fill_null(pc.cast(batch[name], pa.string()), "")
+
+
 def doc_keys(batch: pa.Table) -> pa.Array:
     """doc_key = repo/path@commit — the reference's ``url`` analogue
     (reference identity: md5(url), crawler.py:79-83)."""
-    r = pc.cast(batch["repo"], pa.string())
-    p = pc.cast(batch["path"], pa.string())
-    c = pc.cast(batch["commit"], pa.string())
-    part1 = pc.binary_join_element_wise(r, p, "/")
-    return pc.binary_join_element_wise(part1, c, "@")
+    part1 = pc.binary_join_element_wise(str_col(batch, "repo"),
+                                        str_col(batch, "path"), "/")
+    return pc.binary_join_element_wise(part1, str_col(batch, "commit"), "@")
 
 
 def docstats_batch(batch: pa.Table) -> pa.Table:
     keys = doc_keys(batch)
     ids = hash64_array(keys)
-    content = batch["content"]
-    snippet_head = pc.utf8_slice_codeunits(pc.cast(content, pa.string()), 0, 200)
+    content = str_col(batch, "content")
+    snippet_head = pc.utf8_slice_codeunits(content, 0, 200)
     nonempty = pc.greater(pc.utf8_length(content), 0)
     snippet = pc.if_else(
         nonempty,
@@ -39,15 +44,15 @@ def docstats_batch(batch: pa.Table) -> pa.Table:
         pa.scalar("", type=pa.string()),
     )
     meta = pc.binary_join_element_wise(
-        pc.cast(batch["repo"], pa.string()), pc.cast(batch["lang"], pa.string()), " ")
+        str_col(batch, "repo"), str_col(batch, "lang"), " ")
     return pa.table({
         "doc_id": pa.array(ids),
         "doc_key": keys,
-        "repo": pc.cast(batch["repo"], pa.string()),
-        "path": pc.cast(batch["path"], pa.string()),
-        "commit": pc.cast(batch["commit"], pa.string()),
-        "lang": pc.cast(batch["lang"], pa.string()),
-        "title": pc.cast(batch["path"], pa.string()),
+        "repo": str_col(batch, "repo"),
+        "path": str_col(batch, "path"),
+        "commit": str_col(batch, "commit"),
+        "lang": str_col(batch, "lang"),
+        "title": str_col(batch, "path"),
         "meta": meta,
         "snippet": snippet,
         "content_sha256": pa.array(sha256_array(content), type=pa.binary()),

@@ -33,7 +33,7 @@ from searchengine_ray.codec import block_max_tf_batch, encode_postings_batch
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.arrow_tokenize import weighted_term_counts
 from searchengine_ray.functions.hashing import hash64, hash64_array
-from searchengine_ray.stages.docstats import doc_keys
+from searchengine_ray.stages.docstats import doc_keys, str_col
 
 # Shuffle row: part + term string + doc_id + wtf float32 — wtf values are
 # integral sums of the boost constants bounded far below 2^24, so f32 is
@@ -98,11 +98,11 @@ class ExplodePostings:
         ids = hash64_array(doc_keys(batch))
         counts = weighted_term_counts(
             [
-                (batch["path"], cfg.title_boost),
+                (str_col(batch, "path"), cfg.title_boost),
                 (pc.binary_join_element_wise(
-                    pc.cast(batch["repo"], pa.string()),
-                    pc.cast(batch["lang"], pa.string()), " "), cfg.meta_boost),
-                (batch["content"], cfg.content_boost),
+                    str_col(batch, "repo"),
+                    str_col(batch, "lang"), " "), cfg.meta_boost),
+                (str_col(batch, "content"), cfg.content_boost),
             ],
             cfg,
         )

@@ -142,3 +142,29 @@ def test_no_salting_still_correct(built, tmp_path):
     got = eng.search("py org2", top_k=10)
     want = oracle_search(built.oracle, "py org2", top_k=10)
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_null_fields_normalized(ray_session, tmp_path):
+    """Per-row error policy (SURVEY.md §4): null key/content fields are
+    normalized to "" — rows are indexed deterministically, never dropped."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query import QueryEngine
+
+    t = pa.table({
+        "repo": pa.array(["r1", None, "r3"], type=pa.string()),
+        "path": pa.array(["a.py", "b.py", None], type=pa.string()),
+        "commit": pa.array(["c", "c", "c"], type=pa.string()),
+        "lang": pa.array(["py", None, "py"], type=pa.string()),
+        "content": pa.array(["alpha beta", None, "gamma delta"],
+                            type=pa.string()),
+    })
+    cfg = IndexConfig(num_partitions=4, num_length_partitions=2)
+    idx = str(tmp_path / "idx")
+    m = build_index(ray.data.from_arrow(t), idx, cfg, salt_hot_terms=False)
+    assert m["num_docs"] == 3
+    eng = QueryEngine(idx, cfg)
+    assert eng.search("alpha")[0]["url"] == "r1/a.py@c"
+    assert eng.search("gamma")[0]["url"] == "r3/@c"  # null path -> ""

@@ -328,3 +328,23 @@ def test_boost_pruning_equivalent(built):
         full = eng.search(q, top_k=2000)[:20]
         assert [(r["doc_id"], r["score"]) for r in pruned] == \
                [(r["doc_id"], r["score"]) for r in full], q
+
+
+def test_ivf_topk_recall(emb_ds):
+    from searchengine_ray.pipelines.similarity import brute_topk, ivf_topk
+    k, qids = 5, [0, 1, 2, 3]
+    exact = brute_topk(emb_ds, qids, k=k)
+    approx = ivf_topk(emb_ds, qids, k=k, n_centroids=8, n_probe=3)
+    ex: dict[int, set[int]] = {}
+    ap: dict[int, set[int]] = {}
+    for q, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    for q, v in zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()):
+        ap.setdefault(q, set()).add(v)
+    recalls = [len(ex[q] & ap.get(q, set())) / k for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    sims = brute_cosine(emb_table())
+    for q, v, c in zip(approx["query_id"].to_pylist(),
+                       approx["vec_id"].to_pylist(),
+                       approx["cos_r"].to_pylist()):
+        assert abs(c - round(float(sims[q, v]), 6)) < 1e-9
