@@ -47,10 +47,17 @@ def _read_dir(path: str, columns=None):
 
 class QueryEngine:
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
-                 qcfg: QueryConfig = QueryConfig()):
+                 qcfg: QueryConfig = QueryConfig(), *,
+                 lazy_segments: bool = False):
+        """``lazy_segments=True`` is the huge-index mode: term lookups use
+        parquet predicate pushdown (row-group stats on the term column —
+        segments are term-sorted, so a lookup touches ~1 row group) instead
+        of loading whole partition files into memory. Results are identical
+        (asserted in tests); eager mode is faster for small/warm indexes."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.qcfg = qcfg
+        self.lazy_segments = lazy_segments
         manifest = load_manifest(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -97,10 +104,14 @@ class QueryEngine:
         self._postings_cache_cap = 100_000
 
     # -- posting access ----------------------------------------------------
+    def _part_path(self, part: int) -> str:
+        return os.path.join(self.index_dir, "segments",
+                            f"part-{part:05d}.parquet")
+
     def _load_part(self, part: int):
         if part in self._segments:
             return
-        path = os.path.join(self.index_dir, "segments", f"part-{part:05d}.parquet")
+        path = self._part_path(part)
         if not os.path.exists(path):
             self._segments[part] = {}
             self._segment_tables[part] = None
@@ -110,7 +121,22 @@ class QueryEngine:
                                 enumerate(t["term"].to_pylist())}
         self._segment_tables[part] = t
 
+    def _lazy_row(self, part: int, term: str, columns: list[str]):
+        """Predicate-pushdown single-term read: row groups whose term
+        min/max excludes the term are never touched."""
+        path = self._part_path(part)
+        if not os.path.exists(path):
+            return None
+        t = pq.read_table(path, columns=columns,
+                          filters=[("term", "==", term)])
+        return t if len(t) else None
+
     def _lookup_in_part(self, part: int, term: str):
+        if self.lazy_segments:
+            t = self._lazy_row(part, term, ["term", "postings"])
+            if t is None:
+                return None
+            return decode_postings(t["postings"][0].as_py())
         self._load_part(part)
         row = self._segments[part].get(term)
         if row is None:
@@ -139,6 +165,9 @@ class QueryEngine:
         return res
 
     def _df_in_part(self, part: int, term: str) -> int | None:
+        if self.lazy_segments:
+            t = self._lazy_row(part, term, ["term", "df"])
+            return int(t["df"][0].as_py()) if t is not None else None
         self._load_part(part)
         row = self._segments[part].get(term)
         if row is None:
@@ -183,8 +212,8 @@ class QueryEngine:
         filtered, original_tokens, original_query = prepare_query(query, cfg)
         if not filtered:
             return []
-        acc_ids: np.ndarray | None = None
-        acc_scores: np.ndarray | None = None
+        id_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
         original_set = set(original_tokens)
         for qt in filtered:
             df = self.term_df(qt)
@@ -208,23 +237,19 @@ class QueryEngine:
             tf_comp = ((cfg.k1 + 1) * tf) / (
                 cfg.k1 * (1 - cfg.b + cfg.b * dl / self.avgdl) + tf)
             contrib = idf * tf_comp * importance
-            if acc_ids is None:
-                acc_ids, acc_scores = ids.copy(), contrib
-            else:
-                # merge-accumulate keeping insertion-order-independent sums;
-                # addition order per doc matches the oracle's term order.
-                pos = np.searchsorted(acc_ids, ids)
-                pos_clip = np.minimum(pos, acc_ids.size - 1)
-                known = acc_ids[pos_clip] == ids
-                np.add.at(acc_scores, pos_clip[known], contrib[known])
-                if not known.all():
-                    new_ids = ids[~known]
-                    new_scores = contrib[~known]
-                    acc_ids = np.concatenate([acc_ids, new_ids])
-                    acc_scores = np.concatenate([acc_scores, new_scores])
-                    order = np.argsort(acc_ids, kind="stable")
-                    acc_ids, acc_scores = acc_ids[order], acc_scores[order]
-        if acc_ids is None or acc_ids.size == 0:
+            id_parts.append(ids)
+            contrib_parts.append(contrib)
+        if not id_parts:
+            return []
+        # One grouped sum over all terms' contributions. np.add.at applies
+        # additions in flattened-array order = term order per doc, so the
+        # float accumulation order matches the oracle exactly (bit-equal).
+        all_ids = np.concatenate(id_parts)
+        all_contribs = np.concatenate(contrib_parts)
+        acc_ids, inv = np.unique(all_ids, return_inverse=True)
+        acc_scores = np.zeros(acc_ids.size, dtype=np.float64)
+        np.add.at(acc_scores, inv, all_contribs)
+        if acc_ids.size == 0:
             return []
         if top_k <= 1024:
             acc_ids, scores = self._boost_topk(
@@ -290,6 +315,9 @@ class QueryEngine:
             if len(flat) >= top_k:
                 kth = np.partition(flat, len(flat) - top_k)[len(flat) - top_k]
             i += chunk
+            # flat score distributions defeat the bound — grow the chunk
+            # geometrically so per-call kernel overhead stays O(log n)
+            chunk *= 2
         return np.concatenate(out_ids), np.concatenate(out_scores)
 
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,

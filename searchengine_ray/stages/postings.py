@@ -170,7 +170,10 @@ class SegmentWriter:
         path = os.path.join(self.out_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(table, tmp, compression="zstd")
+        # bounded row groups: term-sorted segments + row-group min/max
+        # stats make single-term predicate-pushdown reads touch ~1 group
+        # (QueryEngine lazy_segments mode)
+        pq.write_table(table, tmp, compression="zstd", row_group_size=1024)
         os.replace(tmp, path)
         return rel, os.path.getsize(path)
 

@@ -136,3 +136,11 @@ def test_props_extract(events_ds):
     for eid, props in zip(df["event_id"], df["props"]):
         m = re.search(r'"k": (\d+)', props)
         assert got[int(eid)] == (int(m.group(1)) if m else -1)
+
+
+def test_lazy_segments_identical(built):
+    from searchengine_ray.query import QueryEngine
+    eager = QueryEngine(built.index_dir, built.cfg)
+    lazy = QueryEngine(built.index_dir, built.cfg, lazy_segments=True)
+    for q in ["queue71", "py org2", "parse token stream", "unknownterm9"]:
+        assert eager.search(q, top_k=20) == lazy.search(q, top_k=20), q
