@@ -140,7 +140,7 @@ def scale_probe(num_cpus: int) -> dict:
     _ray_init(num_cpus)
     res = min((run_index_build(f"/tmp/seray_scale_index_{num_cpus}",
                                SCALING_DIR, SCALING_DOCS)
-               for _ in range(2)), key=lambda r: r["sec"])
+               for _ in range(3)), key=lambda r: r["sec"])
     import ray
     ray.shutdown()
     return res

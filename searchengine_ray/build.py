@@ -101,15 +101,6 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
     prior = load_manifest(index_dir) if resume else None
     done = done_parts(prior, index_dir)
 
-    if hot_terms_override is not None:
-        hot_terms = {t: int(n) for t, n in hot_terms_override.items()}
-    elif prior and prior.get("hot_terms") is not None:
-        hot_terms = {t: int(n) for t, n in prior["hot_terms"].items()}
-    elif salt_hot_terms:
-        hot_terms = estimate_hot_terms(source, cfg)
-    else:
-        hot_terms = {}
-
     docstore_dir = os.path.join(index_dir, "docstore")
     docstore_done = bool(prior and prior.get("docstore_done")
                          and os.path.isdir(docstore_dir))
@@ -129,6 +120,15 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         import threading
         docstore_thread = threading.Thread(target=_docstore_job, daemon=True)
         docstore_thread.start()
+
+    if hot_terms_override is not None:
+        hot_terms = {t: int(n) for t, n in hot_terms_override.items()}
+    elif prior and prior.get("hot_terms") is not None:
+        hot_terms = {t: int(n) for t, n in prior["hot_terms"].items()}
+    elif salt_hot_terms:
+        hot_terms = estimate_hot_terms(source, cfg)
+    else:
+        hot_terms = {}
 
     total_parts = cfg.num_partitions + cfg.num_length_partitions
     skip = set(done)
