@@ -238,6 +238,101 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     })
 
 
+def build_ivf_index(ds: "ray.data.Dataset", out_dir: str,
+                    n_centroids: int = 16, id_col: str = "vec_id",
+                    col: str = "embedding") -> dict:
+    """Materialized IVF index: one parquet file per centroid bucket +
+    centroids.npy + manifest.json. This is the resumable-output form of
+    ivf_topk: the one-off bucketing shuffle runs once; each later query
+    reads only its n_probe bucket FILES (partition pruning via layout, the
+    pattern every 100 TB stage here uses: partitioned output, atomic
+    tmp→rename, manifest lineage)."""
+    import json
+    import os
+    cents = train_centroids(ds, n_centroids, id_col=id_col, col=col)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        vecs = _normalize(_emb_matrix(batch, col))
+        return pa.table({
+            "bucket": pa.array(np.argmax(vecs @ cc.T, axis=1).astype(np.int32)),
+            "vec_id": pc.cast(batch[id_col], pa.int64()),
+            col: batch[col] if not isinstance(batch[col], pa.ChunkedArray)
+            else batch[col].combine_chunks(),
+        })
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import os
+        import pyarrow.parquet as pq
+        b = int(group["bucket"][0].as_py())
+        g = group.sort_by("vec_id")
+        path = os.path.join(out_dir, f"bucket-{b:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(g.select(["vec_id", col]), tmp)
+        os.replace(tmp, path)
+        return pa.table({"bucket": pa.array([b], type=pa.int32()),
+                         "rows": pa.array([len(g)], type=pa.int64())})
+
+    rows = (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(write_bucket, batch_format="pyarrow")
+              .take_all())
+    manifest = {"n_centroids": n_centroids, "col": col,
+                "buckets": {str(r["bucket"]): int(r["rows"]) for r in rows}}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ivf_index_search(index_dir: str, ds: "ray.data.Dataset",
+                     query_ids: list[int], k: int = 10, n_probe: int = 4,
+                     id_col: str = "vec_id",
+                     col: str = "embedding") -> pa.Table:
+    """Query the materialized IVF index: read ONLY the n_probe bucket files
+    per query, exact cosine re-rank. Same output schema as brute_topk."""
+    import os
+
+    import pyarrow.parquet as pq
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
+    qprobe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    out_q, out_v, out_c = [], [], []
+    cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for qi in range(len(qids)):
+        cand_ids, cand_vecs = [], []
+        for b in qprobe[qi]:
+            b = int(b)
+            if b not in cache:
+                path = os.path.join(index_dir, f"bucket-{b:05d}.parquet")
+                if not os.path.exists(path):
+                    cache[b] = (np.empty(0, dtype=np.int64),
+                                np.empty((0, qmat.shape[1])))
+                else:
+                    t = pq.read_table(path)
+                    cache[b] = (t["vec_id"].to_numpy(zero_copy_only=False),
+                                _normalize(_emb_matrix(t, col)))
+            cand_ids.append(cache[b][0])
+            cand_vecs.append(cache[b][1])
+        ids = np.concatenate(cand_ids)
+        if ids.size == 0:
+            continue
+        vecs = np.concatenate(cand_vecs)
+        row = vecs @ qmat[qi]
+        kk = min(k, row.size)
+        idx = np.lexsort((ids, -row))[:kk]
+        out_q.extend([int(qids[qi])] * kk)
+        out_v.extend(ids[idx].tolist())
+        out_c.extend(round(float(x), COS_ROUND) for x in row[idx])
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "cos_r": pa.array(out_c, type=pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------

@@ -168,3 +168,49 @@ def test_null_fields_normalized(ray_session, tmp_path):
     eng = QueryEngine(idx, cfg)
     assert eng.search("alpha")[0]["url"] == "r1/a.py@c"
     assert eng.search("gamma")[0]["url"] == "r3/@c"  # null path -> ""
+
+
+def test_adversarial_skew_salting_bounds_partitions(ray_session, tmp_path):
+    """Adversarial skew: one term in EVERY doc. Salting must spread that
+    term's postings across sub-partitions (no single partition holds the
+    whole hot list), and merged query-side postings must stay exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query import QueryEngine
+
+    n = 600
+    rng = np.random.default_rng(5)
+    texts = [f"megahot filler{rng.integers(0, 50)} w{rng.integers(0, 9)}"
+             for _ in range(n)]
+    t = pa.table({
+        "repo": pa.array([f"r{i % 5}" for i in range(n)]),
+        "path": pa.array([f"f{i}.py" for i in range(n)]),
+        "commit": pa.array(["c"] * n),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array(texts),
+    })
+    cfg = IndexConfig(num_partitions=16, num_length_partitions=2,
+                      hot_term_df_ratio=0.05)
+    idx = str(tmp_path / "idx")
+    m = build_index(ray.data.from_arrow(t), idx, cfg)
+    assert "megahot" in m["hot_terms"] and m["hot_terms"]["megahot"] >= 2
+    # the hot term's rows are spread: no single segment partition holds
+    # all n postings
+    seg_rows = [e["rows"] for e in m["partitions"].values()
+                if e["kind"] == "segment"]
+    assert max(seg_rows) < n + 0.5 * n  # every doc also has ~4 other terms
+    eng = QueryEngine(idx, cfg)
+    post = eng.postings("megahot")
+    assert post is not None and post[0].size == n  # merged list is complete
+    assert (np.diff(post[0]) > 0).all()
+    # df>N/2 → idf clamps → hot term alone returns nothing (reference rule)
+    assert eng.search("megahot") == []
+    # mixed query still ranks by the rare term exactly: every hit's
+    # content contains filler7 (the only positive-idf term)
+    r = eng.search("megahot filler7")
+    assert r
+    texts_by_url = {f"r{i % 5}/f{i}.py@c": texts[i] for i in range(n)}
+    assert all("filler7" in texts_by_url[x["url"]] for x in r)

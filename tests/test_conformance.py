@@ -76,3 +76,28 @@ def test_unsalted_term_postings_match_oracle_df(built, engine):
         post = engine.postings(term)
         n = 0 if post is None else post[0].size
         assert n == len(oracle_postings)
+
+
+# ---------------------------------------------------------------------------
+# property test: random queries (hypothesis) — engine == oracle always
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["parse", "token", "stream", "index", "queue71", "hash", "py",
+          "org2", "def", "the", "a", "tokenStream", "build_index", "zzz9",
+          "src/module_96/file_25.py", "&amp;", "https://x.co/1", "merge-sort"]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(parts=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=5),
+       k=st.sampled_from([1, 3, 17]))
+def test_random_query_rank_identity(built, engine, parts, k):
+    query = " ".join(parts)
+    got = engine.search(query, top_k=k)
+    want = oracle_search(built.oracle, query, top_k=k)
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=1e-9)

@@ -348,3 +348,18 @@ def test_ivf_topk_recall(emb_ds):
                        approx["vec_id"].to_pylist(),
                        approx["cos_r"].to_pylist()):
         assert abs(c - round(float(sims[q, v]), 6)) < 1e-9
+
+
+def test_ivf_materialized_index_matches_inline(emb_ds, tmp_path):
+    """Materialized bucket files + probe reads ≡ the inline IVF pass
+    (same deterministic centroids → same candidates → same top-k)."""
+    from searchengine_ray.pipelines.similarity import (build_ivf_index,
+                                                       ivf_index_search,
+                                                       ivf_topk)
+    idx = str(tmp_path / "ivf")
+    m = build_ivf_index(emb_ds, idx, n_centroids=8)
+    assert sum(m["buckets"].values()) == 120
+    qids, k = [0, 1, 2, 3], 5
+    inline = ivf_topk(emb_ds, qids, k=k, n_centroids=8, n_probe=3)
+    mat = ivf_index_search(idx, emb_ds, qids, k=k, n_probe=3)
+    assert inline.to_pylist() == mat.to_pylist()
