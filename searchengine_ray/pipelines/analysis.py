@@ -198,11 +198,12 @@ def top_sources(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.data.Dataset":
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    rolling hash over k-token shingles, per-window minimum kept. Deterministic
-    (blake2b-based shingle hash — no Python hash()). Columns: doc_id,
-    n_shingles, n_fingerprints, min_fp, max_fp. Not SQL-expressible →
-    rows-only driver check; unit-tested in pytest."""
-    from searchengine_ray.functions.hashing import hash64
+    rolling hash over k-token shingles, per-window minimum kept.
+    Deterministic md5-based shingle hash (first 8 bytes big-endian — no
+    Python hash(); reproducible in the DuckDB oracle as
+    ('0x'||substr(md5(s),1,16))::UBIGINT). Columns: doc_id, n_shingles,
+    n_fingerprints, min_fp, max_fp."""
+    from searchengine_ray.pipelines.dedup import _md5_64
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch["text"], pa.string()).to_pylist()
@@ -212,7 +213,7 @@ def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.dat
         for did, text in zip(doc_ids, texts):
             toks = (text or "").split()
             hashes = np.array(
-                [hash64(" ".join(toks[i:i + k])) for i in range(max(0, len(toks) - k + 1))],
+                [_md5_64(" ".join(toks[i:i + k])) for i in range(max(0, len(toks) - k + 1))],
                 dtype=np.uint64)
             if hashes.size == 0:
                 fps = np.empty(0, dtype=np.uint64)

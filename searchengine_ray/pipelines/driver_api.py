@@ -377,6 +377,68 @@ GROUP BY d.doc_id
 """
 
 
+def sql_simhash_neardup(max_hamming: int = 3,
+                        cfg: IndexConfig = CFG) -> str:
+    """All doc pairs with SimHash hamming ≤ max_hamming — exactly what the
+    banded Ray operator emits (4×16-bit banding is complete for ≤ 3)."""
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         (sh0::UBIGINT + sh1::UBIGINT * 65536::UBIGINT
+          + sh2::UBIGINT * 4294967296::UBIGINT
+          + sh3::UBIGINT * 281474976710656::UBIGINT) AS sig
+  FROM ({sql_simhash(cfg)}))
+SELECT a.doc_id::BIGINT AS a_id, b.doc_id::BIGINT AS b_id,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+def sql_fingerprint(k: int = 5, window: int = 4) -> str:
+    """Winnowing oracle: md5-64 shingle hashes, rolling-window minima over
+    full windows (single global min when n_shingles ≤ window — matches the
+    numpy path's boundary exactly)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS L
+  FROM documents),
+hl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(L) - {k} + 2, 1)),
+                        i -> ('0x' || substr(md5(array_to_string(
+                              L[i:i+{k - 1}], ' ')), 1, 16))::UBIGINT)
+         AS hlist
+  FROM toks),
+base AS (SELECT doc_id, len(hlist) AS n_sh, hlist FROM hl),
+pos AS (SELECT doc_id, n_sh, unnest(hlist) AS h,
+               generate_subscripts(hlist, 1) AS i
+        FROM base),
+wins AS (
+  SELECT doc_id, n_sh, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+         AS wmin
+  FROM pos),
+fps AS (
+  SELECT doc_id, wmin FROM wins
+  WHERE n_sh > {window} AND i <= n_sh - {window} + 1
+  UNION ALL
+  SELECT doc_id, min(h) AS wmin FROM pos
+  WHERE n_sh BETWEEN 1 AND {window} GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, count(DISTINCT wmin) AS nf, min(wmin) AS mn, max(wmin) AS mx
+  FROM fps GROUP BY doc_id)
+SELECT b.doc_id, b.n_sh::BIGINT AS n_shingles,
+       coalesce(a.nf, 0)::BIGINT AS n_fingerprints,
+       coalesce(a.mn, 0)::UBIGINT AS min_fp,
+       coalesce(a.mx, 0)::UBIGINT AS max_fp
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def sql_embedding_neardup(tau: float = 0.3) -> str:
     return f"""
 SELECT a.vec_id::BIGINT AS a_id, b.vec_id::BIGINT AS b_id,
@@ -433,7 +495,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "simhash": lambda sf: dedup.simhash(_docs(sf), CFG),
-        "dedup_simhash": lambda sf: dedup.simhash_neardup_pairs(_docs(sf), 3, CFG),
+        # max_bucket effectively unbounded: 4×16-bit banding is COMPLETE for
+        # hamming ≤ 3, so the result is exactly all pairs ≤ 3 — SQL-checkable
+        "dedup_simhash": lambda sf: dedup.simhash_neardup_pairs(
+            _docs(sf), 3, CFG, max_bucket=1 << 30),
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "ann_cosine_topk": lambda sf: similarity.brute_topk(
@@ -465,6 +530,8 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": sql_exact_dedup(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
+        "dedup_simhash": sql_simhash_neardup(),
+        "fingerprint": sql_fingerprint(),
         "embedding_neardup": sql_embedding_neardup(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
@@ -478,8 +545,10 @@ def build_oracles() -> dict[str, str]:
         o[name] = sql_bm25(text)
     return o
     # no oracle (rows-only driver check; pytest-verified instead):
-    # fingerprint (winnowing), dedup_simhash / dedup_minhash_lsh (banded
-    # candidate generation), ann_lsh_topk (approximate by design)
+    # dedup_minhash_lsh (signature hashes use uint64 wraparound math DuckDB
+    # cannot express — overflow raises instead of wrapping),
+    # ann_lsh_topk / ann_ivf_topk (approximate by design; recall is
+    # property-tested against the exact brute-force result)
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:
