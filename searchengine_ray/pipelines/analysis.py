@@ -164,36 +164,50 @@ def term_df(ds: "ray.data.Dataset", cfg: IndexConfig = IndexConfig()) -> "ray.da
 
     Columns: term, df (int64).
     """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
     def explode_distinct(batch: pa.Table) -> pa.Table:
         di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
         t = pa.table({"doc": pa.array(di), "term": toks})
-        g = t.group_by(["doc", "term"], use_threads=False).aggregate([])
-        return pa.table({"term": g["term"]})
+        # partial: (doc,term)-distinct + per-batch df, so the shuffle moves
+        # at most |batch vocabulary| rows per batch
+        g = (t.group_by(["doc", "term"], use_threads=False).aggregate([])
+             .group_by("term", use_threads=False).aggregate([("doc", "count")]))
+        return pa.table({"term": g["term"],
+                         "pdf": pc.cast(g["doc_count"], pa.int64())})
 
-    exploded = ds.map_batches(explode_distinct, batch_format="pyarrow")
-    agg = exploded.groupby("term").count()
-
-    def finalize(batch: pa.Table) -> pa.Table:
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = part.group_by(["term"], use_threads=False).aggregate([("pdf", "sum")])
         return pa.table({
-            "term": pc.cast(batch["term"], pa.string()),
-            "df": pc.cast(batch["count()"], pa.int64()),
+            "term": pc.cast(g["term"], pa.string()),
+            "df": pc.cast(g["pdf_sum"], pa.int64()),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    exploded = ds.map_batches(explode_distinct, batch_format="pyarrow")
+    return grouped_aggregate(exploded, ["term"], reduce_part)
 
 
 def top_sources(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-source doc counts (A8 domain-stats analogue, crawler.py:199-208).
-    Columns: source, n_docs."""
-    agg = ds.groupby("source").count()
+    Columns: source, n_docs. Partial counts per batch → tiny shuffle."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"source": pc.cast(batch["source"], pa.string())})
+             .group_by(["source"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"source": g["source"],
+                         "pn": pc.cast(g["count_all"], pa.int64())})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = part.group_by(["source"], use_threads=False).aggregate([("pn", "sum")])
         return pa.table({
-            "source": pc.cast(batch["source"], pa.string()),
-            "n_docs": pc.cast(batch["count()"], pa.int64()),
+            "source": pc.cast(g["source"], pa.string()),
+            "n_docs": pc.cast(g["pn_sum"], pa.int64()),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["source"], reduce_part)
 
 
 def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.data.Dataset":

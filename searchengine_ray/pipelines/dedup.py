@@ -50,6 +50,8 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     One wide shuffle on the 32-byte digest (uniform — no skew by
     construction). The digest, not the text, crosses the shuffle.
     """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
     def key_batch(batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[text_col], pa.string()).to_pylist()
         shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest()
@@ -59,19 +61,17 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
             "doc_id": pc.cast(batch[id_col], pa.int64()),
         })
 
-    agg = (ds.map_batches(key_batch, batch_format="pyarrow")
-             .groupby("content_sha")
-             .aggregate(ray.data.aggregate.Min("doc_id"),
-                        ray.data.aggregate.Count()))
-
-    def finalize(batch: pa.Table) -> pa.Table:
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["content_sha"], use_threads=False)
+             .aggregate([("doc_id", "min"), ("doc_id", "count")]))
         return pa.table({
-            "content_sha": pc.cast(batch["content_sha"], pa.string()),
-            "keeper_id": pc.cast(batch["min(doc_id)"], pa.int64()),
-            "n_copies": pc.cast(batch["count()"], pa.int64()),
+            "content_sha": pc.cast(g["content_sha"], pa.string()),
+            "keeper_id": pc.cast(g["doc_id_min"], pa.int64()),
+            "n_copies": pc.cast(g["doc_id_count"], pa.int64()),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    return grouped_aggregate(keyed, ["content_sha"], reduce_part)
 
 
 # ---------------------------------------------------------------------------
@@ -343,20 +343,21 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset",
                          "b_id": pa.array(ids[pb_pos[keep]].astype(np.int64)),
                          "hamming": pa.array(ham[keep])})
 
-    pairs = (sigs.map_batches(explode_bands, batch_format="pyarrow")
-                 .groupby("part")
-                 .map_groups(emit, batch_format="pyarrow")
-                 .groupby(["a_id", "b_id"])
-                 .aggregate(ray.data.aggregate.Min("hamming")))
+    from searchengine_ray.pipelines.common import grouped_aggregate
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["a_id", "b_id"], use_threads=False)
+             .aggregate([("hamming", "min")]))
         return pa.table({
-            "a_id": pc.cast(batch["a_id"], pa.int64()),
-            "b_id": pc.cast(batch["b_id"], pa.int64()),
-            "hamming": pc.cast(batch["min(hamming)"], pa.int64()),
+            "a_id": pc.cast(g["a_id"], pa.int64()),
+            "b_id": pc.cast(g["b_id"], pa.int64()),
+            "hamming": pc.cast(g["hamming_min"], pa.int64()),
         })
 
-    return pairs.map_batches(finalize, batch_format="pyarrow")
+    candidates = (sigs.map_batches(explode_bands, batch_format="pyarrow")
+                      .groupby("part")
+                      .map_groups(emit, batch_format="pyarrow"))
+    return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -477,17 +478,18 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
                          "b_id": pa.array(ids[pb_pos[keep]].astype(np.int64)),
                          "est_matches": pa.array(matches[keep])})
 
-    pairs = (sigs.map_batches(explode, batch_format="pyarrow")
-                 .groupby("part")
-                 .map_groups(emit, batch_format="pyarrow")
-                 .groupby(["a_id", "b_id"])
-                 .aggregate(ray.data.aggregate.Max("est_matches")))
+    from searchengine_ray.pipelines.common import grouped_aggregate
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["a_id", "b_id"], use_threads=False)
+             .aggregate([("est_matches", "max")]))
         return pa.table({
-            "a_id": pc.cast(batch["a_id"], pa.int64()),
-            "b_id": pc.cast(batch["b_id"], pa.int64()),
-            "est_matches": pc.cast(batch["max(est_matches)"], pa.int64()),
+            "a_id": pc.cast(g["a_id"], pa.int64()),
+            "b_id": pc.cast(g["b_id"], pa.int64()),
+            "est_matches": pc.cast(g["est_matches_max"], pa.int64()),
         })
 
-    return pairs.map_batches(finalize, batch_format="pyarrow")
+    candidates = (sigs.map_batches(explode, batch_format="pyarrow")
+                      .groupby("part")
+                      .map_groups(emit, batch_format="pyarrow"))
+    return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)

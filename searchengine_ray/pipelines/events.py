@@ -57,19 +57,22 @@ def windowed_agg(ds: "ray.data.Dataset") -> "ray.data.Dataset":
                  .rename_columns(["window_start_us", "event_type",
                                   "n", "v"]))
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(["window_start_us", "event_type"])
-             .aggregate(ray.data.aggregate.Sum("n"), ray.data.aggregate.Sum("v")))
+    from searchengine_ray.pipelines.common import grouped_aggregate
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["window_start_us", "event_type"],
+                           use_threads=False)
+             .aggregate([("n", "sum"), ("v", "sum")]))
         return pa.table({
-            "window_start_us": pc.cast(batch["window_start_us"], pa.int64()),
-            "event_type": pc.cast(batch["event_type"], pa.string()),
-            "n_events": pc.cast(batch["sum(n)"], pa.int64()),
-            "sum_value_c": pc.cast(batch["sum(v)"], pa.int64()),
+            "window_start_us": pc.cast(g["window_start_us"], pa.int64()),
+            "event_type": pc.cast(g["event_type"], pa.string()),
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+            "sum_value_c": pc.cast(g["v_sum"], pa.int64()),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["window_start_us", "event_type"],
+                             reduce_part)
 
 
 def sql_windowed_agg() -> str:
