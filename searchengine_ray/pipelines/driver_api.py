@@ -75,9 +75,19 @@ def _events(sf_dir: str) -> "ray.data.Dataset":
 # index build/cache over the adapted documents table
 # ---------------------------------------------------------------------------
 
+# bump when the on-disk index format or indexing semantics change, so a
+# stale /tmp cache from an older code revision can never answer for the
+# current engine
+ENGINE_CACHE_REV = 2
+
+
 def index_dir_for(sf_dir: str) -> str:
     import hashlib
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+
+    from searchengine_ray.state.manifest import TOKENIZER_VERSION
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{TOKENIZER_VERSION}:{ENGINE_CACHE_REV}"
+        .encode()).hexdigest()[:12]
     return os.path.join("/tmp", "seray_driver_index", key)
 
 

@@ -388,6 +388,46 @@ class QueryEngine:
                 "avg_doc_len": self.avgdl}
 
 
+class QueryService:
+    """Round-robin pool of long-lived query actors — the serving tier.
+
+    Reference analogue: the gunicorn worker pool, which pins ONE sync
+    worker and restarts it after every request to cap memory
+    (web/utils/gunicorn.conf.py:50, 79-80). Here each actor holds the warm
+    index, postings cache and docstore once; requests fan out round-robin
+    and can be issued async (``submit`` → ObjectRef) for pipelining.
+    """
+
+    def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
+                 qcfg: QueryConfig = QueryConfig(), num_actors: int = 2):
+        self._actors = [make_query_actor(index_dir, cfg, qcfg)
+                        for _ in range(num_actors)]
+        self._next = 0
+
+    def _pick(self):
+        a = self._actors[self._next % len(self._actors)]
+        self._next += 1
+        return a
+
+    def submit(self, query: str, top_k: int | None = None):
+        """Async search → ObjectRef (callers batch ray.get for throughput)."""
+        return self._pick().search.remote(query, top_k)
+
+    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+        import ray
+        return ray.get(self.submit(query, top_k))
+
+    def stats(self) -> dict:
+        import ray
+        return ray.get(self._actors[0].stats.remote())
+
+    def shutdown(self) -> None:
+        import ray
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
+
+
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
                      qcfg: QueryConfig = QueryConfig()):
     """Long-lived serving actor (reference analogue: the Flask worker that

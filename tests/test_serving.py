@@ -144,3 +144,19 @@ def test_lazy_segments_identical(built):
     lazy = QueryEngine(built.index_dir, built.cfg, lazy_segments=True)
     for q in ["queue71", "py org2", "parse token stream", "unknownterm9"]:
         assert eager.search(q, top_k=20) == lazy.search(q, top_k=20), q
+
+
+def test_query_service_pool(built):
+    import ray
+    from searchengine_ray.query import QueryEngine, QueryService
+    eng = QueryEngine(built.index_dir, built.cfg)
+    svc = QueryService(built.index_dir, built.cfg, num_actors=2)
+    try:
+        qs = ["queue71", "py org2", "parse token stream", "rust engine"] * 3
+        refs = [svc.submit(q, 10) for q in qs]       # async fan-out
+        results = ray.get(refs)
+        for q, got in zip(qs, results):
+            assert got == eng.search(q, top_k=10), q
+        assert svc.stats()["num_docs"] == 400
+    finally:
+        svc.shutdown()
