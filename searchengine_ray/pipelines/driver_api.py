@@ -34,8 +34,8 @@ from searchengine_ray.functions.tokenizer import (
     sql_filtered_tokens_expr,
     sql_tokens_expr,
 )
-from searchengine_ray.pipelines import (analysis, dedup, events, multimodal,
-                                        similarity)
+from searchengine_ray.pipelines import (analysis, classify, dedup, events,
+                                        multimodal, similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -184,7 +184,20 @@ def _sql_quote(s: str) -> str:
 
 def sql_bm25(query: str, cfg: IndexConfig = CFG,
              qcfg: QueryConfig = QCFG) -> str:
-    """Generate the full BM25+boosts oracle SQL for a fixed query string.
+    """Full BM25+boosts oracle SQL for a fixed query string (all docs with
+    normalized score > min_score)."""
+    ctes = _sql_bm25_ctes(query, cfg, qcfg)
+    if ctes is None:
+        return "SELECT 1::BIGINT AS doc_id, 1.0 AS score_r WHERE false"
+    return (ctes
+            + f"\nSELECT doc_id, round(s, 6) AS score_r FROM final "
+              f"WHERE s > {qcfg.min_score}")
+
+
+def _sql_bm25_ctes(query: str, cfg: IndexConfig = CFG,
+                   qcfg: QueryConfig = QCFG) -> str | None:
+    """The WITH-clause chain ending in ``final(doc_id, s)`` — s is the
+    UNROUNDED max-normalized score. Shared by sql_bm25 and sql_hybrid.
 
     Query analysis (expansion, tokenize, stopword filter, importance) runs
     in Python via the SAME functions the engine uses; the corpus-side math
@@ -192,7 +205,7 @@ def sql_bm25(query: str, cfg: IndexConfig = CFG,
     """
     filtered, original_tokens, original_query = prepare_query(query, cfg)
     if not filtered:
-        return "SELECT 1::BIGINT AS doc_id, 1.0 AS score_r WHERE false"
+        return None
     # occurrence-count × importance per distinct term
     weights: dict[str, float] = {}
     for t in filtered:
@@ -262,8 +275,87 @@ boosted AS (
          AS score
   FROM base JOIN docs d USING (doc_id)),
 final AS (
-  SELECT doc_id, score / (SELECT max(score) FROM boosted) AS s FROM boosted)
-SELECT doc_id, round(s, 6) AS score_r FROM final WHERE s > {qcfg.min_score}
+  SELECT doc_id, score / (SELECT max(score) FROM boosted) AS s FROM boosted)"""
+
+
+def ensure_embeddings(sf_dir: str) -> str:
+    import os as _os
+
+    from searchengine_ray.pipelines.embeddings import build_doc_embeddings
+    idx = ensure_index(sf_dir)
+    if not _os.path.isdir(_os.path.join(idx, "embeddings")):
+        build_doc_embeddings(idx)
+    return idx
+
+
+def q_hybrid(sf_dir: str, query: str) -> pa.Table:
+    """Hybrid score for EVERY BM25-scored doc (> min_score) — unbounded k
+    on both sides makes the result a set, order-insensitive vs SQL:
+    hybrid = 0.7·bm25_norm + 0.3·(1/(1+L2(query, doc))) over unit vecs."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_embeddings(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    bm25 = eng.search(query, top_k=1 << 30)
+    sims = dict(eng.vector_search(query, top_k=1 << 30))
+    rows_id, rows_s = [], []
+    for r in bm25:
+        sim = sims[r["doc_id"]]
+        rows_id.append(_orig_id_from_title(r["title"]))
+        rows_s.append(round(eng.HYBRID_BM25_WEIGHT * r["score"]
+                            + eng.HYBRID_VEC_WEIGHT * sim, 6))
+    return pa.table({
+        "doc_id": pa.array(rows_id, type=pa.int64()),
+        "hybrid_r": pa.array(rows_s, type=pa.float64()),
+    })
+
+
+def sql_hybrid(query: str, cfg: IndexConfig = CFG,
+               qcfg: QueryConfig = QCFG) -> str:
+    """Hybrid oracle: the shared BM25 CTE chain ⊕ an md5-bucketed
+    bag-of-words embedding restated in SQL (embeddings.embed_text
+    semantics; doc text = title title meta snippet per
+    bert_embeddings.py:107)."""
+    from searchengine_ray.pipelines.embeddings import EMBED_DIM, embed_text
+    ctes = _sql_bm25_ctes(query, cfg, qcfg)
+    if ctes is None:
+        return "SELECT 1::BIGINT AS doc_id, 1.0 AS hybrid_r WHERE false"
+    q = embed_text(query)
+    nz = [(b, q[b]) for b in np.nonzero(q)[0]]
+    if nz:
+        qvals = ", ".join(f"({int(b)}, {w!r})" for b, w in nz)
+    else:
+        qvals = "(0, 0.0)"
+    snippet_sql = ("CASE WHEN length(text) > 0 THEN substr(text, 1, 200) "
+                   "|| '...' ELSE '' END")
+    default_sim = 1.0 / (1.0 + np.sqrt(2.0))
+    return ctes + f""",
+qw(b, w) AS (VALUES {qvals}),
+emb_text AS (
+  SELECT doc_id,
+         lower({SQL_TITLE} || ' ' || {SQL_TITLE} || ' ' || {SQL_META}
+               || ' ' || {snippet_sql}) AS et
+  FROM documents),
+etok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(et), '\\s+')) AS t
+  FROM emb_text WHERE trim(et) != ''),
+buck AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 16))::UBIGINT % {EMBED_DIM})::BIGINT AS b,
+         count(*)::DOUBLE AS tf
+  FROM etok GROUP BY doc_id, b),
+dt AS (SELECT doc_id, sum(tf * w) AS dp FROM buck JOIN qw USING (b)
+       GROUP BY doc_id),
+nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nd FROM buck GROUP BY doc_id),
+sims AS (
+  SELECT nrm.doc_id,
+         1.0 / (1.0 + sqrt(greatest(0.0,
+               2.0 - 2.0 * (coalesce(dt.dp, 0.0) / nrm.nd)))) AS sim
+  FROM nrm LEFT JOIN dt USING (doc_id))
+SELECT final.doc_id,
+       round(0.7 * final.s + 0.3 * coalesce(sims.sim, {default_sim!r}), 6)
+         AS hybrid_r
+FROM final LEFT JOIN sims USING (doc_id)
+WHERE final.s > {qcfg.min_score}
 """
 
 
@@ -518,6 +610,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
+        "classify_blogs": lambda sf: classify.classify(_docs(sf)),
         "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
         "events_sessionize": lambda sf: events.sessionize(_events(sf)),
         "events_props_extract": lambda sf: events.props_extract(_events(sf)),
@@ -526,6 +619,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
+        q[name.replace("bm25_", "hybrid_")] = (
+            lambda sf, _t=text: q_hybrid(sf, _t))
     return q
 
 
@@ -545,6 +640,7 @@ def build_oracles() -> dict[str, str]:
         "embedding_neardup": sql_embedding_neardup(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
+        "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
         "events_sessionize": events.sql_sessionize(),
         "events_props_extract": events.sql_props_extract(),
@@ -553,6 +649,7 @@ def build_oracles() -> dict[str, str]:
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)
+        o[name.replace("bm25_", "hybrid_")] = sql_hybrid(text)
     return o
     # no oracle (rows-only driver check; pytest-verified instead):
     # dedup_minhash_lsh (signature hashes use uint64 wraparound math DuckDB

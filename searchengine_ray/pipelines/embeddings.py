@@ -1,0 +1,109 @@
+"""Document embeddings for the hybrid search path — reference parity
+(SURVEY.md §2.9 hybrid / §2.4 ST2; /root/reference/search_engine/indexer/
+bert_embeddings.py).
+
+The reference encodes ``f"{title} {title} {description} {content_snippet}"``
+per doc with a SentenceTransformer on normalized vectors
+(bert_embeddings.py:100-123) into FAISS. The model itself is NOT available
+in this environment, so the model slot holds a DETERMINISTIC stand-in:
+``HashedBowEmbedder`` — md5-bucketed bag-of-words, L2-normalized. It is a
+real (if crude) text embedding: shared-vocabulary docs are cosine-similar,
+it is reproducible in the DuckDB oracle, and swapping in a genuine model is
+a one-class change with the same actor-pool signature
+(``map_batches(HashedBowEmbedder, concurrency=N, batch_size=B)``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+EMBED_DIM = 64
+
+
+def _md5_bucket(token: str, dim: int = EMBED_DIM) -> int:
+    import hashlib
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8],
+                          "big") % dim
+
+
+def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Pure shared embedding function (engine + tests + SQL oracle
+    semantics): lowercase whitespace tokens → md5 bucket tf → L2 unit."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in (text or "").lower().split():
+        vec[_md5_bucket(tok, dim)] += 1.0
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+class HashedBowEmbedder:
+    """Actor-pool embedding stage (the ST2 model slot). __init__ is the
+    once-per-actor model-load point; __call__ embeds a batch."""
+
+    def __init__(self, dim: int = EMBED_DIM, text_col: str = "embed_text"):
+        self.dim = dim
+        self.text_col = text_col  # a real model would load weights here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[self.text_col], pa.string()).to_pylist()
+        mat = np.stack([embed_text(t, self.dim) for t in texts])
+        out = batch.drop_columns([self.text_col])
+        # float64 storage: keeps hybrid scores bit-reproducible against the
+        # SQL oracle (a production index would store f32 at 2× density)
+        return out.append_column(
+            "embedding", pa.array(mat.tolist(), type=pa.list_(pa.float64())))
+
+
+def reference_embed_text_expr(title, meta, snippet) -> str:
+    """f"{title} {title} {description} {snippet}" — bert_embeddings.py:107."""
+    return f"{title} {title} {meta} {snippet}"
+
+
+def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
+                         batch_size: int = 256) -> str:
+    """Embed every docstore row (reference generate_bert_embeddings.py
+    shape: document_map → combined text → batched encode → store). Writes
+    ``index_dir/embeddings/`` parquet (doc_id, embedding) and returns the
+    directory."""
+    out_dir = os.path.join(index_dir, "embeddings")
+    docstore = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id", "title", "meta", "snippet"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["title"], pa.string())
+        m = pc.cast(batch["meta"], pa.string())
+        s = pc.cast(batch["snippet"], pa.string())
+        combined = pc.binary_join_element_wise(t, t, m, s, " ")
+        return pa.table({"doc_id": batch["doc_id"], "embed_text": combined})
+
+    (docstore.map_batches(prep, batch_format="pyarrow")
+             .map_batches(HashedBowEmbedder, concurrency=concurrency,
+                          batch_size=batch_size, batch_format="pyarrow")
+             .write_parquet(out_dir))
+    return out_dir
+
+
+def load_doc_embeddings(index_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
+    """(doc_ids sorted, unit matrix float64) or None when absent."""
+    out_dir = os.path.join(index_dir, "embeddings")
+    if not os.path.isdir(out_dir):
+        return None
+    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    if not files:
+        return None
+    t = pa.concat_tables([pq.read_table(os.path.join(out_dir, f))
+                          for f in files])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    arr = t["embedding"].combine_chunks()
+    mat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64) \
+        .reshape(len(t), -1)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]

@@ -360,6 +360,56 @@ class QueryEngine:
                 out = np.where(all_in_snip, out * 1.25, out)
         return out
 
+    # -- hybrid BM25 ⊕ embedding path (reference parity) -------------------
+    HYBRID_BM25_WEIGHT = 0.7   # optimized_indexer.py:139-140
+    HYBRID_VEC_WEIGHT = 0.3
+
+    def _load_embeddings(self) -> bool:
+        if not hasattr(self, "_emb"):
+            from searchengine_ray.pipelines.embeddings import \
+                load_doc_embeddings
+            self._emb = load_doc_embeddings(self.index_dir)
+        return self._emb is not None
+
+    def vector_search(self, query: str, top_k: int) -> list[tuple[int, float]]:
+        """Reference bert_embeddings.search semantics (bert_embeddings.py:
+        204-225): embed the raw query, L2 distance over unit vectors,
+        similarity = 1/(1+d); top-k by similarity (tie: doc_id)."""
+        from searchengine_ray.pipelines.embeddings import embed_text
+        if not self._load_embeddings():
+            return []
+        ids, mat = self._emb
+        q = embed_text(query)
+        cos = mat @ q
+        d = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * cos))
+        sim = 1.0 / (1.0 + d)
+        order = np.lexsort((ids, -sim))[:top_k]
+        return [(int(ids[i]), float(sim[i])) for i in order]
+
+    def hybrid_search(self, query: str, top_k: int | None = None) -> list[dict]:
+        """Reference hybrid pipeline (optimized_indexer.py:172-203 +
+        combine_results :119-170): BM25 over-fetch ×2, vector top-k,
+        INTERSECTION joined with combined = 0.7·bm25_norm + 0.3·sim, sorted
+        desc (deterministic tie-break by doc_id), head-k. Falls back to
+        plain BM25 when no embeddings exist (reference :188-190)."""
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        bm25 = self.search(query, top_k=top_k * 2)
+        if not self._load_embeddings() or not bm25:
+            return bm25[:top_k]
+        vec = dict(self.vector_search(query, top_k))
+        combined = []
+        for r in bm25:
+            sim = vec.get(r["doc_id"])
+            if sim is None:
+                continue
+            row = dict(r)
+            row["score"] = (self.HYBRID_BM25_WEIGHT * r["score"]
+                            + self.HYBRID_VEC_WEIGHT * sim)
+            row["search_method"] = "Hybrid BM25+Embedding"
+            combined.append(row)
+        combined.sort(key=lambda x: (-x["score"], x["doc_id"]))
+        return combined[:top_k]
+
     def search_page(self, query: str, page: int = 1, per_page: int = 15,
                     exclude_repos: list[str] | None = None) -> dict:
         """Web-serving wrapper: over-fetch ×3, post-filter, paginate —

@@ -363,3 +363,34 @@ def test_ivf_materialized_index_matches_inline(emb_ds, tmp_path):
     inline = ivf_topk(emb_ds, qids, k=k, n_centroids=8, n_probe=3)
     mat = ivf_index_search(idx, emb_ds, qids, k=k, n_probe=3)
     assert inline.to_pylist() == mat.to_pylist()
+
+
+def test_classify_cascade_branches(ray_session):
+    """Reference classifier cascade (classifier.py:144-196): domain tiers
+    beat content; content scoring hits the 0.5+0.1·matches lattice; the
+    <0.6 fallback coerces to (0.65, personal)."""
+    import ray.data
+    from searchengine_ray.pipelines.classify import classify
+    t = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "source": pa.array(["me.substack.com", "cnn.news.example.gov",
+                            "src1", "src2", "src3"]),
+        "lang": pa.array(["en"] * 5),
+        "text": pa.array([
+            "anything",                                   # domain personal
+            "anything",                                   # domain non-personal
+            "just tables and rows",                       # 0 matches → fallback
+            "about me my blog written by the author",     # 4 matches → 0.9
+            "personal opinion here",                      # 2 matches → 0.7
+        ]),
+    })
+    rows = {r["doc_id"]: r for r in
+            classify(ray.data.from_arrow(t)).take_all()}
+    assert (rows[0]["is_personal"], rows[0]["confidence_c"],
+            rows[0]["method"]) == (1, 90, "domain_pattern")
+    assert (rows[1]["is_personal"], rows[1]["confidence_c"],
+            rows[1]["method"]) == (0, 90, "domain_pattern")
+    assert (rows[2]["is_personal"], rows[2]["confidence_c"],
+            rows[2]["method"]) == (1, 65, "content")
+    assert (rows[3]["is_personal"], rows[3]["confidence_c"]) == (1, 90)
+    assert (rows[4]["is_personal"], rows[4]["confidence_c"]) == (1, 70)

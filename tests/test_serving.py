@@ -160,3 +160,42 @@ def test_query_service_pool(built):
         assert svc.stats()["num_docs"] == 400
     finally:
         svc.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# hybrid BM25 ⊕ embedding path (reference optimized_indexer semantics)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_search_reference_semantics(built):
+    import numpy as np
+    from searchengine_ray.pipelines.embeddings import (build_doc_embeddings,
+                                                       embed_text)
+    from searchengine_ray.query import QueryEngine
+
+    eng0 = QueryEngine(built.index_dir, built.cfg)
+    # fallback before embeddings exist = plain BM25 (reference :188-190)
+    assert eng0.hybrid_search("queue71", 5) == eng0.search("queue71", 10)[:5]
+
+    build_doc_embeddings(built.index_dir, concurrency=2)
+    eng = QueryEngine(built.index_dir, built.cfg)
+    for q in ["queue71", "py org2", "rust engine"]:
+        k = 5
+        got = eng.hybrid_search(q, k)
+        # in-test oracle: reference combine_results reimplemented
+        bm25 = eng.search(q, top_k=2 * k)
+        vec = dict(eng.vector_search(q, k))
+        want = []
+        for r in bm25:
+            if r["doc_id"] in vec:
+                want.append((r["doc_id"],
+                             0.7 * r["score"] + 0.3 * vec[r["doc_id"]]))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        want = want[:k]
+        assert [(g["doc_id"], g["score"]) for g in got] == want, q
+        assert all(g["search_method"] == "Hybrid BM25+Embedding" for g in got)
+
+    # the embedder really embeds: identical texts → identical vectors,
+    # disjoint-vocab texts → orthogonal
+    a = embed_text("alpha beta gamma")
+    assert np.allclose(a, embed_text("alpha beta gamma"))
+    assert abs(float(a @ embed_text("zzz9 qqq8 yyy7"))) < 0.7
