@@ -9,7 +9,7 @@ plain dict; here they are frozen dataclasses (SURVEY.md §2.12).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # The reference's 40-word default stopword list, written by

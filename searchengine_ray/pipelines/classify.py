@@ -23,7 +23,6 @@ DuckDB) so the SQL oracle hash-matches bit-for-bit.
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pyarrow as pa

@@ -24,7 +24,6 @@ import math
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow.parquet as pq
 
 from searchengine_ray.codec import decode_postings
