@@ -165,11 +165,74 @@ def run_scaling() -> dict:
             "scaling_efficiency": round(eff, 3)}
 
 
+def run_skew_evidence(num_docs: int = 48000) -> dict:
+    """Skew-handling evidence (north_rule: 'skew handled explicitly'):
+    build an ADVERSARIAL corpus — every doc contains the same ultra-hot
+    term — with salting off vs on, and report the max/median segment
+    partition sizes plus wall time for each."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.sources.corpus import generate_corpus_table
+
+    corpus_dir = f"/tmp/seray_skew_corpus_{num_docs}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        os.makedirs(corpus_dir, exist_ok=True)
+        for s in range(0, num_docs, 4000):
+            t = generate_corpus_table(min(4000, num_docs - s), start=s)
+            # adversarial: prepend the same hot token to EVERY doc, many times
+            content = pa.array(
+                [("megahot " * 20) + c for c in t["content"].to_pylist()],
+                type=pa.large_string())
+            t = t.set_column(t.schema.get_field_index("content"),
+                             "content", content)
+            pq.write_table(t, os.path.join(corpus_dir,
+                                           f"part-{s // 4000:05d}.parquet"))
+        open(os.path.join(corpus_dir, "_SUCCESS"), "w").write(str(num_docs))
+
+    out = {}
+    for label, salt in (("unsalted", False), ("salted", True)):
+        idx = f"/tmp/seray_skew_idx_{label}"
+        shutil.rmtree(idx, ignore_errors=True)
+        src = ray.data.read_parquet(
+            corpus_dir, columns=["repo", "path", "commit", "lang", "content"],
+            override_num_blocks=max(32, num_docs // 3000))
+        t0 = time.perf_counter()
+        m = build_index(src, idx, _bench_cfg(), salt_hot_terms=salt)
+        sec = time.perf_counter() - t0
+        rows = sorted(e["rows"] for e in m["partitions"].values()
+                      if e["kind"] == "segment")
+        out[label] = {
+            "sec": round(sec, 3),
+            "max_partition_rows": rows[-1],
+            "median_partition_rows": rows[len(rows) // 2],
+            "skew_ratio": round(rows[-1] / max(1, rows[len(rows) // 2]), 2),
+            "hot_terms_salted": len(m["hot_terms"]),
+        }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--_scale_run", type=int, default=None)
     args = ap.parse_args()
+
+    if args.skew:
+        _ray_init(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        res = run_skew_evidence()
+        print(json.dumps({
+            "metric": "adversarial-skew partition balance, salted vs unsalted",
+            "value": res["salted"]["skew_ratio"], "unit": "skew_ratio",
+            "queries": {}, "sf": "synthetic-adversarial", "num_cpus": 32,
+            "skew": res,
+        }))
+        import ray
+        ray.shutdown()
+        return
 
     if args._scale_run is not None:
         print(json.dumps(scale_probe(args._scale_run)))

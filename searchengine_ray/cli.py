@@ -39,6 +39,16 @@ def cmd_gen_corpus(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    _ensure_ray()
+    from searchengine_ray.sources.ingest import ingest_tree
+    stats = ingest_tree(args.root, args.out, repo=args.repo,
+                        commit=args.commit,
+                        max_file_bytes=args.max_file_bytes)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_build(args) -> int:
     _ensure_ray()
     from searchengine_ray.build import build_index
@@ -69,6 +79,13 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    from searchengine_ray.verify_index import verify_index
+    report = verify_index(args.index)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def cmd_stats(args) -> int:
     from searchengine_ray.config import IndexConfig
     from searchengine_ray.query import QueryEngine
@@ -88,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--rows-per-file", type=int, default=4000)
     g.set_defaults(fn=cmd_gen_corpus)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--root", required=True)
+    i.add_argument("--out", required=True)
+    i.add_argument("--repo", default=None)
+    i.add_argument("--commit", default=None)
+    i.add_argument("--max-file-bytes", type=int, default=8 * 1024 * 1024)
+    i.set_defaults(fn=cmd_ingest)
 
     b = sub.add_parser("build")
     b.add_argument("--source", required=True)
@@ -111,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--partitions", type=int, default=32)
     s.set_defaults(fn=cmd_stats)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--index", required=True)
+    v.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)

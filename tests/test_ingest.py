@@ -1,0 +1,64 @@
+"""Filesystem ingestion source (crawler-slot analogue, SURVEY.md §2.1 S1)."""
+
+from __future__ import annotations
+
+import os
+
+
+def make_tree(root):
+    os.makedirs(os.path.join(root, "src", "sub"))
+    os.makedirs(os.path.join(root, ".git"))
+    with open(os.path.join(root, "src", "main.py"), "w") as f:
+        f.write("def parseToken(stream):\n    return stream.hashMap\n")
+    with open(os.path.join(root, "src", "sub", "util.rs"), "w") as f:
+        f.write("fn merge_sort() {}\n")
+    with open(os.path.join(root, "README.md"), "w") as f:
+        f.write("# engine docs\n")
+    with open(os.path.join(root, "src", "bad.py"), "wb") as f:
+        f.write(b"x = '\xff\xfe broken'\n")          # invalid utf-8
+    with open(os.path.join(root, "big.js"), "w") as f:
+        f.write("x" * 2048)                          # oversized (cap below)
+    with open(os.path.join(root, ".git", "HEAD"), "w") as f:
+        f.write("ref: refs/heads/main\n")            # skipped dir
+    with open(os.path.join(root, "binary.so"), "wb") as f:
+        f.write(b"\x7fELF")                          # unknown extension
+
+
+def test_ingest_tree_and_index_end_to_end(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query import QueryEngine
+    from searchengine_ray.sources.corpus import read_source
+    from searchengine_ray.sources.ingest import ingest_tree, tree_fingerprint
+
+    root = str(tmp_path / "checkout")
+    make_tree(root)
+    out = str(tmp_path / "corpus")
+    stats = ingest_tree(root, out, max_file_bytes=1024)
+    assert stats["files_ingested"] == 4          # main.py util.rs README bad.py
+    assert stats["files_skipped"] == 1           # big.js over cap
+    assert len(stats["commit"]) == 40
+
+    t = pq.read_table(out)
+    rows = {r["path"]: r for r in t.to_pylist()}
+    assert set(rows) == {"src/main.py", "src/sub/util.rs", "README.md",
+                         "src/bad.py"}
+    assert rows["src/main.py"]["lang"] == "python"
+    assert rows["src/sub/util.rs"]["lang"] == "rust"
+    assert "�" in rows["src/bad.py"]["content"]   # replacement policy
+    assert all(r["commit"] == stats["commit"] for r in rows.values())
+
+    # deterministic fingerprint for an unchanged tree
+    from searchengine_ray.sources.ingest import discover_files
+    assert tree_fingerprint(root, discover_files(root)) == stats["commit"]
+
+    # end-to-end: ingested corpus → index → query
+    cfg = IndexConfig(num_partitions=4, num_length_partitions=2)
+    idx = str(tmp_path / "idx")
+    m = build_index(read_source(out), idx, cfg, salt_hot_terms=False)
+    assert m["num_docs"] == 4
+    eng = QueryEngine(idx, cfg)
+    hits = eng.search("parseToken")
+    assert hits and hits[0]["title"] == "src/main.py"
+    assert eng.search("mergeSort")[0]["title"] == "src/sub/util.rs"

@@ -199,3 +199,20 @@ def test_hybrid_search_reference_semantics(built):
     a = embed_text("alpha beta gamma")
     assert np.allclose(a, embed_text("alpha beta gamma"))
     assert abs(float(a @ embed_text("zzz9 qqq8 yyy7"))) < 0.7
+
+
+def test_verify_index_healthy_and_detects_damage(built, tmp_path):
+    import os
+    import shutil
+    from searchengine_ray.verify_index import verify_index
+    rep = verify_index(built.index_dir)
+    assert rep["ok"], rep["problems"]
+    assert rep["num_docs"] == 400
+    # damaged copy: drop a segment file → flagged
+    dmg = str(tmp_path / "damaged")
+    shutil.copytree(built.index_dir, dmg)
+    segs = sorted(os.listdir(os.path.join(dmg, "segments")))
+    os.remove(os.path.join(dmg, "segments", segs[0]))
+    rep2 = verify_index(dmg)
+    assert not rep2["ok"]
+    assert any("missing artifact" in p for p in rep2["problems"])
