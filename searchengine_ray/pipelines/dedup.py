@@ -74,6 +74,40 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     return grouped_aggregate(keyed, ["content_sha"], reduce_part)
 
 
+def dedup_keep_mask(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-doc keep flag — the form a training pipeline consumes: keep=1
+    iff the doc is its exact-dup group's keeper (min doc_id for its
+    sha256). Columns: doc_id, keep (int64 0/1). Same single shuffle as
+    exact_dedup, rows re-emitted per doc."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        return pa.table({
+            "content_sha": pa.array(shas, type=pa.string()),
+            "doc_id": pc.cast(batch[id_col], pa.int64()),
+        })
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        g = (part.group_by(["content_sha"], use_threads=False)
+             .aggregate([("doc_id", "min")]))
+        keeper = dict(zip(g["content_sha"].to_pylist(),
+                          g["doc_id_min"].to_pylist()))
+        shas = part["content_sha"].to_pylist()
+        keep = np.fromiter((1 if int(i) == keeper[s] else 0
+                            for i, s in zip(ids, shas)),
+                           dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "keep": pa.array(keep)})
+
+    keyed = ds.map_batches(key_batch, batch_format="pyarrow")
+    return grouped_aggregate(keyed, ["content_sha"], reduce_part)
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------

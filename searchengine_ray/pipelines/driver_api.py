@@ -427,6 +427,37 @@ def sql_exact_dedup() -> str:
             "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)")
 
 
+def sql_dedup_keep() -> str:
+    return ("SELECT doc_id, (CASE WHEN doc_id = min(doc_id) OVER "
+            "(PARTITION BY sha256(text)) THEN 1 ELSE 0 END)::BIGINT AS keep "
+            "FROM documents")
+
+
+def sql_quality_filter(min_ws_tokens: int = 10,
+                       max_stop_ratio_u: int = 500_000,
+                       min_distinct_ratio_u: int = 300_000) -> str:
+    from searchengine_ray.config import DEFAULT_STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in sorted(DEFAULT_STOPWORDS))
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_ws,
+         len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS n_stop,
+         len(list_distinct(toks))::BIGINT AS n_dist
+  FROM ws)
+SELECT doc_id,
+       (CASE WHEN n_ws >= {min_ws_tokens}
+              AND (n_stop * 1000000) // greatest(n_ws, 1) <= {max_stop_ratio_u}
+              AND (n_dist * 1000000) // greatest(n_ws, 1) >= {min_distinct_ratio_u}
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM m
+"""
+
+
 def sql_ngram_jaccard(n: int = 3, tau_u: int = 100_000, max_df: int = 200) -> str:
     toks = sql_tokens_expr("text")
     return f"""
@@ -594,6 +625,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": lambda sf: analysis.top_sources(_docs(sf)),
         "fingerprint": lambda sf: analysis.fingerprint(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "dedup_keep": lambda sf: dedup.dedup_keep_mask(_docs(sf)),
+        "quality_filter": lambda sf: analysis.quality_filter(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "simhash": lambda sf: dedup.simhash(_docs(sf), CFG),
         # max_bucket effectively unbounded: 4×16-bit banding is COMPLETE for
@@ -612,6 +645,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "classify_blogs": lambda sf: classify.classify(_docs(sf)),
         "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
         "events_sessionize": lambda sf: events.sessionize(_events(sf)),
+        "events_streaming_window": lambda sf: events.streaming_windowed_agg(
+            _events(sf)),
         "events_props_extract": lambda sf: events.props_extract(_events(sf)),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
@@ -632,6 +667,8 @@ def build_oracles() -> dict[str, str]:
         "term_df": sql_term_df(),
         "top_sources": sql_top_sources(),
         "dedup_exact": sql_exact_dedup(),
+        "dedup_keep": sql_dedup_keep(),
+        "quality_filter": sql_quality_filter(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
         "dedup_simhash": sql_simhash_neardup(),
@@ -642,6 +679,7 @@ def build_oracles() -> dict[str, str]:
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
         "events_sessionize": events.sql_sessionize(),
+        "events_streaming_window": events.sql_streaming_windowed_agg(),
         "events_props_extract": events.sql_props_extract(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),

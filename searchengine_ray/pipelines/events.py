@@ -144,6 +144,80 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def streaming_windowed_agg(ds: "ray.data.Dataset",
+                           lateness_us: int = 60_000_000,
+                           window_us: int = WINDOW_US) -> "ray.data.Dataset":
+    """Tumbling windows under STREAMING semantics with a watermark and an
+    allowed-lateness policy — the streaming-window custom operator (the
+    reference has no streaming features at all, SURVEY.md §2.11).
+
+    Arrival order is the stream order (= ascending event_id; the testdata's
+    ts jitter makes arrival ≠ event time, i.e. real out-of-orderness). Per
+    event_type the watermark is the running max event-time seen so far
+    minus ``lateness_us``; an event whose window has already been passed by
+    the watermark AT ITS ARRIVAL is late → excluded from the window's
+    aggregate and counted under is_late=1. Deterministic and exactly
+    restated in SQL (a running-max window function), so the policy itself
+    is oracle-checked.
+
+    Columns: window_start_us, event_type, is_late (int64 0/1), n_events,
+    sum_value_c. Partitioning: one shuffle keyed by event_type (the
+    watermark's scope); within a partition the sweep is a vectorized
+    running max in arrival order.
+    """
+    def per_type(group: pa.Table) -> pa.Table:
+        etype = group["event_type"][0].as_py()
+        order = np.argsort(pc.cast(group["event_id"], pa.int64())
+                           .to_numpy(zero_copy_only=False), kind="stable")
+        ts = pc.cast(group["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order]
+        val_c = np.round(group["value"].to_numpy(zero_copy_only=False)[order]
+                         * 100.0).astype(np.int64)
+        win = (ts // window_us) * window_us
+        running_max = np.maximum.accumulate(ts)
+        late = (win + window_us) <= (running_max - lateness_us)
+        t = pa.table({
+            "window_start_us": pa.array(win),
+            "is_late": pa.array(late.astype(np.int64)),
+            "n": pa.array(np.ones(len(ts), dtype=np.int64)),
+            "v": pa.array(np.where(late, 0, val_c)),
+        })
+        g = (t.group_by(["window_start_us", "is_late"], use_threads=False)
+             .aggregate([("n", "sum"), ("v", "sum")]))
+        return pa.table({
+            "window_start_us": pc.cast(g["window_start_us"], pa.int64()),
+            "event_type": pa.array([etype] * len(g), type=pa.string()),
+            "is_late": pc.cast(g["is_late"], pa.int64()),
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+            "sum_value_c": pc.cast(g["v_sum"], pa.int64()),
+        })
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pyarrow")
+
+
+def sql_streaming_windowed_agg(lateness_us: int = 60_000_000,
+                               window_us: int = WINDOW_US) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t,
+         round(value * 100)::BIGINT AS vc,
+         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS wm
+  FROM events),
+flagged AS (
+  SELECT event_type, (t // {window_us}) * {window_us} AS window_start_us,
+         CASE WHEN (t // {window_us}) * {window_us} + {window_us}
+                   <= wm - {lateness_us} THEN 1 ELSE 0 END AS is_late,
+         vc
+  FROM e)
+SELECT window_start_us, event_type, is_late::BIGINT AS is_late,
+       count(*)::BIGINT AS n_events,
+       sum(CASE WHEN is_late = 1 THEN 0 ELSE vc END)::BIGINT AS sum_value_c
+FROM flagged GROUP BY window_start_us, event_type, is_late
+"""
+
+
 def props_extract(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Extract the integer ``k`` from the JSON-ish props column with an RE2
     kernel (reference has no JSON functions, SURVEY.md §2.10 — this is the

@@ -216,3 +216,49 @@ def test_verify_index_healthy_and_detects_damage(built, tmp_path):
     rep2 = verify_index(dmg)
     assert not rep2["ok"]
     assert any("missing artifact" in p for p in rep2["problems"])
+
+
+def test_streaming_window_late_policy(ray_session):
+    """Hand-built out-of-order stream: the watermark (running max event
+    time − lateness) must drop exactly the straggler that arrives after
+    its window is finalized, and keep the one inside allowed lateness."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import streaming_windowed_agg
+    H = 3_600_000_000  # 1h in µs
+    rows = [
+        # (event_id = arrival order, ts, value)
+        (0, 10 * H + 100, 1.0),          # window 10h
+        (1, 11 * H + 100, 2.0),          # window 11h → watermark 11h+100-60s
+        (2, 10 * H + 200, 4.0),          # LATE: window 10h ended before wm
+        (3, 11 * H + 50, 8.0),           # window 11h, fine
+        (4, 12 * H - 30_000_000, 16.0),  # window 11h, within lateness
+        (5, 12 * H + 10, 32.0),          # window 12h
+        (6, 11 * H + 60, 64.0),          # LATE now (wm = 12h+10-60s > 12h end? no → 11h end=12h <= 12h+10-60s? 12h+10-60e6 < 12h → NOT late)
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([r[2] for r in rows], type=pa.float64()),
+    })
+    out = streaming_windowed_agg(ray.data.from_arrow(t),
+                                 lateness_us=60_000_000).take_all()
+    got = {(r["window_start_us"] // H, r["is_late"]):
+           (r["n_events"], r["sum_value_c"]) for r in out}
+    # event 2 is the only late one: 10h window end (11h) <= wm(11h+100-60s)?
+    # 11h <= 11h+100-60e6 is FALSE (60e6 ≫ 100) → with 60s lateness event 2
+    # survives; tighten: rerun with lateness 0 to force the drop
+    out0 = streaming_windowed_agg(ray.data.from_arrow(t),
+                                  lateness_us=0).take_all()
+    got0 = {(r["window_start_us"] // H, r["is_late"]):
+            (r["n_events"], r["sum_value_c"]) for r in out0}
+    assert got0[(10, 0)] == (1, 100)        # event 0 on time
+    assert got0[(10, 1)] == (1, 0)          # event 2 dropped (sum zeroed)
+    # event 6: wm at arrival = 12h+10; 11h-window end = 12h <= 12h+10 → late
+    assert got0[(11, 1)] == (1, 0)
+    assert got0[(11, 0)] == (3, 2600)       # events 1,3,4 → 200+800+1600
+    assert got0[(12, 0)] == (1, 3200)
+    # with 60s allowed lateness nothing here is late
+    assert all(k[1] == 0 for k in got)
+    assert got[(11, 0)] == (4, 9000)        # 1,3,4,6 → 200+800+1600+6400
