@@ -214,3 +214,28 @@ def test_adversarial_skew_salting_bounds_partitions(ray_session, tmp_path):
     assert r
     texts_by_url = {f"r{i % 5}/f{i}.py@c": texts[i] for i in range(n)}
     assert all("filler7" in texts_by_url[x["url"]] for x in r)
+
+
+def test_build_is_deterministic(ray_session, tmp_path):
+    """Same input → byte-identical segments and equal manifests across two
+    independent builds (no wall-clock, no unseeded randomness, stable
+    hashes — SURVEY.md §7 hard part 5)."""
+    import glob
+    import pyarrow.parquet as pq
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.sources.corpus import generate_corpus_table
+
+    t = generate_corpus_table(250, seed=9)
+    cfg = IndexConfig(num_partitions=8, num_length_partitions=2)
+    m1 = build_index(ray.data.from_arrow(t), str(tmp_path / "a"), cfg)
+    m2 = build_index(ray.data.from_arrow(t), str(tmp_path / "b"), cfg)
+    for k in ("num_docs", "num_terms", "avg_doc_len", "hot_terms"):
+        assert m1[k] == m2[k], k
+    segs_a = sorted(glob.glob(str(tmp_path / "a" / "segments" / "*.parquet")))
+    segs_b = sorted(glob.glob(str(tmp_path / "b" / "segments" / "*.parquet")))
+    assert [s.split("/")[-1] for s in segs_a] == \
+           [s.split("/")[-1] for s in segs_b]
+    for fa, fb in zip(segs_a, segs_b):
+        assert pq.read_table(fa).equals(pq.read_table(fb)), fa

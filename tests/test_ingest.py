@@ -62,3 +62,15 @@ def test_ingest_tree_and_index_end_to_end(ray_session, tmp_path):
     hits = eng.search("parseToken")
     assert hits and hits[0]["title"] == "src/main.py"
     assert eng.search("mergeSort")[0]["title"] == "src/sub/util.rs"
+
+
+def test_cli_ingest(ray_session, tmp_path, capsys):
+    import json
+    from searchengine_ray import cli
+    root = str(tmp_path / "tree")
+    make_tree(root)
+    rc = cli.main(["ingest", "--root", root, "--out", str(tmp_path / "out"),
+                   "--repo", "demo", "--max-file-bytes", "1024"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["files_ingested"] == 4 and stats["repo"] == "demo"

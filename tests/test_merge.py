@@ -71,3 +71,20 @@ def test_query_results_identical(merged_setup):
     merged_eng = QueryEngine(out_dir, CFG)
     for q in QUERIES:
         assert full_eng.search(q, top_k=20) == merged_eng.search(q, top_k=20), q
+
+
+def test_merge_is_idempotent(merged_setup):
+    """Re-running the merge over the same sources rewrites identical
+    artifacts (atomic tmp→rename; resume-safe)."""
+    import glob
+    import pyarrow.parquet as pq
+    from searchengine_ray.merge import merge_indexes
+    full_dir, out_dir, _, m1 = merged_setup
+    src_a = m1["merged_from"]
+    m2 = merge_indexes(src_a, out_dir, CFG, concurrency=(1, 2))
+    assert m2["num_docs"] == m1["num_docs"]
+    assert m2["num_terms"] == m1["num_terms"]
+    for f in sorted(glob.glob(out_dir + "/segments/*.parquet")):
+        base = f.split("/")[-1]
+        assert pq.read_table(f).equals(
+            pq.read_table(full_dir + "/segments/" + base))
