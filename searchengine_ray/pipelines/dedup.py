@@ -137,6 +137,36 @@ def _shingle_batch(batch: pa.Table, n: int, text_col: str, id_col: str,
     return g.select(["doc_id", "shingle"])
 
 
+def _shingle_hash_batch(batch: pa.Table, n: int, text_col: str,
+                        id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc_id, shingle_hash u64) for a batch WITHOUT building
+    shingle strings: token hashes come from the batch's DISTINCT tokens
+    (dictionary-encoded, hashed once each), shingle hash is an
+    order-sensitive polynomial mix over the window — fully vectorized.
+    Used by MinHash (which only needs shingle identity, not the string)."""
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+    from searchengine_ray.functions.hashing import hash64_array
+
+    di, toks = tokenize_column(batch[text_col], None, apply_filter=False)
+    ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    if len(di) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    th = hash64_array(toks)  # per-DISTINCT-token blake2b, gathered
+    m = len(di) - n + 1
+    poly = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h = th[:m].copy()
+        for k in range(1, n):
+            h = h * poly + th[k:k + m]
+    same_doc = di[:m] == di[n - 1:]
+    doc = ids[di[:m][same_doc]]
+    sh = h[same_doc]
+    # distinct per doc
+    pair = np.stack([doc.astype(np.uint64), sh], axis=1)
+    pair = np.unique(pair, axis=0)
+    return pair[:, 0].view(np.int64), pair[:, 1]
+
+
 def shingles(ds: "ray.data.Dataset", n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> "ray.data.Dataset":
     """Distinct word-n-gram shingles per document (tokenize() token space)."""
@@ -401,6 +431,22 @@ def simhash_neardup_pairs(ds: "ray.data.Dataset",
 _EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _sig_list_array(mat: np.ndarray) -> pa.ListArray:
+    """(rows, w) int64 matrix → list<int64> column without Python lists."""
+    n, w = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32)),
+        pa.array(np.ascontiguousarray(mat).ravel()))
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """list<int64> column → (rows, w) int64 matrix. ``flatten()`` (not
+    ``.values``) so sliced arrays keep their offset alignment."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """num_perm (a, b) pairs for the multiply-add family
     h_j(x) = (a_j·x + b_j) mod 2^64 with a_j odd — native uint64 wraparound,
@@ -423,24 +469,20 @@ def minhash_signatures(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     a_arr, b_arr = _minhash_params(num_perm, seed)
 
     def fn(batch: pa.Table) -> pa.Table:
-        from searchengine_ray.functions.hashing import hash64_array
-        sh = _shingle_batch(batch, n, text_col, id_col)
         ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        doc_ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+        doc_ids, x = _shingle_hash_batch(batch, n, text_col, id_col)
         nb = len(batch)
         id_pos = {int(d): i for i, d in enumerate(ids)}
         rows = np.fromiter((id_pos[int(d)] for d in doc_ids), dtype=np.int64,
                            count=len(doc_ids))
         sigs = np.full((nb, num_perm), _EMPTY_SENTINEL, dtype=np.uint64)
         if len(doc_ids):
-            x = hash64_array(sh["shingle"])
             with np.errstate(over="ignore"):
                 hv = x[:, None] * a_arr[None, :] + b_arr[None, :]  # mod 2^64
             np.minimum.at(sigs, rows, hv)
         return pa.table({
             "doc_id": pa.array(ids),
-            "sig": pa.array([row.view(np.int64).tolist() for row in sigs],
-                            type=pa.list_(pa.int64())),
+            "sig": _sig_list_array(sigs.view(np.int64)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -469,7 +511,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     def explode(batch: pa.Table) -> pa.Table:
         nb = len(batch)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        sig = _sig_matrix(batch["sig"])
         sig_u = sig.view(np.uint64)
         out = []
         with np.errstate(over="ignore"):
@@ -478,14 +520,13 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
                 for c in range(bidx * r, (bidx + 1) * r):
                     key = key * _POLY + sig_u[:, c]
                 out.append(key)
-        bucket = np.concatenate(out).view(np.int64)
+        keys = np.concatenate(out)
         return pa.table({
-            "part": pa.array(((np.concatenate(out) % np.uint64(NUM_PAIR_PARTITIONS))
-                              ).astype(np.int32)),
-            "bucket": pa.array(bucket),
+            "part": pa.array((keys % np.uint64(NUM_PAIR_PARTITIONS))
+                             .astype(np.int32)),
+            "bucket": pa.array(keys.view(np.int64)),
             "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
-            "sig": pa.array(np.tile(sig, (bands, 1)).tolist(),
-                            type=pa.list_(pa.int64())),
+            "sig": _sig_list_array(np.tile(sig, (bands, 1))),
         })
 
     min_matches = int(np.ceil(tau * num_perm))
@@ -505,7 +546,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
         # (wide) signature compare
         ab = np.unique(np.stack([pa_pos, pb_pos], axis=1), axis=0)
         pa_pos, pb_pos = ab[:, 0], ab[:, 1]
-        sig = np.array(t["sig"].to_pylist(), dtype=np.int64)
+        sig = _sig_matrix(t["sig"])
         matches = (sig[pa_pos] == sig[pb_pos]).sum(axis=1).astype(np.int64)
         keep = matches >= min_matches
         return pa.table({"a_id": pa.array(ids[pa_pos[keep]].astype(np.int64)),
