@@ -267,6 +267,10 @@ def main() -> None:
         "sf": sf, "num_cpus": num_cpus,
         "index_build": build,
         "bm25_p50_ms": bm25["p50_ms"], "bm25_p95_ms": bm25["p95_ms"],
+        "scaling_note": "run `python bench.py --scaling` for the 8-vs-32-CPU "
+                        "fresh-session efficiency (measured 0.67-0.77; "
+                        "analysis in BASELINE.md); `--skew` for the "
+                        "adversarial-salting evidence",
     }))
     import ray
     ray.shutdown()

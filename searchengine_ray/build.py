@@ -98,12 +98,38 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
     hot-term routing across sources).
     """
     os.makedirs(index_dir, exist_ok=True)
+    if not resume:
+        # a non-resume build OWNS the directory: clear stale artifacts so a
+        # previous corpus's partition files can never leak into this index
+        # (SegmentWriter only writes partitions that have rows)
+        import shutil
+        for sub in ("segments", "lengths", "docstore"):
+            shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+        mpath = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            os.remove(mpath)
     prior = load_manifest(index_dir) if resume else None
+    if prior is not None:
+        # resuming onto an incompatible layout would mix two partition
+        # numberings / term spaces into one index — refuse loudly
+        for key, want in (("num_partitions", cfg.num_partitions),
+                          ("num_length_partitions", cfg.num_length_partitions),
+                          ("tokenizer_version", TOKENIZER_VERSION)):
+            have = prior.get(key)
+            if have != want:
+                raise ValueError(
+                    f"resume mismatch at {index_dir}: manifest {key}={have} "
+                    f"but this build uses {want}; pass resume=False to "
+                    f"rebuild from scratch")
     done = done_parts(prior, index_dir)
 
     docstore_dir = os.path.join(index_dir, "docstore")
     docstore_done = bool(prior and prior.get("docstore_done")
                          and os.path.isdir(docstore_dir))
+    if (prior and prior.get("complete") and docstore_done
+            and only_parts is None):
+        return prior  # full build already checkpointed, artifacts intact
+
     docstore_thread = None
     docstore_err: list[BaseException] = []
     if not docstore_done:
@@ -135,26 +161,29 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
     if only_parts is not None:
         skip |= set(range(total_parts)) - set(only_parts)
 
-    if prior and prior.get("complete") and only_parts is None and resume:
-        return prior  # nothing to do — full build already checkpointed
+    if prior and prior.get("complete") and only_parts is None:
+        # all partitions already checkpointed — only the docstore needed
+        # rebuilding (thread above); skip the shuffle entirely
+        manifest_rows: list = []
+    else:
+        exploded = source.map_batches(
+            ExplodePostings(cfg, hot_terms), batch_format="pyarrow")
+        if skip:
+            skip_arr = pa.array(sorted(skip), type=pa.int32())
+            exploded = exploded.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["part"], value_set=skip_arr))),
+                batch_format="pyarrow")
+        writer = SegmentWriter(index_dir, cfg)
 
-    exploded = source.map_batches(
-        ExplodePostings(cfg, hot_terms), batch_format="pyarrow")
-    if skip:
-        skip_arr = pa.array(sorted(skip), type=pa.int32())
-        exploded = exploded.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t["part"], value_set=skip_arr))),
-            batch_format="pyarrow")
-    writer = SegmentWriter(index_dir, cfg)
+        def write_partition(group):
+            return writer(group)
 
-    def write_partition(group):
-        return writer(group)
-
-    manifest_rows = (
-        exploded.groupby("part")
-        .map_groups(write_partition, batch_format="pyarrow")
-        .take_all()
-    )
+        manifest_rows = (
+            exploded.groupby("part")
+            .map_groups(write_partition, batch_format="pyarrow")
+            .take_all()
+        )
     if docstore_thread is not None:
         docstore_thread.join()
         if docstore_err:
@@ -174,8 +203,11 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                    if e["kind"] == "lengths")
     num_terms = sum(e["terms"] for e in partitions.values()
                     if e["kind"] == "segment")
-    complete = only_parts is None and len(
-        [p for p in partitions.values() if p["status"] == "done"]) >= 1
+    # complete requires: a full (non-only_parts) run, actual documents
+    # observed (guards a resume against an empty/mis-pathed source being
+    # marked complete), and every recorded partition done
+    complete = (only_parts is None and num_docs > 0
+                and all(p["status"] == "done" for p in partitions.values()))
     manifest = {
         "num_docs": num_docs,
         "avg_doc_len": (sum_doc_len / num_docs) if num_docs else 0.0,

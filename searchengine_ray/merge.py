@@ -51,7 +51,9 @@ class SegmentMerger:
         path = os.path.join(self.out_dir, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(table, tmp, compression="zstd")
+        # row_group_size matches SegmentWriter._write — merged indexes keep
+        # the bounded row groups lazy_segments predicate pushdown needs
+        pq.write_table(table, tmp, compression="zstd", row_group_size=1024)
         os.replace(tmp, path)
         return rel, os.path.getsize(path)
 
@@ -153,10 +155,16 @@ def merge_indexes(source_dirs: list[str], out_dir: str,
     manifests = [load_manifest(d) for d in source_dirs]
     assert all(m is not None for m in manifests), "missing source manifest"
     base = manifests[0]
-    for m in manifests[1:]:
-        assert m["num_partitions"] == base["num_partitions"]
-        assert m["num_length_partitions"] == base["num_length_partitions"]
-        assert m["tokenizer_version"] == base["tokenizer_version"]
+    for d, m in zip(source_dirs, manifests):
+        # an incomplete source would silently merge as missing-partition
+        # postings whose docs have no length rows — refuse loudly
+        assert m.get("complete"), f"source index not complete: {d}"
+        assert m["num_partitions"] == cfg.num_partitions, \
+            f"{d}: num_partitions {m['num_partitions']} != cfg {cfg.num_partitions}"
+        assert m["num_length_partitions"] == cfg.num_length_partitions, \
+            f"{d}: num_length_partitions mismatch vs cfg"
+        assert m["tokenizer_version"] == TOKENIZER_VERSION, \
+            f"{d}: tokenizer_version mismatch"
         assert m["hot_terms"] == base["hot_terms"], \
             "sources must share hot_terms (build deltas with " \
             "hot_terms_override of the base index)"

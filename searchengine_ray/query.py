@@ -100,6 +100,7 @@ class QueryEngine:
         # decoded-postings cache (term → (ids, tfs) | _ABSENT); serving
         # actors are long-lived, so hot query terms decode once
         self._postings_cache: dict[str, object] = {}
+        self._df_cache: dict[tuple[int, str], int | None] = {}
         self._postings_cache_cap = 100_000
 
     # -- posting access ----------------------------------------------------
@@ -165,8 +166,14 @@ class QueryEngine:
 
     def _df_in_part(self, part: int, term: str) -> int | None:
         if self.lazy_segments:
+            key = (part, term)
+            if key in self._df_cache:
+                return self._df_cache[key]
             t = self._lazy_row(part, term, ["term", "df"])
-            return int(t["df"][0].as_py()) if t is not None else None
+            df = int(t["df"][0].as_py()) if t is not None else None
+            if len(self._df_cache) < self._postings_cache_cap:
+                self._df_cache[key] = df
+            return df
         self._load_part(part)
         row = self._segments[part].get(term)
         if row is None:
@@ -208,6 +215,8 @@ class QueryEngine:
     def search(self, query: str, top_k: int | None = None) -> list[dict]:
         cfg, qcfg = self.cfg, self.qcfg
         top_k = qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
+            return []
         filtered, original_tokens, original_query = prepare_query(query, cfg)
         if not filtered:
             return []
@@ -418,7 +427,9 @@ class QueryEngine:
         ``[start:start+per_page]`` at app.py:171-185; ``results_per_page``
         default 15 per utils/config.py:104)."""
         import math
-        fetched = self.search(query, top_k=per_page * 3 * max(1, page))
+        page = max(1, int(page))
+        per_page = max(1, int(per_page))
+        fetched = self.search(query, top_k=per_page * 3 * page)
         if exclude_repos:
             fetched = [r for r in fetched
                        if not any(x in r["url"] for x in exclude_repos)]

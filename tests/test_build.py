@@ -239,3 +239,55 @@ def test_build_is_deterministic(ray_session, tmp_path):
            [s.split("/")[-1] for s in segs_b]
     for fa, fb in zip(segs_a, segs_b):
         assert pq.read_table(fa).equals(pq.read_table(fb)), fa
+
+
+def test_resume_config_mismatch_raises(ray_session, tmp_path):
+    """Resuming onto an index built with a different partition layout must
+    refuse (it would mix two partition numberings)."""
+    import pyarrow as pa
+    import pytest as pt
+    import ray.data
+    t = pa.table({"repo": ["r"], "path": ["a.py"], "commit": ["c"],
+                  "lang": ["py"], "content": ["alpha beta gamma"]})
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(t), idx,
+                IndexConfig(num_partitions=4, num_length_partitions=2),
+                salt_hot_terms=False)
+    with pt.raises(ValueError, match="resume mismatch"):
+        build_index(ray.data.from_arrow(t), idx,
+                    IndexConfig(num_partitions=8, num_length_partitions=2),
+                    salt_hot_terms=False)
+    # resume=False rebuilds cleanly with the new layout
+    m = build_index(ray.data.from_arrow(t), idx,
+                    IndexConfig(num_partitions=8, num_length_partitions=2),
+                    resume=False, salt_hot_terms=False)
+    assert m["num_partitions"] == 8 and m["complete"]
+
+
+def test_no_resume_clears_stale_artifacts(ray_session, tmp_path):
+    """A resume=False rebuild on a different corpus must not resurrect the
+    old corpus's partition files (ghost documents)."""
+    import pyarrow as pa
+    import ray.data
+    cfg = IndexConfig(num_partitions=4, num_length_partitions=2)
+    idx = str(tmp_path / "idx")
+    a = pa.table({"repo": ["rA"], "path": ["a.py"], "commit": ["c"],
+                  "lang": ["py"], "content": ["ghostterm alpha"]})
+    b = pa.table({"repo": ["rB"] * 3, "path": ["b.py", "c.py", "d.py"],
+                  "commit": ["c"] * 3, "lang": ["py"] * 3,
+                  "content": ["beta gamma", "delta one", "epsilon two"]})
+    build_index(ray.data.from_arrow(a), idx, cfg, salt_hot_terms=False)
+    m = build_index(ray.data.from_arrow(b), idx, cfg, resume=False,
+                    salt_hot_terms=False)
+    assert m["num_docs"] == 3
+    eng = QueryEngine(idx, cfg)
+    assert eng.search("ghostterm") == []
+    assert eng.search("beta")[0]["url"] == "rB/b.py@c"
+
+
+def test_search_topk_zero_and_page_clamp(built):
+    eng = QueryEngine(built.index_dir, built.cfg)
+    assert eng.search("queue71", top_k=0) == []
+    p0 = eng.search_page("py org2", page=0, per_page=5)
+    p1 = eng.search_page("py org2", page=1, per_page=5)
+    assert p0["results"] == p1["results"] and p0["page"] == 1

@@ -88,3 +88,25 @@ def test_merge_is_idempotent(merged_setup):
         base = f.split("/")[-1]
         assert pq.read_table(f).equals(
             pq.read_table(full_dir + "/segments/" + base))
+
+
+def test_merge_refuses_incomplete_or_mismatched_sources(merged_setup, tmp_path):
+    import json
+    import os
+    import shutil
+    import pytest as pt
+    from searchengine_ray.merge import merge_indexes
+    full_dir, _, _, m1 = merged_setup
+    src = m1["merged_from"]
+    # wrong cfg
+    with pt.raises(AssertionError, match="num_partitions"):
+        merge_indexes(src, str(tmp_path / "o1"),
+                      IndexConfig(num_partitions=16, num_length_partitions=2))
+    # incomplete source
+    broken = str(tmp_path / "broken")
+    shutil.copytree(src[0], broken)
+    mf = json.load(open(os.path.join(broken, "manifest.json")))
+    mf["complete"] = False
+    json.dump(mf, open(os.path.join(broken, "manifest.json"), "w"))
+    with pt.raises(AssertionError, match="not complete"):
+        merge_indexes([broken, src[1]], str(tmp_path / "o2"), CFG)
