@@ -96,19 +96,27 @@ def run_index_build(index_dir: str, corpus_dir: str = BENCH_CORPUS_DIR,
 
 
 def run_bm25_latency(index_dir: str) -> dict:
+    from searchengine_ray.pipelines.embeddings import build_doc_embeddings
     from searchengine_ray.query import QueryEngine
+    build_doc_embeddings(index_dir)
     eng = QueryEngine(index_dir, _bench_cfg())
-    for q in BM25_BENCH_QUERIES:  # warm segment caches
+    for q in BM25_BENCH_QUERIES:  # warm segment caches + embeddings
         eng.search(q)
-    lat = []
+        eng.hybrid_search(q)
+    lat, hlat = [], []
     for _ in range(5):
         for q in BM25_BENCH_QUERIES:
             t0 = time.perf_counter()
             eng.search(q, top_k=20)
             lat.append((time.perf_counter() - t0) * 1000)
+            t0 = time.perf_counter()
+            eng.hybrid_search(q, top_k=20)
+            hlat.append((time.perf_counter() - t0) * 1000)
     lat.sort()
+    hlat.sort()
     return {"p50_ms": round(statistics.median(lat), 2),
             "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+            "hybrid_p50_ms": round(statistics.median(hlat), 2),
             "n": len(lat)}
 
 
@@ -267,6 +275,7 @@ def main() -> None:
         "sf": sf, "num_cpus": num_cpus,
         "index_build": build,
         "bm25_p50_ms": bm25["p50_ms"], "bm25_p95_ms": bm25["p95_ms"],
+        "hybrid_p50_ms": bm25["hybrid_p50_ms"],
         "scaling_note": "run `python bench.py --scaling` for the 8-vs-32-CPU "
                         "fresh-session efficiency (measured 0.67-0.77; "
                         "analysis in BASELINE.md); `--skew` for the "

@@ -73,9 +73,19 @@ def cmd_query(args) -> int:
     if args.page is not None:
         out = eng.search_page(args.q, page=args.page, per_page=args.per_page,
                               exclude_repos=args.exclude_repo or None)
+    elif args.hybrid:
+        out = eng.hybrid_search(args.q, top_k=args.top_k)
     else:
         out = eng.search(args.q, top_k=args.top_k)
     print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_embed(args) -> int:
+    _ensure_ray()
+    from searchengine_ray.pipelines.embeddings import build_doc_embeddings
+    out = build_doc_embeddings(args.index)
+    print(json.dumps({"embeddings_dir": out}))
     return 0
 
 
@@ -130,7 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--page", type=int, default=None)
     q.add_argument("--per-page", type=int, default=15)
     q.add_argument("--exclude-repo", action="append")
+    q.add_argument("--hybrid", action="store_true",
+                   help="BM25+embedding hybrid (requires built embeddings)")
     q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("embed")
+    e.add_argument("--index", required=True)
+    e.set_defaults(fn=cmd_embed)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
