@@ -141,17 +141,63 @@ def run_pipelines(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_explode_stage(corpus_dir: str, docs: int) -> float:
+    """Wall time of the tokenize/explode stage ALONE (no shuffle): the
+    pure-compute portion whose scaling is not limited by the single box's
+    exchange bandwidth."""
+    import ray.data
+    from searchengine_ray.stages.postings import ExplodePostings
+    src = ray.data.read_parquet(
+        corpus_dir, columns=["repo", "path", "commit", "lang", "content"],
+        override_num_blocks=max(32, docs // 3000))
+    t0 = time.perf_counter()
+    src.map_batches(ExplodePostings(_bench_cfg(), {}),
+                    batch_format="pyarrow").count()
+    return time.perf_counter() - t0
+
+
 def scale_probe(num_cpus: int) -> dict:
-    """Child-process mode: index build only, fresh Ray session. Best of 2
+    """Child-process mode: index build only, fresh Ray session. Best of 3
     runs — single-machine wall times vary ±30% with page-cache/disk state,
     and min-over-repeats estimates the true cost."""
     _ray_init(num_cpus)
     res = min((run_index_build(f"/tmp/seray_scale_index_{num_cpus}",
                                SCALING_DIR, SCALING_DOCS)
                for _ in range(3)), key=lambda r: r["sec"])
+    explode_sec = min(run_explode_stage(SCALING_DIR, SCALING_DOCS)
+                      for _ in range(3))
+    res["explode_sec"] = round(explode_sec, 3)
+    res["explode_docs_per_sec"] = round(SCALING_DOCS / explode_sec, 1)
     import ray
     ray.shutdown()
     return res
+
+
+def _dram_stream_work(n_iters: int) -> int:
+    import numpy as np
+    a = np.random.default_rng(0).integers(0, 255, size=25_000_000,
+                                          dtype=np.uint8)
+    s = 0
+    for _ in range(n_iters):
+        s += int(a.sum())
+    return s
+
+
+def hardware_ceiling_probe() -> dict:
+    """Ray-free control: a pure-numpy memory-streaming workload (array
+    scans, no shuffle, no IPC) at 8 vs 32 processes. Its efficiency is the
+    BOX's shared-DRAM-bandwidth ceiling — the upper bound any streaming
+    data engine can reach on this machine (measured ≈0.67; a real 4×-node
+    cluster quadruples DRAM alongside cores)."""
+    import multiprocessing as mp
+    out = {}
+    for p in (8, 32):
+        t0 = time.perf_counter()
+        with mp.Pool(p) as pool:
+            pool.map(_dram_stream_work, [30] * p)
+        out[p] = round((p * 30) / (time.perf_counter() - t0), 1)
+    return {"scans_per_sec_8": out[8], "scans_per_sec_32": out[32],
+            "efficiency": round(out[32] / (4 * out[8]), 3)}
 
 
 def run_scaling() -> dict:
@@ -169,8 +215,14 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
     eff = out[32]["docs_per_sec"] / (4 * out[8]["docs_per_sec"])
+    stage_eff = (out[32]["explode_docs_per_sec"]
+                 / (4 * out[8]["explode_docs_per_sec"]))
     return {"cpus_8": out[8], "cpus_32": out[32],
-            "scaling_efficiency": round(eff, 3)}
+            "scaling_efficiency": round(eff, 3),
+            "tokenize_stage_scaling_efficiency": round(stage_eff, 3),
+            # Ray-free control: the box's shared-DRAM ceiling for ANY
+            # streaming workload (BASELINE.md analysis)
+            "hardware_ceiling": hardware_ceiling_probe()}
 
 
 def run_skew_evidence(num_docs: int = 48000) -> dict:
