@@ -47,16 +47,28 @@ def _read_dir(path: str, columns=None):
 class QueryEngine:
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
                  qcfg: QueryConfig = QueryConfig(), *,
-                 lazy_segments: bool = False):
-        """``lazy_segments=True`` is the huge-index mode: term lookups use
-        parquet predicate pushdown (row-group stats on the term column —
-        segments are term-sorted, so a lookup touches ~1 row group) instead
-        of loading whole partition files into memory. Results are identical
-        (asserted in tests); eager mode is faster for small/warm indexes."""
+                 lazy_segments: bool = False,
+                 lazy_docstore: bool = False):
+        """Huge-index modes (results identical to eager — asserted in tests;
+        eager is faster for small/warm indexes):
+
+        ``lazy_segments=True``: term lookups use parquet predicate pushdown
+        (row-group stats on the term column — segments are term-sorted, so
+        a lookup touches ~1 row group) instead of loading whole partition
+        files into memory.
+
+        ``lazy_docstore=True``: only the docstore's doc_id column is
+        resident (8 B/doc); the heavy string columns (title/meta/snippet,
+        ~100× the bytes) are fetched per query for the boost-phase
+        candidates via doc_id predicate pushdown (docstore batches are
+        written doc_id-sorted). The remaining resident arrays (doc ids,
+        lengths) shard by doc_id range across serving actors at 10^12 docs
+        (ROADMAP.md)."""
         self.index_dir = index_dir
         self.cfg = cfg
         self.qcfg = qcfg
         self.lazy_segments = lazy_segments
+        self.lazy_docstore = lazy_docstore
         manifest = load_manifest(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -72,28 +84,36 @@ class QueryEngine:
         self._len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)[order]
         self._len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)[order]
 
-        store = _read_dir(os.path.join(index_dir, "docstore"),
-                          columns=["doc_id", "doc_key", "title", "meta", "snippet"])
-        ids = store["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        self._doc_ids = ids[order]
-        df = store.select(["doc_key", "title", "meta", "snippet"]).to_pandas()
-        df = df.iloc[order].reset_index(drop=True)
-        self._doc_key = df["doc_key"]
-        self._title = df["title"]
-        self._meta = df["meta"]
-        self._snippet = df["snippet"]
-        # Arrow-kernel copies for the boost stage (pc.match_substring is
-        # the hot path — C++ substring scan, no pandas object loop)
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        take = pa.array(order)
-        self._title_lower = pc.utf8_lower(pc.take(
-            store["title"].combine_chunks(), take))
-        self._meta_lower = pc.utf8_lower(pc.take(
-            store["meta"].combine_chunks(), take))
-        self._snippet_lower = pc.utf8_lower(pc.take(
-            store["snippet"].combine_chunks(), take))
+        self._docstore_dir = os.path.join(index_dir, "docstore")
+        if self.lazy_docstore:
+            ids = _read_dir(self._docstore_dir, columns=["doc_id"])["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            self._doc_ids = np.sort(ids)
+        else:
+            store = _read_dir(self._docstore_dir,
+                              columns=["doc_id", "doc_key", "title", "meta",
+                                       "snippet"])
+            ids = store["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            self._doc_ids = ids[order]
+            df = store.select(["doc_key", "title", "meta",
+                               "snippet"]).to_pandas()
+            df = df.iloc[order].reset_index(drop=True)
+            self._doc_key = df["doc_key"]
+            self._title = df["title"]
+            self._meta = df["meta"]
+            self._snippet = df["snippet"]
+            # Arrow-kernel copies for the boost stage (pc.match_substring
+            # is the hot path — C++ substring scan, no pandas object loop)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            take = pa.array(order)
+            self._title_lower = pc.utf8_lower(pc.take(
+                store["title"].combine_chunks(), take))
+            self._meta_lower = pc.utf8_lower(pc.take(
+                store["meta"].combine_chunks(), take))
+            self._snippet_lower = pc.utf8_lower(pc.take(
+                store["snippet"].combine_chunks(), take))
 
         self._segments: dict[int, dict[str, int]] = {}
         self._segment_tables: dict[int, object] = {}
@@ -143,6 +163,73 @@ class QueryEngine:
             return None
         t = self._segment_tables[part]
         return decode_postings(t["postings"][row].as_py())
+
+    # -- docstore access ---------------------------------------------------
+    def _fetch_doc_rows(self, ids_sorted: np.ndarray, columns: list[str]):
+        """Lazy-docstore fetch: rows for the given SORTED doc_ids via
+        per-file doc_id predicate pushdown (docstore batches are written
+        doc_id-sorted → row-group stats prune). Returns a table sorted by
+        doc_id, exactly one row per requested id."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        files = sorted(f for f in os.listdir(self._docstore_dir)
+                       if f.endswith(".parquet"))
+        # typed expression keeps uint64 ids intact (a plain Python list
+        # would coerce through int64 and overflow)
+        expr = pc.field("doc_id").isin(pa.array(ids_sorted))
+        parts = []
+        for f in files:
+            t = pq.read_table(os.path.join(self._docstore_dir, f),
+                              columns=["doc_id"] + columns,
+                              filters=expr)
+            if len(t):
+                parts.append(t)
+        merged = pa.concat_tables(parts)
+        order = np.argsort(merged["doc_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        merged = merged.take(pa.array(order))
+        assert len(merged) == len(ids_sorted), "docstore missing doc rows"
+        return merged
+
+    def _doc_fields_lower(self, ids: np.ndarray):
+        """(title, meta, snippet) lowercased Arrow arrays aligned to ids."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if not self.lazy_docstore:
+            take = pa.array(np.searchsorted(self._doc_ids, ids))
+            return (pc.take(self._title_lower, take),
+                    pc.take(self._meta_lower, take),
+                    pc.take(self._snippet_lower, take))
+        sort_idx = np.argsort(ids, kind="stable")
+        fetched = self._fetch_doc_rows(ids[sort_idx],
+                                       ["title", "meta", "snippet"])
+        inv = np.empty_like(sort_idx)
+        inv[sort_idx] = np.arange(len(ids))
+        take = pa.array(inv)
+        return tuple(
+            pc.take(pc.utf8_lower(fetched[c].combine_chunks()), take)
+            for c in ("title", "meta", "snippet"))
+
+    def _doc_meta(self, ids: np.ndarray) -> list[dict]:
+        """Result-formatting metadata rows aligned to ids."""
+        if not self.lazy_docstore:
+            out = []
+            for doc_id in ids:
+                j = int(np.searchsorted(self._doc_ids, doc_id))
+                out.append({"url": self._doc_key.iloc[j],
+                            "title": self._title.iloc[j],
+                            "meta": self._meta.iloc[j],
+                            "snippet": self._snippet.iloc[j]})
+            return out
+        sort_idx = np.argsort(ids, kind="stable")
+        fetched = self._fetch_doc_rows(
+            ids[sort_idx], ["doc_key", "title", "meta", "snippet"])
+        inv = np.empty_like(sort_idx)
+        inv[sort_idx] = np.arange(len(ids))
+        rows = fetched.to_pylist()
+        return [{"url": rows[k]["doc_key"], "title": rows[k]["title"],
+                 "meta": rows[k]["meta"], "snippet": rows[k]["snippet"]}
+                for k in inv]
 
     def _postings_single(self, term: str):
         return self._lookup_in_part(int(hash64(term) % self.num_partitions), term)
@@ -270,23 +357,21 @@ class QueryEngine:
             scores = scores / max_score
         # deterministic tie-break (-score, doc_id)
         order = np.lexsort((acc_ids, -scores))[:top_k]
-        results = []
-        for i in order:
-            score = float(scores[i])
-            if score <= self.qcfg.min_score:
-                continue
-            doc_id = int(acc_ids[i])
-            j = int(np.searchsorted(self._doc_ids, doc_id))
-            results.append({
-                "doc_id": doc_id,
-                "url": self._doc_key.iloc[j],
-                "title": self._title.iloc[j],
-                "description": self._meta.iloc[j],
-                "content_snippet": generate_relevant_snippet(
-                    self._snippet.iloc[j], original_tokens, self.qcfg),
-                "score": score,
-            })
-        return results
+        picked = [(int(acc_ids[i]), float(scores[i])) for i in order
+                  if float(scores[i]) > self.qcfg.min_score]
+        if not picked:
+            return []
+        metas = self._doc_meta(np.array([p[0] for p in picked],
+                                        dtype=np.uint64))
+        return [{
+            "doc_id": doc_id,
+            "url": meta["url"],
+            "title": meta["title"],
+            "description": meta["meta"],
+            "content_snippet": generate_relevant_snippet(
+                meta["snippet"], original_tokens, self.qcfg),
+            "score": score,
+        } for (doc_id, score), meta in zip(picked, metas)]
 
     # Upper bound of the multiplicative metadata boosts (§2.9.7):
     # phrase 1.8 × title-pct (1+1·2.0) × desc-pct (1+1·1.0) × proximity 1.25
@@ -333,13 +418,8 @@ class QueryEngine:
         """Reference indexer.py:405-441, vectorized via Arrow
         match_substring kernels; multiplication order matches the oracle
         exactly (phrase → title pct → desc pct → prox)."""
-        import pyarrow as pa
         import pyarrow.compute as pc
-        pos = np.searchsorted(self._doc_ids, ids)
-        take = pa.array(pos)
-        title = pc.take(self._title_lower, take)
-        desc = pc.take(self._meta_lower, take)
-        snip = pc.take(self._snippet_lower, take)
+        title, desc, snip = self._doc_fields_lower(ids)
 
         def _contains(arr, pat: str) -> np.ndarray:
             return pc.match_substring(arr, pat).to_numpy(zero_copy_only=False)

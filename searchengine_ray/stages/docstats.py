@@ -45,7 +45,7 @@ def docstats_batch(batch: pa.Table) -> pa.Table:
     )
     meta = pc.binary_join_element_wise(
         str_col(batch, "repo"), str_col(batch, "lang"), " ")
-    return pa.table({
+    out = pa.table({
         "doc_id": pa.array(ids),
         "doc_key": keys,
         "repo": str_col(batch, "repo"),
@@ -57,3 +57,6 @@ def docstats_batch(batch: pa.Table) -> pa.Table:
         "snippet": snippet,
         "content_sha256": pa.array(sha256_array(content), type=pa.binary()),
     })
+    # doc_id-sorted batches → every docstore file's row groups carry tight
+    # doc_id min/max stats, so lazy_docstore candidate fetches prune
+    return out.sort_by("doc_id")

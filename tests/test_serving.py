@@ -262,3 +262,19 @@ def test_streaming_window_late_policy(ray_session):
     # with 60s allowed lateness nothing here is late
     assert all(k[1] == 0 for k in got)
     assert got[(11, 0)] == (4, 9000)        # 1,3,4,6 → 200+800+1600+6400
+
+
+def test_lazy_docstore_identical(built):
+    from searchengine_ray.query import QueryEngine
+    eager = QueryEngine(built.index_dir, built.cfg)
+    lazy = QueryEngine(built.index_dir, built.cfg, lazy_docstore=True)
+    both = QueryEngine(built.index_dir, built.cfg, lazy_segments=True,
+                       lazy_docstore=True)
+    for q in ["queue71", "py org2", "parse token stream",
+              "src/module_96/file_25.py", "hashMap codec"]:
+        want = eager.search(q, top_k=20)
+        assert lazy.search(q, top_k=20) == want, q
+        assert both.search(q, top_k=20) == want, q
+    # unbounded-k path (full boost, no pruning) identical too
+    assert lazy.search("py org2", top_k=2000) == \
+        eager.search("py org2", top_k=2000)
