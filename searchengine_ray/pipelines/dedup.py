@@ -459,31 +459,73 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params_m31(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) pairs for the classical universal family
+    h_j(x) = (a_j·x + b_j) mod (2^31 − 1). All values < 2^31, so a·x < 2^62
+    fits int64 EXACTLY — in numpy AND in DuckDB BIGINT arithmetic, which is
+    what makes the m31 family's banded-LSH output SQL-oracle-checkable."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _md5_32(s: str) -> int:
+    """First 4 bytes (big-endian) of md5 — SQL twin:
+    ('0x' || substr(md5(s), 1, 8))::BIGINT."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
+
+
 def minhash_signatures(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
                        seed: int = 42, text_col: str = "text",
-                       id_col: str = "doc_id") -> "ray.data.Dataset":
+                       id_col: str = "doc_id",
+                       family: str = "wrap64") -> "ray.data.Dataset":
     """MinHash signatures over n-gram shingles. Columns: doc_id,
-    sig (list<int64>, uint64 values viewed as int64 — equality-comparable).
-    Docs with no shingles get the all-ones sentinel signature. The
-    (shingles × perms) hash is one numpy outer product per batch."""
-    a_arr, b_arr = _minhash_params(num_perm, seed)
+    sig (list<int64>). Docs with no shingles get the all-sentinel
+    signature. The (shingles × perms) hash is one numpy outer product per
+    batch.
+
+    ``family``: "wrap64" (default, fastest — numeric shingles, uint64
+    wraparound perms) or "m31" (md5 shingle strings + mod-(2^31−1) perms —
+    slower but exactly restatable in SQL; the driver oracle uses it).
+    """
+    if family == "m31":
+        a31, b31 = _minhash_params_m31(num_perm, seed)
+    else:
+        a_arr, b_arr = _minhash_params(num_perm, seed)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        doc_ids, x = _shingle_hash_batch(batch, n, text_col, id_col)
         nb = len(batch)
+        if family == "m31":
+            sh = _shingle_batch(batch, n, text_col, id_col)
+            doc_ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+            x = np.fromiter((_md5_32(s) for s in sh["shingle"].to_pylist()),
+                            dtype=np.int64, count=len(sh)) % MERSENNE31
+            sentinel = np.int64(MERSENNE31)
+        else:
+            doc_ids, x = _shingle_hash_batch(batch, n, text_col, id_col)
+            sentinel = _EMPTY_SENTINEL
         id_pos = {int(d): i for i, d in enumerate(ids)}
         rows = np.fromiter((id_pos[int(d)] for d in doc_ids), dtype=np.int64,
                            count=len(doc_ids))
-        sigs = np.full((nb, num_perm), _EMPTY_SENTINEL, dtype=np.uint64)
-        if len(doc_ids):
-            with np.errstate(over="ignore"):
-                hv = x[:, None] * a_arr[None, :] + b_arr[None, :]  # mod 2^64
-            np.minimum.at(sigs, rows, hv)
-        return pa.table({
-            "doc_id": pa.array(ids),
-            "sig": _sig_list_array(sigs.view(np.int64)),
-        })
+        if family == "m31":
+            sigs = np.full((nb, num_perm), sentinel, dtype=np.int64)
+            if len(doc_ids):
+                hv = (x[:, None] * a31[None, :] + b31[None, :]) % MERSENNE31
+                np.minimum.at(sigs, rows, hv)
+            sig_col = _sig_list_array(sigs)
+        else:
+            sigs = np.full((nb, num_perm), sentinel, dtype=np.uint64)
+            if len(doc_ids):
+                with np.errstate(over="ignore"):
+                    hv = x[:, None] * a_arr[None, :] + b_arr[None, :]
+                np.minimum.at(sigs, rows, hv)
+            sig_col = _sig_list_array(sigs.view(np.int64))
+        return pa.table({"doc_id": pa.array(ids), "sig": sig_col})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -491,7 +533,8 @@ def minhash_signatures(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
 def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
                       bands: int = 16, tau: float = 0.5, seed: int = 42,
                       max_bucket: int = 500, text_col: str = "text",
-                      id_col: str = "doc_id") -> "ray.data.Dataset":
+                      id_col: str = "doc_id",
+                      family: str = "wrap64") -> "ray.data.Dataset":
     """Candidate near-dup pairs via banded MinHash-LSH, filtered by the
     signature-estimated Jaccard ≥ tau.
 
@@ -502,7 +545,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     """
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(ds, n, num_perm, seed, text_col, id_col)
+    sigs = minhash_signatures(ds, n, num_perm, seed, text_col, id_col,
+                              family=family)
     # vectorized band-bucket key: polynomial multiply-add over the band's
     # sig rows in wrapping uint64 (equal band-signatures → equal keys;
     # 64-bit collisions are negligible vs the estimate filter downstream)

@@ -485,6 +485,64 @@ FROM j WHERE (inter * {dedup.JACCARD_SCALE}) // uni >= {tau_u}
 """
 
 
+def sql_minhash_lsh(n: int = 3, num_perm: int = 64, bands: int = 16,
+                    tau: float = 0.5, seed: int = 42,
+                    max_bucket: int = 500) -> str:
+    """Exact SQL restatement of the m31 MinHash+LSH pipeline: md5-32
+    shingle hashes, (a·x+b) mod 2^31−1 perms (all arithmetic < 2^62 —
+    exact in BIGINT), banded buckets via list-equality self-join with the
+    same bucket-size cap, signature-estimate filter."""
+    from searchengine_ray.pipelines.dedup import (MERSENNE31,
+                                                  _minhash_params_m31)
+    a, b = _minhash_params_m31(num_perm, seed)
+    perms = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                      for j in range(num_perm))
+    r = num_perm // bands
+    min_matches = int(np.ceil(tau * num_perm))
+    toks = sql_tokens_expr("text")
+    return f"""
+WITH perms(j, a, b) AS (VALUES {perms}),
+toklists AS (SELECT doc_id, {toks} AS L FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(L) - {n} + 2, 1)),
+                                 i -> array_to_string(L[i:i+{n - 1}], ' ')))
+           AS shingle
+    FROM toklists)),
+xs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MERSENNE31} AS x
+  FROM sh),
+mins AS (
+  SELECT d.doc_id, p.j,
+         coalesce(min((p.a * xs.x + p.b) % {MERSENNE31}),
+                  {MERSENNE31}) AS m
+  FROM documents d CROSS JOIN perms p LEFT JOIN xs ON xs.doc_id = d.doc_id
+  GROUP BY d.doc_id, p.j),
+bandv AS (
+  SELECT doc_id, j // {r} AS band, list(m ORDER BY j) AS bv
+  FROM mins GROUP BY doc_id, j // {r}),
+bucket_sizes AS (
+  SELECT band, bv, count(*) AS c FROM bandv GROUP BY band, bv),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bandv a
+  JOIN bandv b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  JOIN bucket_sizes s ON s.band = a.band AND s.bv = a.bv
+  WHERE s.c BETWEEN 2 AND {max_bucket}),
+est AS (
+  SELECT c.a_id, c.b_id,
+         sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END)::BIGINT AS est_matches
+  FROM cand c
+  JOIN mins ma ON ma.doc_id = c.a_id
+  JOIN mins mb ON mb.doc_id = c.b_id AND mb.j = ma.j
+  GROUP BY c.a_id, c.b_id)
+SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, est_matches
+FROM est WHERE est_matches >= {min_matches}
+"""
+
+
 def sql_simhash(cfg: IndexConfig = CFG) -> str:
     toks = sql_filtered_tokens_expr("text", cfg)
     chunk_cols = ", ".join(
@@ -633,7 +691,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # hamming ≤ 3, so the result is exactly all pairs ≤ 3 — SQL-checkable
         "dedup_simhash": lambda sf: dedup.simhash_neardup_pairs(
             _docs(sf), 3, CFG, max_bucket=1 << 30),
-        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(_docs(sf)),
+        # m31 family: exactly SQL-restatable (the fast wrap64 family stays
+        # the default for non-oracle use)
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
+            _docs(sf), family="m31"),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "ann_cosine_topk": lambda sf: similarity.brute_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
@@ -672,6 +733,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
         "dedup_simhash": sql_simhash_neardup(),
+        "dedup_minhash_lsh": sql_minhash_lsh(),
         "fingerprint": sql_fingerprint(),
         "embedding_neardup": sql_embedding_neardup(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),

@@ -394,3 +394,16 @@ def test_classify_cascade_branches(ray_session):
             rows[2]["method"]) == (1, 65, "content")
     assert (rows[3]["is_personal"], rows[3]["confidence_c"]) == (1, 90)
     assert (rows[4]["is_personal"], rows[4]["confidence_c"]) == (1, 70)
+
+
+def test_minhash_m31_family_finds_planted_dupes(docs_ds):
+    """The SQL-restatable mod-(2^31-1) family preserves minhash semantics:
+    exact dupes get full-match signatures, near-dupes high estimates."""
+    from searchengine_ray.pipelines.dedup import minhash_lsh_pairs
+    rows = minhash_lsh_pairs(docs_ds, n=3, num_perm=64, bands=16,
+                             tau=0.5, family="m31").take_all()
+    got = {(r["a_id"], r["b_id"]): r["est_matches"] for r in rows}
+    assert got.get((5, 41)) == 64
+    assert got.get((3, 10)) == 64
+    assert got.get((7, 25)) == 64
+    assert got.get((5, 40), 0) >= 32
