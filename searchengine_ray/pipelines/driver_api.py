@@ -706,6 +706,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "classify_blogs": lambda sf: classify.classify(_docs(sf)),
         "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
         "events_sessionize": lambda sf: events.sessionize(_events(sf)),
+        "events_sessionize_salted": lambda sf: events.sessionize_salted(
+            _events(sf)),
         "events_streaming_window": lambda sf: events.streaming_windowed_agg(
             _events(sf)),
         "events_props_extract": lambda sf: events.props_extract(_events(sf)),
@@ -741,6 +743,8 @@ def build_oracles() -> dict[str, str]:
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
         "events_sessionize": events.sql_sessionize(),
+        # the salted variant is output-identical → same oracle
+        "events_sessionize_salted": events.sql_sessionize(),
         "events_streaming_window": events.sql_streaming_windowed_agg(),
         "events_props_extract": events.sql_props_extract(),
         "doc_lengths": sql_doc_lengths(),

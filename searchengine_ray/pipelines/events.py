@@ -121,6 +121,78 @@ def sessionize(ds: "ray.data.Dataset",
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def sessionize_salted(ds: "ray.data.Dataset",
+                      gap_us: int = 1_800_000_000,
+                      shard_us: int = 86_400_000_000) -> "ray.data.Dataset":
+    """Skew-safe sessionization — the 10^12-row path for ``sessionize``.
+
+    Plain sessionize keys the shuffle by user_id alone, so one
+    pathologically active user's ENTIRE history lands on one worker.
+    Here the wide shuffle is keyed by (user_id, time-shard) — default
+    1-day shards, so no group exceeds a user-day of events — producing
+    per-shard partial sessions; a SECOND, tiny shuffle (per-user session
+    summaries, not events) merges sessions that span shard boundaries
+    (boundary sessions closer than ``gap_us`` coalesce). Output is
+    IDENTICAL to sessionize() — asserted in tests.
+    """
+    def per_shard(group: pa.Table) -> pa.Table:
+        uid = int(group["user_id"][0].as_py())
+        ts = np.sort(pc.cast(group["ts"], pa.int64())
+                     .to_numpy(zero_copy_only=False))
+        new_sess = np.concatenate([[True], np.diff(ts) > gap_us])
+        sess_id = np.cumsum(new_sess) - 1
+        nsess = int(sess_id[-1]) + 1
+        starts = ts[new_sess]
+        ends = np.zeros(nsess, dtype=np.int64)
+        np.maximum.at(ends, sess_id, ts)
+        counts = np.zeros(nsess, dtype=np.int64)
+        np.add.at(counts, sess_id, 1)
+        return pa.table({
+            "user_id": pa.array(np.full(nsess, uid, dtype=np.int64)),
+            "start_us": pa.array(starts),
+            "end_us": pa.array(ends),
+            "n": pa.array(counts),
+        })
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts": batch["ts"],
+            "shard": pa.array(ts // shard_us),
+        })
+
+    partials = (ds.map_batches(add_shard, batch_format="pyarrow")
+                  .groupby(["user_id", "shard"])
+                  .map_groups(per_shard, batch_format="pyarrow"))
+
+    def merge_user(group: pa.Table) -> pa.Table:
+        uid = int(group["user_id"][0].as_py())
+        order = np.argsort(group["start_us"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        starts = group["start_us"].to_numpy(zero_copy_only=False)[order]
+        ends = group["end_us"].to_numpy(zero_copy_only=False)[order]
+        ns = group["n"].to_numpy(zero_copy_only=False)[order]
+        # coalesce partial sessions whose boundary gap ≤ gap_us
+        new_sess = np.concatenate([[True], (starts[1:] - ends[:-1]) > gap_us])
+        sid = np.cumsum(new_sess) - 1
+        k = int(sid[-1]) + 1
+        out_start = starts[new_sess]
+        out_end = np.zeros(k, dtype=np.int64)
+        np.maximum.at(out_end, sid, ends)
+        out_n = np.zeros(k, dtype=np.int64)
+        np.add.at(out_n, sid, ns)
+        return pa.table({
+            "user_id": pa.array(np.full(k, uid, dtype=np.int64)),
+            "session_start_us": pa.array(out_start),
+            "n_events": pa.array(out_n),
+            "duration_us": pa.array(out_end - out_start),
+        })
+
+    return partials.groupby("user_id").map_groups(merge_user,
+                                                  batch_format="pyarrow")
+
+
 def sql_sessionize(gap_us: int = 1_800_000_000) -> str:
     return f"""
 WITH e AS (

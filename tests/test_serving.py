@@ -278,3 +278,19 @@ def test_lazy_docstore_identical(built):
     # unbounded-k path (full boost, no pruning) identical too
     assert lazy.search("py org2", top_k=2000) == \
         eager.search("py org2", top_k=2000)
+
+
+def test_sessionize_salted_equivalent(events_ds):
+    """The skew-safe (user, day)-sharded sessionize must produce exactly
+    the same sessions as the plain per-user version — including sessions
+    that span shard boundaries."""
+    from searchengine_ray.pipelines.events import sessionize, sessionize_salted
+    plain = sorted(
+        ((r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"])
+         for r in sessionize(events_ds).take_all()))
+    # tiny shards force MANY boundary-spanning sessions (1h shard, 30m gap)
+    salted = sorted(
+        ((r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"])
+         for r in sessionize_salted(events_ds,
+                                    shard_us=3_600_000_000).take_all()))
+    assert salted == plain
