@@ -162,6 +162,29 @@ def sql_index_stats() -> str:
     )
 
 
+def q_docstore_sha(sf_dir: str) -> pa.Table:
+    """The BASELINE.json per-row invariant, surfaced directly: sha256 of
+    every docstore row (as built by the INDEX pipeline) must equal sha256
+    of the source text. Columns: doc_id, sha_hex."""
+    import glob
+
+    import pyarrow.parquet as pq
+    idx = ensure_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(idx, "docstore", "*.parquet")))
+    t = pa.concat_tables([
+        pq.read_table(f, columns=["title", "content_sha256"]) for f in files])
+    orig = [_orig_id_from_title(x) for x in t["title"].to_pylist()]
+    hexes = [d.hex() for d in t["content_sha256"].to_pylist()]
+    return pa.table({
+        "doc_id": pa.array(orig, type=pa.int64()),
+        "sha_hex": pa.array(hexes, type=pa.string()),
+    })
+
+
+def sql_docstore_sha() -> str:
+    return "SELECT doc_id, sha256(text) AS sha_hex FROM documents"
+
+
 def q_bm25(sf_dir: str, query: str) -> pa.Table:
     """All docs scoring > min_score for the query (top_k unbounded so the
     result is a SET — order-insensitive vs the SQL oracle)."""
@@ -713,6 +736,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": lambda sf: events.props_extract(_events(sf)),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
+        "docstore_sha256": q_docstore_sha,
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -749,6 +773,7 @@ def build_oracles() -> dict[str, str]:
         "events_props_extract": events.sql_props_extract(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),
+        "docstore_sha256": sql_docstore_sha(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)
