@@ -30,7 +30,12 @@ import ray.data
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.arrow_tokenize import tokenize_column
 from searchengine_ray.stages.docstats import docstats_batch
-from searchengine_ray.stages.postings import ExplodePostings, SegmentWriter
+from searchengine_ray.stages.postings import (
+    DocstoreWriter,
+    ExplodePostings,
+    SegmentWriter,
+    docstore_part_ids,
+)
 from searchengine_ray.state.manifest import (
     TOKENIZER_VERSION,
     done_parts,
@@ -114,6 +119,8 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         # numberings / term spaces into one index — refuse loudly
         for key, want in (("num_partitions", cfg.num_partitions),
                           ("num_length_partitions", cfg.num_length_partitions),
+                          ("num_docstore_partitions",
+                           cfg.num_docstore_partitions),
                           ("tokenizer_version", TOKENIZER_VERSION)):
             have = prior.get(key)
             if have != want:
@@ -130,16 +137,48 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
             and only_parts is None):
         return prior  # full build already checkpointed, artifacts intact
 
+    total_parts = cfg.num_partitions + cfg.num_length_partitions
+    docstore_ids = set(range(total_parts,
+                             total_parts + cfg.num_docstore_partitions))
+    skip = set(done)
+    if only_parts is not None:
+        skip |= (set(range(total_parts)) | docstore_ids) - set(only_parts)
+    docstore_skip = skip & docstore_ids
+
     docstore_thread = None
     docstore_err: list[BaseException] = []
+    docstore_rows: list = []
     if not docstore_done:
         # independent pass over the source — run it CONCURRENTLY with the
         # postings shuffle (two Ray Data jobs share the cluster; the
-        # streaming executors interleave), hiding its wall time entirely
+        # streaming executors interleave), hiding its wall time entirely.
+        # Output is doc_id-RANGE partitioned with the same atomic-write +
+        # manifest-lineage contract as segments, so a crashed docstore pass
+        # resumes per-partition (deterministic file names — a rerun
+        # overwrites, never duplicates).
+        def _add_dpart(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "dpart", pa.array(docstore_part_ids(ids, cfg)))
+
         def _docstore_job():
             try:
-                source.map_batches(docstats_batch, batch_format="pyarrow") \
-                      .write_parquet(docstore_dir)
+                dds = (source.map_batches(docstats_batch,
+                                          batch_format="pyarrow")
+                       .map_batches(_add_dpart, batch_format="pyarrow"))
+                if docstore_skip:
+                    skip_arr = pa.array(sorted(docstore_skip),
+                                        type=pa.int32())
+                    dds = dds.map_batches(
+                        lambda t: t.filter(pc.invert(
+                            pc.is_in(t["dpart"], value_set=skip_arr))),
+                        batch_format="pyarrow")
+                writer = DocstoreWriter(index_dir)
+                docstore_rows.extend(
+                    dds.groupby("dpart")
+                       .map_groups(lambda g: writer(g),
+                                   batch_format="pyarrow")
+                       .take_all())
             except BaseException as e:  # re-raised on join
                 docstore_err.append(e)
 
@@ -155,11 +194,6 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         hot_terms = estimate_hot_terms(source, cfg)
     else:
         hot_terms = {}
-
-    total_parts = cfg.num_partitions + cfg.num_length_partitions
-    skip = set(done)
-    if only_parts is not None:
-        skip |= set(range(total_parts)) - set(only_parts)
 
     if prior and prior.get("complete") and only_parts is None:
         # all partitions already checkpointed — only the docstore needed
@@ -190,7 +224,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
             raise docstore_err[0]
 
     partitions = dict(prior.get("partitions", {})) if prior else {}
-    for row in manifest_rows:
+    for row in list(manifest_rows) + docstore_rows:
         partitions[str(int(row["part"]))] = {
             "kind": row["kind"], "path": row["path"], "rows": int(row["rows"]),
             "terms": int(row["terms"]), "bytes": int(row["bytes"]),
@@ -214,12 +248,17 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         "num_terms": num_terms,
         "num_partitions": cfg.num_partitions,
         "num_length_partitions": cfg.num_length_partitions,
+        "num_docstore_partitions": cfg.num_docstore_partitions,
         "bm25": {"k1": cfg.k1, "b": cfg.b},
         "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
                    "content": cfg.content_boost},
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": hot_terms,
-        "docstore_done": True,
+        # done unless an only_parts run deliberately excluded docstore
+        # partitions (the crash-simulation hook) — then the next resume
+        # reruns exactly the missing ones
+        "docstore_done": bool(docstore_done or not (docstore_ids & skip
+                                                    - set(done))),
         "complete": complete,
         "partitions": partitions,
     }

@@ -48,6 +48,11 @@ class IndexConfig:
     # num_length_partitions shards the doc-length table by hash(doc_id).
     num_partitions: int = 32
     num_length_partitions: int = 8
+    # Docstore output shards: doc_id RANGE partitioned (uniform, since
+    # doc_ids are hash64 values) so every docstore file covers a disjoint
+    # id range — lazy_docstore fetches prune whole files, and a crashed
+    # build resumes per-partition exactly like segments.
+    num_docstore_partitions: int = 8
     # Posting block size for block-max metadata (docs per block).
     block_size: int = 128
     # Terms with df above this fraction of N are salted into sub-partitions

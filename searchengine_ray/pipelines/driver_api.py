@@ -58,16 +58,24 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 
 
-def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str,
+          columns: list[str] = ["doc_id", "text"]) -> "ray.data.Dataset":
+    """Column-pruned documents read — only the columns the pipeline
+    touches leave storage (the engine readers' uniform property,
+    corpus.py:145)."""
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=list(columns))
 
 
-def _embs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+def _embs(sf_dir: str,
+          columns: list[str] = ["vec_id", "embedding"]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=list(columns))
 
 
-def _events(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=list(columns))
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +85,7 @@ def _events(sf_dir: str) -> "ray.data.Dataset":
 # bump when the on-disk index format or indexing semantics change, so a
 # stale /tmp cache from an older code revision can never answer for the
 # current engine
-ENGINE_CACHE_REV = 2
+ENGINE_CACHE_REV = 3  # r2: docstore became range-partitioned + lineage
 
 
 def index_dir_for(sf_dir: str) -> str:
@@ -702,8 +710,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: analysis.quality_score(_docs(sf)),
         "lang_id": lambda sf: analysis.lang_id(_docs(sf)),
         "snippets": lambda sf: analysis.snippets(_docs(sf)),
-        "term_df": lambda sf: analysis.term_df(_docs(sf), CFG),
-        "top_sources": lambda sf: analysis.top_sources(_docs(sf)),
+        "term_df": lambda sf: analysis.term_df(_docs(sf, ["text"]), CFG),
+        "top_sources": lambda sf: analysis.top_sources(_docs(sf, ["source"])),
         "fingerprint": lambda sf: analysis.fingerprint(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_keep": lambda sf: dedup.dedup_keep_mask(_docs(sf)),
@@ -726,14 +734,18 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
-        "classify_blogs": lambda sf: classify.classify(_docs(sf)),
-        "events_windowed_agg": lambda sf: events.windowed_agg(_events(sf)),
-        "events_sessionize": lambda sf: events.sessionize(_events(sf)),
+        "classify_blogs": lambda sf: classify.classify(
+            _docs(sf, ["doc_id", "text", "lang", "source"])),
+        "events_windowed_agg": lambda sf: events.windowed_agg(
+            _events(sf, ["ts", "event_type", "value"])),
+        "events_sessionize": lambda sf: events.sessionize(
+            _events(sf, ["user_id", "ts"])),
         "events_sessionize_salted": lambda sf: events.sessionize_salted(
-            _events(sf)),
+            _events(sf, ["user_id", "ts"])),
         "events_streaming_window": lambda sf: events.streaming_windowed_agg(
-            _events(sf)),
-        "events_props_extract": lambda sf: events.props_extract(_events(sf)),
+            _events(sf, ["event_id", "event_type", "ts", "value"])),
+        "events_props_extract": lambda sf: events.props_extract(
+            _events(sf, ["event_id", "props"])),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
         "docstore_sha256": q_docstore_sha,

@@ -103,7 +103,8 @@ def load_doc_embeddings(index_dir: str) -> tuple[np.ndarray, np.ndarray] | None:
                           for f in files])
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     arr = t["embedding"].combine_chunks()
-    mat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64) \
+    # flatten() (not .values) so sliced arrays keep their offset alignment
+    mat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64) \
         .reshape(len(t), -1)
     order = np.argsort(ids, kind="stable")
     return ids[order], mat[order]

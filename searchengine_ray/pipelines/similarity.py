@@ -35,12 +35,14 @@ COS_ROUND = 6  # emitted scores are round(cos, 6) in Ray AND SQL
 
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """list<float> column → (rows, dim) float64 matrix. ``flatten()`` (not
+    ``.values``) so a sliced ListArray keeps its offset alignment; dim comes
+    from the flattened length, which respects the slice."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(flat) // len(batch) if len(batch) else 0
-    return flat.reshape(len(batch), dim)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1) if len(arr) else flat.reshape(0, 0)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -501,15 +501,18 @@ class QueryEngine:
     def search_page(self, query: str, page: int = 1, per_page: int = 15,
                     exclude_repos: list[str] | None = None) -> dict:
         """Web-serving wrapper: over-fetch ×3, post-filter, paginate —
-        reference /search handler semantics (app.py:128-185: fetch
-        ``results_per_page*3`` at app.py:140, excluded-domain filter at
-        app.py:143-154 with repo-exclusion as our F4 analogue, slice
-        ``[start:start+per_page]`` at app.py:171-185; ``results_per_page``
-        default 15 per utils/config.py:104)."""
+        reference /search handler semantics, matched EXACTLY (app.py:128-185:
+        fetch a FIXED ``results_per_page*3`` at app.py:140 regardless of
+        page, excluded-domain filter at app.py:143-154 with repo-exclusion
+        as our F4 analogue, slice ``[start:start+per_page]`` at
+        app.py:171-185, ``total_pages = ceil(total/per_page)`` and 0 for an
+        empty result at app.py:176; ``results_per_page`` default 15 per
+        utils/config.py:104). Deep pages past the fixed over-fetch return
+        empty — as in the reference."""
         import math
         page = max(1, int(page))
         per_page = max(1, int(per_page))
-        fetched = self.search(query, top_k=per_page * 3 * page)
+        fetched = self.search(query, top_k=per_page * 3)
         if exclude_repos:
             fetched = [r for r in fetched
                        if not any(x in r["url"] for x in exclude_repos)]
@@ -518,7 +521,7 @@ class QueryEngine:
         return {
             "query": query,
             "page": page,
-            "total_pages": max(1, math.ceil(total / per_page)),
+            "total_pages": math.ceil(total / per_page) if total > 0 else 0,
             "total_results": total,
             "results": fetched[start:start + per_page],
         }

@@ -158,6 +158,46 @@ class ExplodePostings:
         )
 
 
+def docstore_part_ids(doc_ids: np.ndarray, cfg: IndexConfig) -> np.ndarray:
+    """Docstore partition id per doc: RANGE partition of the uint64 doc_id
+    space into cfg.num_docstore_partitions equal slices, offset past the
+    segment+length ids. doc_ids are hash64 values (uniform over uint64), so
+    range slices are balanced AND every docstore file covers a disjoint
+    doc_id range — lazy_docstore fetches prune whole files."""
+    base = cfg.num_partitions + cfg.num_length_partitions
+    step = np.uint64(2 ** 64 // cfg.num_docstore_partitions + 1)
+    return (base + (doc_ids.astype(np.uint64) // step).astype(np.int64)) \
+        .astype(np.int32)
+
+
+class DocstoreWriter:
+    """map_groups callable for the docstore pass: one group = one doc_id
+    range partition. Sorts by doc_id, writes ``docstore/part-NNNNN.parquet``
+    atomically (tmp → rename, deterministic name — a crashed run's rerun
+    overwrites rather than duplicating), returns a manifest lineage row —
+    the same checkpoint/resume contract as SegmentWriter."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["dpart"][0].as_py())
+        g = group.drop_columns(["dpart"]).combine_chunks().sort_by("doc_id")
+        rel = f"docstore/part-{part:05d}.parquet"
+        path = os.path.join(self.out_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        # bounded row groups + doc_id sort → tight min/max stats per group
+        pq.write_table(g, tmp, compression="zstd", row_group_size=1024)
+        os.replace(tmp, path)
+        return pa.Table.from_pylist(
+            [{"part": part, "kind": "docstore", "path": rel, "rows": len(g),
+              "terms": 0, "bytes": os.path.getsize(path), "sum_doc_len": 0.0,
+              "status": "done"}],
+            schema=MANIFEST_ROW_SCHEMA,
+        )
+
+
 class SegmentWriter:
     """map_groups callable: one group = one partition. Writes the partition
     file atomically and returns its manifest row."""

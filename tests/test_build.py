@@ -111,6 +111,58 @@ def test_resume_after_partial_build(built, tmp_path):
             assert g["score"] == pytest.approx(w["score"], abs=1e-9)
 
 
+def test_resume_mid_docstore(built, tmp_path):
+    """Kill-mid-docstore resume: first run writes only a subset of docstore
+    partitions (crash simulation via only_parts), the resume writes exactly
+    the missing ones — byte-identical to a one-shot build, no duplicated
+    doc rows (the round-1 dirty-docstore hazard)."""
+    cfg = IndexConfig(num_partitions=8, num_length_partitions=2)
+    src = read_source(built.corpus_dir)
+    total = cfg.num_partitions + cfg.num_length_partitions
+    ds_ids = set(range(total, total + cfg.num_docstore_partitions))
+
+    # crash run: all postings parts + only 3 docstore parts
+    crash_dir = str(tmp_path / "crash_index")
+    subset = set(range(total)) | set(sorted(ds_ids)[:3])
+    m1 = build_index(src, crash_dir, cfg, only_parts=subset)
+    assert m1["docstore_done"] is False
+    done_ds = {int(k) for k, v in m1["partitions"].items()
+               if v["kind"] == "docstore"}
+    assert done_ds <= set(sorted(ds_ids)[:3]) and done_ds
+    mtimes = {k: os.path.getmtime(os.path.join(crash_dir, v["path"]))
+              for k, v in m1["partitions"].items() if v["kind"] == "docstore"}
+
+    m2 = build_index(src, crash_dir, cfg)
+    assert m2["docstore_done"] is True and m2["complete"] is True
+    # finished docstore partitions were not rewritten
+    for k, t in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(crash_dir, m2["partitions"][k]["path"])) == t
+
+    # byte-identical docstore vs a one-shot build, and no duplicate rows
+    oneshot_dir = str(tmp_path / "oneshot_index")
+    build_index(src, oneshot_dir, cfg)
+    a = _read_dir(os.path.join(crash_dir, "docstore"))
+    b = _read_dir(os.path.join(oneshot_dir, "docstore"))
+    assert a.equals(b)
+    ids = a["doc_id"].to_numpy(zero_copy_only=False)
+    assert np.unique(ids).size == ids.size == len(built.table)
+
+
+def test_docstore_files_cover_disjoint_ranges(built):
+    """Docstore partitioning contract: each file covers a disjoint doc_id
+    RANGE (what lazy_docstore whole-file pruning relies on)."""
+    files = sorted(glob.glob(os.path.join(built.index_dir, "docstore",
+                                          "*.parquet")))
+    assert len(files) > 1
+    prev_max = -1
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        assert int(ids.min()) > prev_max
+        prev_max = int(ids.max())
+
+
 def test_completed_build_is_noop_on_rebuild(built):
     m = load_manifest(built.index_dir)
     m2 = build_index(read_source(built.corpus_dir), built.index_dir,
