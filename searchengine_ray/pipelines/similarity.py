@@ -117,40 +117,220 @@ def brute_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     })
 
 
-def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
-                      id_col: str = "vec_id",
-                      col: str = "embedding") -> "ray.data.Dataset":
-    """All vector pairs (a<b) with round(cosine, 6) ≥ tau — the
-    embedding-cosine near-dup detector. Columns: a_id, b_id (int64),
-    cos_r (float64). The right side is the full normalized matrix broadcast
-    once via ray.put; each streaming batch multiplies against it."""
-    all_rows = ds.map_batches(
-        lambda b: pa.table({
-            "vec_id": pc.cast(b[id_col], pa.int64()),
-            col: b[col] if not isinstance(b[col], pa.ChunkedArray)
-            else b[col].combine_chunks(),
-        }), batch_format="pyarrow").take_all()
-    rows = sorted(all_rows, key=lambda r: int(r["vec_id"]))
-    full_ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
-    full_mat = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
-    mat_ref = ray.put((full_ids, full_mat))
+def _float_list_array(mat: np.ndarray) -> pa.ListArray:
+    """(rows, d) float64 matrix → list<float64> column without Python lists."""
+    n, d = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(np.ascontiguousarray(mat).ravel()))
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ids_all, m_all = ray.get(mat_ref)
-        vecs = _normalize(_emb_matrix(batch, col))
-        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        sims = np.round(vecs @ m_all.T, COS_ROUND)  # (B, N)
-        li, ri = np.nonzero(sims >= tau)
-        a = vids[li]
-        b = ids_all[ri]
-        keep = a < b
+
+class _BlockPairScorer:
+    """Actor-pool stage for the block-pair grid: each input row is one
+    (i, j) block pair; the actor loads the two block files (small LRU so
+    consecutive pairs in the same actor reuse a side), computes the exact
+    cross-cosine and emits pairs ≥ tau. Holds at most a few blocks
+    (≈ 2·N/B rows) in memory — never the dataset."""
+
+    def __init__(self, blocks_dir: str, tau: float, cache_blocks: int = 4):
+        import collections
+        self.blocks_dir = blocks_dir
+        self.tau = tau
+        self._cache: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
+        self._cap = cache_blocks
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        import pyarrow.parquet as pq
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        import os
+        path = os.path.join(self.blocks_dir, f"block-{i:05d}.parquet")
+        if not os.path.exists(path):  # empty block: no rows hashed to it
+            val = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        else:
+            t = pq.read_table(path)
+            val = (t["vec_id"].to_numpy(zero_copy_only=False),
+                   _emb_matrix(t, "unit"))
+        self._cache[i] = val
+        if len(self._cache) > self._cap:
+            self._cache.popitem(last=False)
+        return val
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, m_i = self._block(int(i))
+            ids_j, m_j = self._block(int(j))
+            if not len(ids_i) or not len(ids_j):
+                continue
+            sims = np.round(m_i @ m_j.T, COS_ROUND)
+            li, ri = np.nonzero(sims >= self.tau)
+            a, b = ids_i[li], ids_j[ri]
+            if int(i) == int(j):
+                # diagonal block: each unordered pair appears twice (and
+                # as the a==a self-pair) — keep the a<b half
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+                out_c.append(sims[li[keep], ri[keep]])
+            else:
+                # cross block: each unordered pair appears exactly once,
+                # in either orientation — normalize to (min, max)
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_c.append(sims[li, ri])
+        if not out_a:
+            return pa.table({"a_id": pa.array([], type=pa.int64()),
+                             "b_id": pa.array([], type=pa.int64()),
+                             "cos_r": pa.array([], type=pa.float64())})
         return pa.table({
-            "a_id": pa.array(a[keep]),
-            "b_id": pa.array(b[keep]),
-            "cos_r": pa.array(sims[li[keep], ri[keep]]),
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "cos_r": pa.array(np.concatenate(out_c)),
         })
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+
+def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
+                      id_col: str = "vec_id", col: str = "embedding",
+                      num_blocks: int = 16, scratch_dir: str | None = None,
+                      concurrency=(1, 8)) -> "ray.data.Dataset":
+    """All vector pairs (a<b) with round(cosine, 6) ≥ tau — the EXACT
+    embedding-cosine near-dup detector. Columns: a_id, b_id (int64),
+    cos_r (float64).
+
+    Scale design (no whole-dataset materialization anywhere): one
+    streaming pass hash-partitions the normalized vectors into
+    ``num_blocks`` parquet block files (atomic tmp→rename, the partitioned
+    -output pattern every wide stage here uses), then a B·(B+1)/2 block-
+    pair task grid computes exact cross-cosines — each task holds TWO
+    blocks (2·N/B rows), never the dataset, and the grid parallelizes
+    across the cluster. Exact all-pairs is inherently O(N²) compute; for
+    corpora where that is off the table, ``embedding_neardup_lsh`` is the
+    sublinear candidate-generation path (probabilistic recall, identical
+    pair schema)."""
+    import os
+    import tempfile
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="seray_neardup_",
+                                       dir="/tmp")
+    os.makedirs(scratch_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        unit = _normalize(_emb_matrix(batch, col))
+        return pa.table({
+            "blk": pa.array((vids % num_blocks).astype(np.int32)),
+            "vec_id": pa.array(vids),
+            "unit": _float_list_array(unit),
+        })
+
+    def write_block(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        b = int(group["blk"][0].as_py())
+        g = group.drop_columns(["blk"]).combine_chunks().sort_by("vec_id")
+        path = os.path.join(scratch_dir, f"block-{b:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        return pa.table({"blk": pa.array([b], type=pa.int32()),
+                         "rows": pa.array([len(g)], type=pa.int64())})
+
+    # stage 1 (eager, tiny result): partitioned spill of unit vectors
+    (ds.map_batches(assign, batch_format="pyarrow")
+       .groupby("blk").map_groups(write_block, batch_format="pyarrow")
+       .take_all())
+
+    # stage 2 (lazy): the block-pair grid
+    pair_rows = [{"i": i, "j": j}
+                 for i in range(num_blocks) for j in range(i, num_blocks)]
+    return (ray.data.from_items(pair_rows)
+            .map_batches(_BlockPairScorer,
+                         fn_constructor_args=(scratch_dir, tau),
+                         batch_size=1, concurrency=concurrency,
+                         batch_format="pyarrow"))
+
+
+def embedding_neardup_lsh(ds: "ray.data.Dataset", tau: float = 0.3,
+                          num_planes: int = 6, num_tables: int = 24,
+                          seed: int = 42, max_bucket: int = 2000,
+                          id_col: str = "vec_id",
+                          col: str = "embedding") -> "ray.data.Dataset":
+    """Near-dup pairs via signed-random-projection LSH candidate
+    generation + exact cosine verification — the sublinear scale path for
+    ``embedding_neardup`` (mirrors ``dedup.minhash_lsh_pairs``: explode
+    into (table, code) buckets, coarse hash-partitioned groupby, capped
+    in-bucket pair emission, exact verify, (a,b) dedup).
+
+    Emitted pairs are EXACT (cos recomputed per candidate, same rounding),
+    so the output is a subset of embedding_neardup's at the same tau;
+    recall is probabilistic (1-(1-p^planes)^tables, p = 1-acos(cos)/π) and
+    property-tested. Columns: a_id, b_id, cos_r."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.dedup import (NUM_PAIR_PARTITIONS,
+                                                  _emit_run_pairs,
+                                                  _run_boundaries)
+
+    def codes_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        pw2 = 1 << np.arange(num_planes)
+        proj = np.einsum("tpd,rd->rtp", planes, mat)
+        return ((proj > 0).astype(np.int64) * pw2[None, None, :]).sum(axis=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        vids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        unit = _normalize(_emb_matrix(batch, col))
+        dim = unit.shape[1] if unit.size else 0
+        planes = np.random.default_rng(seed).standard_normal(
+            (num_tables, num_planes, dim))
+        vc = codes_of(unit, planes)  # (rows, T)
+        # bucket key = table-salted code (disjoint across tables)
+        bucket = (np.repeat(np.arange(num_tables, dtype=np.int64),
+                            len(vids)) << np.int64(num_planes)) \
+            | np.concatenate([vc[:, t] for t in range(num_tables)])
+        return pa.table({
+            "part": pa.array((bucket % NUM_PAIR_PARTITIONS).astype(np.int32)),
+            "bucket": pa.array(bucket),
+            "vec_id": pa.array(np.tile(vids, num_tables)),
+            "unit": _float_list_array(np.tile(unit, (num_tables, 1))),
+        })
+
+    def emit(group: pa.Table) -> pa.Table:
+        t = group.combine_chunks().sort_by(
+            [("bucket", "ascending"), ("vec_id", "ascending")])
+        codes = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        starts, ends = _run_boundaries(codes)
+        pa_pos, pb_pos = _emit_run_pairs(ids, starts, ends, max_bucket)
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "cos_r": pa.array([], type=pa.float64())})
+        if len(pa_pos) == 0:
+            return empty
+        ab = np.unique(np.stack([pa_pos, pb_pos], axis=1), axis=0)
+        pa_pos, pb_pos = ab[:, 0], ab[:, 1]
+        unit = _emb_matrix(t, "unit")
+        cos = np.round((unit[pa_pos] * unit[pb_pos]).sum(axis=1), COS_ROUND)
+        keep = cos >= tau
+        return pa.table({"a_id": pa.array(ids[pa_pos[keep]]),
+                         "b_id": pa.array(ids[pb_pos[keep]]),
+                         "cos_r": pa.array(cos[keep])})
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["a_id", "b_id"], use_threads=False)
+             .aggregate([("cos_r", "max")]))
+        return pa.table({
+            "a_id": pc.cast(g["a_id"], pa.int64()),
+            "b_id": pc.cast(g["b_id"], pa.int64()),
+            "cos_r": pc.cast(g["cos_r_max"], pa.float64()),
+        })
+
+    candidates = (ds.map_batches(explode, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(emit, batch_format="pyarrow"))
+    return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)
 
 
 # ---------------------------------------------------------------------------

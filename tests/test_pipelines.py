@@ -259,6 +259,40 @@ def test_embedding_neardup(emb_ds):
     want = {(a, b) for a in range(sims.shape[0])
             for b in range(a + 1, sims.shape[0]) if sims[a, b] >= tau}
     assert got == want and len(want) > 0
+    # no duplicate pairs out of the block grid
+    assert len(rows) == len(got)
+
+
+def test_embedding_neardup_block_count_invariance(emb_ds):
+    """The block-pair grid is a physical knob: results identical for any
+    num_blocks (incl. 1 = the single-task degenerate case)."""
+    from searchengine_ray.pipelines.similarity import embedding_neardup
+    tau = 0.9
+    base = {(r["a_id"], r["b_id"], r["cos_r"])
+            for r in embedding_neardup(emb_ds, tau=tau,
+                                       num_blocks=16).take_all()}
+    for nb in (1, 3):
+        alt = {(r["a_id"], r["b_id"], r["cos_r"])
+               for r in embedding_neardup(emb_ds, tau=tau,
+                                          num_blocks=nb).take_all()}
+        assert alt == base
+
+
+def test_embedding_neardup_lsh_subset_and_recall(emb_ds):
+    """LSH variant: every emitted pair is an exact-cos pair ≥ tau (subset
+    of the exact operator), and recall on the clustered fixture is high
+    (SRP collision prob at cos≥0.9 with 6 planes × 24 tables ≈ 1)."""
+    from searchengine_ray.pipelines.similarity import (embedding_neardup,
+                                                       embedding_neardup_lsh)
+    tau = 0.9
+    exact = {(r["a_id"], r["b_id"]): r["cos_r"]
+             for r in embedding_neardup(emb_ds, tau=tau).take_all()}
+    approx = {(r["a_id"], r["b_id"]): r["cos_r"]
+              for r in embedding_neardup_lsh(emb_ds, tau=tau).take_all()}
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    assert len(approx) / len(exact) >= 0.95
 
 
 # ---------------------------------------------------------------------------
