@@ -247,34 +247,85 @@ def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.dat
     from searchengine_ray.pipelines.dedup import _md5_64
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = pc.cast(batch["text"], pa.string()).to_pylist()
-        doc_ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
-        rows = {"doc_id": [], "n_shingles": [], "n_fingerprints": [],
-                "min_fp": [], "max_fp": []}
-        for did, text in zip(doc_ids, texts):
-            toks = (text or "").split()
-            hashes = np.array(
-                [_md5_64(" ".join(toks[i:i + k])) for i in range(max(0, len(toks) - k + 1))],
-                dtype=np.uint64)
-            if hashes.size == 0:
-                fps = np.empty(0, dtype=np.uint64)
-            elif hashes.size <= window:
-                fps = np.array([hashes.min()], dtype=np.uint64)
-            else:
-                idx = np.arange(hashes.size - window + 1)
-                wins = hashes[idx[:, None] + np.arange(window)]
-                fps = np.unique(wins.min(axis=1))
-            rows["doc_id"].append(int(did))
-            rows["n_shingles"].append(int(hashes.size))
-            rows["n_fingerprints"].append(int(fps.size))
-            rows["min_fp"].append(int(fps.min()) if fps.size else 0)
-            rows["max_fp"].append(int(fps.max()) if fps.size else 0)
+        nb = len(batch)
+        doc_ids = pc.cast(batch["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out_nsh = np.zeros(nb, dtype=np.int64)
+        out_nfp = np.zeros(nb, dtype=np.int64)
+        out_min = np.zeros(nb, dtype=np.uint64)
+        out_max = np.zeros(nb, dtype=np.uint64)
+
+        # whitespace tokens, flat + parent index (Python str.split semantics:
+        # empty/whitespace-only docs yield no tokens — drop "" tokens)
+        text = pc.cast(batch["text"], pa.string())
+        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, nonempty)
+        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+
+        if len(flat) >= k:
+            # k-gram shingle strings via slice-join (no per-row loop), masked
+            # to windows that stay inside one doc
+            m = len(flat) - k + 1
+            flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) \
+                else flat
+            parts = [flat.slice(i, m) for i in range(k)]
+            shingles = pc.binary_join_element_wise(*parts, " ")
+            same_doc = parents[:m] == parents[k - 1:]
+            sdoc = parents[:m][same_doc]
+            shingles = pc.filter(shingles, pa.array(same_doc))
+            # md5 each DISTINCT shingle once, gather through dictionary codes
+            dic = shingles.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            uniq = dic.dictionary.to_pylist()
+            h = np.fromiter((_md5_64(u) for u in uniq), dtype=np.uint64,
+                            count=len(uniq))[codes] if len(uniq) \
+                else np.empty(0, dtype=np.uint64)
+            np.add.at(out_nsh, sdoc, 1)
+
+            fp_doc_parts, fp_val_parts = [], []
+            if h.size:
+                # per-doc global min (the n_shingles ≤ window case)
+                doc_min = np.full(nb, np.uint64(0xFFFFFFFFFFFFFFFF),
+                                  dtype=np.uint64)
+                np.minimum.at(doc_min, sdoc, h)
+                small = (out_nsh >= 1) & (out_nsh <= window)
+                fp_doc_parts.append(np.nonzero(small)[0])
+                fp_val_parts.append(doc_min[small])
+                # sliding-window minima for docs with > window shingles;
+                # valid windows are those fully inside one doc
+                if h.size >= window:
+                    from numpy.lib.stride_tricks import sliding_window_view
+                    wmin = sliding_window_view(h, window).min(axis=1)
+                    valid = (sdoc[:len(wmin)] == sdoc[window - 1:]) \
+                        & (out_nsh[sdoc[:len(wmin)]] > window)
+                    fp_doc_parts.append(sdoc[:len(wmin)][valid])
+                    fp_val_parts.append(wmin[valid])
+            if fp_doc_parts:
+                fdoc = np.concatenate(fp_doc_parts).astype(np.uint64)
+                fval = np.concatenate(fp_val_parts)
+                uniq_pairs = np.unique(np.stack([fdoc, fval], axis=1), axis=0)
+                udoc = uniq_pairs[:, 0].astype(np.int64)
+                uval = uniq_pairs[:, 1]
+                np.add.at(out_nfp, udoc, 1)
+                # pairs are doc-major sorted: per-doc min is the run head,
+                # max the run tail
+                b = np.nonzero(np.diff(udoc))[0] + 1
+                starts = np.concatenate([[0], b])
+                ends = np.concatenate([b, [len(udoc)]])
+                out_min[udoc[starts]] = uval[starts]
+                out_max[udoc[starts]] = uval[ends - 1]
+
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-            "n_shingles": pa.array(rows["n_shingles"], type=pa.int64()),
-            "n_fingerprints": pa.array(rows["n_fingerprints"], type=pa.int64()),
-            "min_fp": pa.array(rows["min_fp"], type=pa.uint64()),
-            "max_fp": pa.array(rows["max_fp"], type=pa.uint64()),
+            "doc_id": pa.array(doc_ids),
+            "n_shingles": pa.array(out_nsh),
+            "n_fingerprints": pa.array(out_nfp),
+            "min_fp": pa.array(out_min),
+            "max_fp": pa.array(out_max),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")

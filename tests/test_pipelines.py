@@ -296,6 +296,56 @@ def test_embedding_neardup_lsh_subset_and_recall(emb_ds):
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprint
+# ---------------------------------------------------------------------------
+
+def _fingerprint_rowwise(text: str, k: int, window: int):
+    """Straightforward per-row reference (the round-1 implementation) the
+    vectorized operator must reproduce exactly."""
+    from searchengine_ray.pipelines.dedup import _md5_64
+    toks = (text or "").split()
+    hashes = np.array([_md5_64(" ".join(toks[i:i + k]))
+                       for i in range(max(0, len(toks) - k + 1))],
+                      dtype=np.uint64)
+    if hashes.size == 0:
+        fps = np.empty(0, dtype=np.uint64)
+    elif hashes.size <= window:
+        fps = np.array([hashes.min()], dtype=np.uint64)
+    else:
+        idx = np.arange(hashes.size - window + 1)
+        fps = np.unique(hashes[idx[:, None] + np.arange(window)].min(axis=1))
+    return (int(hashes.size), int(fps.size),
+            int(fps.min()) if fps.size else 0,
+            int(fps.max()) if fps.size else 0)
+
+
+def test_fingerprint_matches_rowwise_reference():
+    import ray.data
+    from searchengine_ray.pipelines.analysis import fingerprint
+    k, window = 5, 4
+    texts = [
+        "",                                    # no tokens
+        "   ",                                 # whitespace only
+        "a b c",                               # fewer than k tokens
+        "a b c d e",                           # exactly k → 1 shingle
+        "a b c d e f g h",                     # n_shingles == window
+        "a b c d e f g h i",                   # n_shingles == window+1
+        " ".join(f"t{i % 7}" for i in range(40)),   # repeats → dup shingles
+        " ".join(f"u{i}" for i in range(25)),
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    rows = {r["doc_id"]: r for r in
+            fingerprint(ray.data.from_arrow(t), k=k, window=window)
+            .take_all()}
+    for i, text in enumerate(texts):
+        nsh, nfp, mn, mx = _fingerprint_rowwise(text, k, window)
+        r = rows[i]
+        assert (r["n_shingles"], r["n_fingerprints"], r["min_fp"],
+                r["max_fp"]) == (nsh, nfp, mn, mx), (i, text)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
