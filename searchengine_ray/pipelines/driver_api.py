@@ -744,6 +744,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["user_id", "ts"])),
         "events_streaming_window": lambda sf: events.streaming_windowed_agg(
             _events(sf, ["event_id", "event_type", "ts", "value"])),
+        # skew-safe twin: small shards so the boundary-merge path is what
+        # the driver actually checks
+        "events_streaming_window_salted":
+            lambda sf: events.streaming_windowed_agg_salted(
+                _events(sf, ["event_id", "event_type", "ts", "value"]),
+                shard_events=2048),
         "events_props_extract": lambda sf: events.props_extract(
             _events(sf, ["event_id", "props"])),
         "doc_lengths": q_doc_lengths,
@@ -782,6 +788,8 @@ def build_oracles() -> dict[str, str]:
         # the salted variant is output-identical → same oracle
         "events_sessionize_salted": events.sql_sessionize(),
         "events_streaming_window": events.sql_streaming_windowed_agg(),
+        # output-identical by construction → same oracle
+        "events_streaming_window_salted": events.sql_streaming_windowed_agg(),
         "events_props_extract": events.sql_props_extract(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),

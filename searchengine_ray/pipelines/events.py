@@ -268,6 +268,117 @@ def streaming_windowed_agg(ds: "ray.data.Dataset",
                                                batch_format="pyarrow")
 
 
+def streaming_windowed_agg_salted(ds: "ray.data.Dataset",
+                                  lateness_us: int = 60_000_000,
+                                  window_us: int = WINDOW_US,
+                                  shard_events: int = 65536) -> "ray.data.Dataset":
+    """Skew-safe twin of ``streaming_windowed_agg`` — the 10^12-row path.
+
+    The plain operator keys its shuffle by event_type alone: a
+    low-cardinality, inherently skewed key (one worker receives an entire
+    type's full history). Here the wide shuffle is keyed by (event_type,
+    arrival-shard) — contiguous ``shard_events``-sized event_id ranges, so
+    no group exceeds a bounded slice of the stream — and a SECOND, tiny
+    shuffle over per-shard PARTIALS (≤ windows×2 rows per shard, never
+    events) finalizes lateness across shard boundaries.
+
+    Why this is exact: the watermark at an event is the running max
+    event-time over all earlier arrivals, which decomposes over arrival
+    shards as max(carry_in, local_running_max) where carry_in is the max
+    ts of all PREVIOUS shards. An event is late iff
+    win_end ≤ watermark − lateness, i.e. iff it is late under its shard's
+    local running max alone, OR carry_in ≥ win_end + lateness — a per-
+    (window, shard) threshold the merge pass evaluates from shard-summary
+    maxima. Output is IDENTICAL to streaming_windowed_agg (asserted in
+    tests; same driver oracle).
+    """
+    def add_shard(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "event_id": pa.array(eid),
+            "ts": batch["ts"],
+            "value": batch["value"],
+            "shard": pa.array(eid // shard_events),
+        })
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        etype = group["event_type"][0].as_py()
+        shard = int(group["shard"][0].as_py())
+        order = np.argsort(pc.cast(group["event_id"], pa.int64())
+                           .to_numpy(zero_copy_only=False), kind="stable")
+        ts = pc.cast(group["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order]
+        val_c = np.round(group["value"].to_numpy(zero_copy_only=False)[order]
+                         * 100.0).astype(np.int64)
+        win = (ts // window_us) * window_us
+        lmax = np.maximum.accumulate(ts)
+        late_local = (win + window_us) <= (lmax - lateness_us)
+        t = pa.table({
+            "window_start_us": pa.array(win),
+            "late_local": pa.array(late_local.astype(np.int64)),
+            "n": pa.array(np.ones(len(ts), dtype=np.int64)),
+            "v": pa.array(np.where(late_local, 0, val_c)),
+        })
+        g = (t.group_by(["window_start_us", "late_local"], use_threads=False)
+             .aggregate([("n", "sum"), ("v", "sum")]))
+        k = len(g)
+        return pa.table({
+            "event_type": pa.array([etype] * k, type=pa.string()),
+            "shard": pa.array(np.full(k, shard, dtype=np.int64)),
+            "shard_max_ts": pa.array(np.full(k, int(ts.max()),
+                                             dtype=np.int64)),
+            "window_start_us": pc.cast(g["window_start_us"], pa.int64()),
+            "late_local": pc.cast(g["late_local"], pa.int64()),
+            "n": pc.cast(g["n_sum"], pa.int64()),
+            "v": pc.cast(g["v_sum"], pa.int64()),
+        })
+
+    partials = (ds.map_batches(add_shard, batch_format="pyarrow")
+                  .groupby(["event_type", "shard"])
+                  .map_groups(per_shard, batch_format="pyarrow"))
+
+    def merge_type(group: pa.Table) -> pa.Table:
+        etype = group["event_type"][0].as_py()
+        shard = group["shard"].to_numpy(zero_copy_only=False)
+        smax = group["shard_max_ts"].to_numpy(zero_copy_only=False)
+        win = group["window_start_us"].to_numpy(zero_copy_only=False)
+        late_l = group["late_local"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        # exclusive prefix max of shard maxima, in shard order
+        uniq_shards, inv = np.unique(shard, return_inverse=True)
+        per_shard_max = np.full(len(uniq_shards), np.iinfo(np.int64).min,
+                                dtype=np.int64)
+        np.maximum.at(per_shard_max, inv, smax)
+        carry = np.concatenate([[np.iinfo(np.int64).min],
+                                np.maximum.accumulate(per_shard_max)[:-1]])
+        carry_in = carry[inv]
+        # lateness on the RIGHT side: carry_in is int64.min for the first
+        # shard and subtracting would wrap
+        flipped = (late_l == 0) & (carry_in >= win + window_us + lateness_us)
+        is_late = (late_l == 1) | flipped
+        t = pa.table({
+            "window_start_us": pa.array(win),
+            "is_late": pa.array(is_late.astype(np.int64)),
+            "n": pa.array(n),
+            "v": pa.array(np.where(is_late, 0, v)),
+        })
+        g = (t.group_by(["window_start_us", "is_late"], use_threads=False)
+             .aggregate([("n", "sum"), ("v", "sum")]))
+        return pa.table({
+            "window_start_us": pc.cast(g["window_start_us"], pa.int64()),
+            "event_type": pa.array([etype] * len(g), type=pa.string()),
+            "is_late": pc.cast(g["is_late"], pa.int64()),
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+            "sum_value_c": pc.cast(g["v_sum"], pa.int64()),
+        })
+
+    return partials.groupby("event_type").map_groups(merge_type,
+                                                     batch_format="pyarrow")
+
+
 def sql_streaming_windowed_agg(lateness_us: int = 60_000_000,
                                window_us: int = WINDOW_US) -> str:
     return f"""

@@ -264,6 +264,51 @@ def test_streaming_window_late_policy(ray_session):
     assert got[(11, 0)] == (4, 9000)        # 1,3,4,6 → 200+800+1600+6400
 
 
+def test_streaming_window_salted_identical(ray_session):
+    """The skew-safe (event_type, arrival-shard) variant must be output-
+    identical to the plain operator — on a hand-built out-of-order stream
+    with boundary-straddling lateness, for every shard size (1 event per
+    shard up to one giant shard), and on the real events table."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (
+        streaming_windowed_agg, streaming_windowed_agg_salted)
+    H = 3_600_000_000
+    rng = np.random.default_rng(11)
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    # event time wanders forward with heavy jitter → real out-of-orderness
+    ts = (10 * H + np.cumsum(rng.integers(0, 120_000_000, size=n))
+          + rng.integers(-90_000_000, 90_000_000, size=n))
+    t = pa.table({
+        "event_id": pa.array(ids),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array([f"t{i % 3}" for i in range(n)]),
+        "value": pa.array(rng.uniform(0, 5, size=n), type=pa.float64()),
+    })
+
+    def key(rows):
+        return {(r["window_start_us"], r["event_type"], r["is_late"]):
+                (r["n_events"], r["sum_value_c"]) for r in rows}
+
+    for lateness in (0, 60_000_000):
+        want = key(streaming_windowed_agg(
+            ray.data.from_arrow(t), lateness_us=lateness).take_all())
+        for shard_events in (1, 7, 64, 10**9):
+            got = key(streaming_windowed_agg_salted(
+                ray.data.from_arrow(t), lateness_us=lateness,
+                shard_events=shard_events).take_all())
+            assert got == want, (lateness, shard_events)
+
+    # real events table (ts monotone — exercises the no-late fast case)
+    ev = ray.data.read_parquet(
+        SF + "/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"])
+    want = key(streaming_windowed_agg(ev).take_all())
+    got = key(streaming_windowed_agg_salted(ev, shard_events=128).take_all())
+    assert got == want
+
+
 def test_lazy_docstore_identical(built):
     from searchengine_ray.query import QueryEngine
     eager = QueryEngine(built.index_dir, built.cfg)
