@@ -690,6 +690,150 @@ SELECT query_id, vec_id, round(cos, 6) AS cos_r FROM ranked WHERE rn <= {k}
 """
 
 
+def _sql_unit_vectors() -> str:
+    """Shared CTE text: embeddings unnested to (vec_id, d, u) unit-vector
+    coordinates. Norms differ from numpy at ~1e-16 (summation order); every
+    downstream decision uses round(·, 6), which absorbs that."""
+    return """
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ev GROUP BY vec_id),
+uv AS (SELECT ev.vec_id, ev.d, ev.val / nrm.nv AS u
+       FROM ev JOIN nrm ON nrm.vec_id = ev.vec_id)"""
+
+
+def sql_ann_lsh_topk(query_ids: list[int], k: int, num_planes: int = 8,
+                     num_tables: int = 8, seed: int = 42,
+                     dim: int = 64) -> str:
+    """Exact SQL restatement of similarity.lsh_topk: the seeded SRP planes
+    are injected as constants (data-independent; float64 repr round-trips
+    exactly through DuckDB), sign bits come from round(projection, 6) > 0
+    and ranking from (round(cos, 6) DESC, vec_id) — the same rounded-
+    arithmetic discipline the Ray side uses, so buckets, candidate sets
+    and top-k are bit-identical across engines."""
+    from searchengine_ray.pipelines.similarity import srp_planes
+    planes = srp_planes(num_tables, num_planes, dim, seed)
+    vals = ", ".join(
+        f"({t}, {p}, {d}, {planes[t, p, d]!r})"
+        for t in range(num_tables) for p in range(num_planes)
+        for d in range(dim))
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH planes(t, p, d, w) AS (VALUES {vals}),
+{_sql_unit_vectors()},
+proj AS (
+  SELECT uv.vec_id, pl.t, pl.p, round(sum(uv.u * pl.w), 6) AS pr
+  FROM uv JOIN planes pl ON pl.d = uv.d
+  GROUP BY uv.vec_id, pl.t, pl.p),
+codes AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+           AS code
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, vc.vec_id AS vec_id
+  FROM codes qc JOIN codes vc ON qc.t = vc.t AND qc.code = vc.code
+  WHERE qc.vec_id IN ({ids})),
+scored AS (
+  SELECT c.query_id, c.vec_id, round(sum(uq.u * ud.u), 6) AS cos_r
+  FROM cand c
+  JOIN uv uq ON uq.vec_id = c.query_id
+  JOIN uv ud ON ud.vec_id = c.vec_id AND ud.d = uq.d
+  GROUP BY c.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos_r
+FROM ranked WHERE rn <= {k}
+"""
+
+
+def sql_ann_ivf_topk(query_ids: list[int], k: int, n_centroids: int = 16,
+                     n_probe: int = 4, sample_rows: int = 512,
+                     lloyd_iters: int = 2) -> str:
+    """Exact SQL restatement of similarity.ivf_topk INCLUDING the k-means
+    training (similarity.train_centroids): id-prefix sample, stride-seeded
+    centroids, unrolled Lloyd iterations. Centroid coordinates are
+    round(·, 6) after every update and every assignment/probe/rank compares
+    round(dot, 6) (ties → lowest centroid index / vec_id), so the trained
+    centroids and the final top-k are bit-identical to the numpy path."""
+    ids = ", ".join(str(i) for i in query_ids)
+    # initial centroids: every stride-th sample row (by vec_id order)
+    parts = [f"""
+WITH {_sql_unit_vectors()},
+samp AS (SELECT DISTINCT vec_id FROM embeddings
+         WHERE vec_id < {sample_rows}),
+stride AS (
+  SELECT greatest((SELECT count(*) FROM samp) // {n_centroids}, 1) AS s),
+sidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM samp),
+c0 AS (
+  SELECT (sidx.rn // stride.s)::BIGINT AS j, uv.d, round(uv.u, 6) AS c
+  FROM sidx CROSS JOIN stride
+  JOIN uv ON uv.vec_id = sidx.vec_id
+  WHERE sidx.rn % stride.s = 0 AND sidx.rn // stride.s < {n_centroids})"""]
+    for i in range(lloyd_iters):
+        parts.append(f""",
+d{i} AS (
+  SELECT uv.vec_id, c.j, round(sum(uv.u * c.c), 6) AS dot
+  FROM uv JOIN c{i} c ON c.d = uv.d
+  WHERE uv.vec_id IN (SELECT vec_id FROM samp)
+  GROUP BY uv.vec_id, c.j),
+a{i} AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, j) AS rnk
+    FROM d{i}) WHERE rnk = 1),
+m{i} AS (
+  SELECT a.j, uv.d, round(avg(uv.u), 6) AS m
+  FROM a{i} a JOIN uv ON uv.vec_id = a.vec_id
+  GROUP BY a.j, uv.d),
+mf{i} AS (
+  SELECT c.j, c.d, coalesce(m.m, c.c) AS m
+  FROM c{i} c LEFT JOIN m{i} m ON m.j = c.j AND m.d = c.d),
+c{i + 1} AS (
+  SELECT j, d, round(m / nr, 6) AS c FROM (
+    SELECT j, d, m, sqrt(sum(m * m) OVER (PARTITION BY j)) AS nr
+    FROM mf{i}))""")
+    cf = f"c{lloyd_iters}"
+    parts.append(f""",
+alldots AS (
+  SELECT uv.vec_id, c.j, round(sum(uv.u * c.c), 6) AS dot
+  FROM uv JOIN {cf} c ON c.d = uv.d
+  GROUP BY uv.vec_id, c.j),
+assign AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, j) AS rnk
+    FROM alldots) WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, j FROM (
+    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dot DESC, j) AS rnk
+    FROM alldots WHERE vec_id IN ({ids})) WHERE rnk <= {n_probe}),
+cand AS (
+  SELECT q.query_id, a.vec_id FROM qprobe q JOIN assign a ON a.j = q.j),
+scored AS (
+  SELECT c.query_id, c.vec_id, round(sum(uq.u * ud.u), 6) AS cos_r
+  FROM cand c
+  JOIN uv uq ON uq.vec_id = c.query_id
+  JOIN uv ud ON ud.vec_id = c.vec_id AND ud.d = uq.d
+  GROUP BY c.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos_r
+FROM ranked WHERE rn <= {k}
+""")
+    return "".join(parts)
+
+
 def sql_multimodal() -> str:
     checksum = " + ".join(
         f"('0x' || substr(sha256(text), {2 * j + 1}, 2))::BIGINT" for j in range(8))
@@ -781,6 +925,8 @@ def build_oracles() -> dict[str, str]:
         "fingerprint": sql_fingerprint(),
         "embedding_neardup": sql_embedding_neardup(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
+        "ann_lsh_topk": sql_ann_lsh_topk(ANN_QUERY_IDS, ANN_K),
+        "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
@@ -799,11 +945,10 @@ def build_oracles() -> dict[str, str]:
         o[name] = sql_bm25(text)
         o[name.replace("bm25_", "hybrid_")] = sql_hybrid(text)
     return o
-    # no oracle (rows-only driver check; pytest-verified instead):
-    # dedup_minhash_lsh (signature hashes use uint64 wraparound math DuckDB
-    # cannot express — overflow raises instead of wrapping),
-    # ann_lsh_topk / ann_ivf_topk (approximate by design; recall is
-    # property-tested against the exact brute-force result)
+    # Every queries() entry now has an exact SQL oracle. The approximate
+    # ANN entries (lsh/ivf) are restated via the rounded-arithmetic
+    # discipline: seeded SRP planes / k-means training injected or unrolled
+    # in SQL, every cross-engine float decision on round(·, 6) values.
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001") -> pd.DataFrame:

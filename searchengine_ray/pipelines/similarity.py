@@ -273,19 +273,12 @@ def embedding_neardup_lsh(ds: "ray.data.Dataset", tau: float = 0.3,
                                                   _emit_run_pairs,
                                                   _run_boundaries)
 
-    def codes_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
-        pw2 = 1 << np.arange(num_planes)
-        proj = np.einsum("tpd,rd->rtp", planes, mat)
-        return ((proj > 0).astype(np.int64) * pw2[None, None, :]).sum(axis=2)
-
     def explode(batch: pa.Table) -> pa.Table:
         vids = pc.cast(batch[id_col], pa.int64()).to_numpy(
             zero_copy_only=False)
         unit = _normalize(_emb_matrix(batch, col))
         dim = unit.shape[1] if unit.size else 0
-        planes = np.random.default_rng(seed).standard_normal(
-            (num_tables, num_planes, dim))
-        vc = codes_of(unit, planes)  # (rows, T)
+        vc = srp_codes(unit, srp_planes(num_tables, num_planes, dim, seed))
         # bucket key = table-salted code (disjoint across tables)
         bucket = (np.repeat(np.arange(num_tables, dtype=np.int64),
                             len(vids)) << np.int64(num_planes)) \
@@ -341,21 +334,49 @@ def train_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
                     sample_rows: int = 512, lloyd_iters: int = 2,
                     id_col: str = "vec_id",
                     col: str = "embedding") -> np.ndarray:
-    """Deterministic mini k-means on a bounded prefix sample (driver-side —
-    the sample is tiny; at 10^9+ vectors this becomes a map_batches partial
-    k-means, same contract). Returns unit-norm (n_centroids, dim)."""
-    rows = ds.limit(sample_rows).take_all()
+    """Deterministic mini k-means on a bounded id-prefix sample (rows with
+    id < sample_rows — driver-side; the sample is tiny. At 10^9+ vectors
+    this becomes a map_batches partial k-means, same contract). Returns
+    unit-norm (n_centroids, dim).
+
+    Rounded-arithmetic discipline (shared with the SQL oracle): centroid
+    coordinates are round(·, 6) after every update and assignments/probes
+    compare round(dot, 6) — so the ~1e-16 summation-order differences
+    between numpy and DuckDB can never flip a k-means assignment, and the
+    trained centroids are bit-identical across engines."""
+    sr = pa.scalar(sample_rows, type=pa.int64())
+    small = ds.map_batches(
+        lambda b: b.filter(pc.less(pc.cast(b[id_col], pa.int64()), sr)),
+        batch_format="pyarrow").take_all()
+    rows = sorted(small, key=lambda r: int(r[id_col]))
     mat = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
     stride = max(1, len(mat) // n_centroids)
-    cents = mat[::stride][:n_centroids]
+    cents = np.round(mat[::stride][:n_centroids], COS_ROUND)
     for _ in range(lloyd_iters):
-        assign = np.argmax(mat @ cents.T, axis=1)
+        # np.argmax takes the FIRST max — the lowest centroid index, which
+        # is the SQL twin's ORDER BY dot DESC, j ASC tie-break
+        assign = np.argmax(np.round(mat @ cents.T, COS_ROUND), axis=1)
+        newc = cents.copy()
         for c in range(len(cents)):
             sel = mat[assign == c]
             if len(sel):
-                cents[c] = sel.mean(axis=0)
-        cents = _normalize(cents)
+                newc[c] = np.round(sel.mean(axis=0), COS_ROUND)
+        cents = np.round(_normalize(newc), COS_ROUND)
     return cents
+
+
+def assign_centroids(unit: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per unit vector: argmax of round(dot, 6),
+    ties → lowest index (the SQL twin's ORDER BY)."""
+    return np.argmax(np.round(unit @ cents.T, COS_ROUND), axis=1)
+
+
+def probe_centroids(qmat: np.ndarray, cents: np.ndarray,
+                    n_probe: int) -> np.ndarray:
+    """(Q, n_probe) probed centroid indices: by round(dot, 6) DESC, index
+    ASC (stable argsort of the negated rounded dots)."""
+    rd = np.round(qmat @ cents.T, COS_ROUND)
+    return np.argsort(-rd, axis=1, kind="stable")[:, :n_probe]
 
 
 def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
@@ -372,20 +393,20 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     """
     cents = train_centroids(ds, n_centroids, id_col=id_col, col=col)
     qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
-    qprobe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]  # (Q, P)
+    qprobe = probe_centroids(qmat, cents, n_probe)  # (Q, P)
     ref = ray.put((qids, qmat, cents, qprobe))
 
     def score(batch: pa.Table) -> pa.Table:
         ids_q, qm, cc, qp = ray.get(ref)
         vecs = _normalize(_emb_matrix(batch, col))
         vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        assign = np.argmax(vecs @ cc.T, axis=1)  # (B,)
+        assign = assign_centroids(vecs, cc)  # (B,)
         out_q, out_v, out_c = [], [], []
         for qi in range(len(ids_q)):
             cand = np.isin(assign, qp[qi])
             if not cand.any():
                 continue
-            row = vecs[cand] @ qm[qi]
+            row = np.round(vecs[cand] @ qm[qi], COS_ROUND)
             cvids = vids[cand]
             kk = min(k, row.size)
             idx = np.lexsort((cvids, -row))[:kk]
@@ -440,7 +461,7 @@ def build_ivf_index(ds: "ray.data.Dataset", out_dir: str,
         cc = ray.get(cref)
         vecs = _normalize(_emb_matrix(batch, col))
         return pa.table({
-            "bucket": pa.array(np.argmax(vecs @ cc.T, axis=1).astype(np.int32)),
+            "bucket": pa.array(assign_centroids(vecs, cc).astype(np.int32)),
             "vec_id": pc.cast(batch[id_col], pa.int64()),
             col: batch[col] if not isinstance(batch[col], pa.ChunkedArray)
             else batch[col].combine_chunks(),
@@ -480,7 +501,7 @@ def ivf_index_search(index_dir: str, ds: "ray.data.Dataset",
     import pyarrow.parquet as pq
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
-    qprobe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    qprobe = probe_centroids(qmat, cents, n_probe)
     out_q, out_v, out_c = [], [], []
     cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for qi in range(len(qids)):
@@ -502,12 +523,12 @@ def ivf_index_search(index_dir: str, ds: "ray.data.Dataset",
         if ids.size == 0:
             continue
         vecs = np.concatenate(cand_vecs)
-        row = vecs @ qmat[qi]
+        row = np.round(vecs @ qmat[qi], COS_ROUND)
         kk = min(k, row.size)
         idx = np.lexsort((ids, -row))[:kk]
         out_q.extend([int(qids[qi])] * kk)
         out_v.extend(ids[idx].tolist())
-        out_c.extend(round(float(x), COS_ROUND) for x in row[idx])
+        out_c.extend(float(x) for x in row[idx])
     return pa.table({
         "query_id": pa.array(out_q, type=pa.int64()),
         "vec_id": pa.array(out_v, type=pa.int64()),
@@ -518,6 +539,26 @@ def ivf_index_search(index_dir: str, ds: "ray.data.Dataset",
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
+
+def srp_planes(num_tables: int, num_planes: int, dim: int,
+               seed: int = 42) -> np.ndarray:
+    """Seeded signed-random-projection planes (num_tables, num_planes, dim)
+    — data-independent constants, shared verbatim with the SQL oracle
+    (float64 repr round-trips exactly through DuckDB)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, num_planes, dim))
+
+
+def srp_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, tables) SRP bucket codes over unit vectors. Sign bits come
+    from round(projection, 6) > 0 — the rounded-arithmetic discipline that
+    makes codes bit-identical between numpy and the SQL oracle (summation-
+    order differences are ~1e-16, far inside the rounding)."""
+    num_planes = planes.shape[1]
+    pw2 = 1 << np.arange(num_planes)
+    proj = np.round(np.einsum("tpd,rd->rtp", planes, mat), COS_ROUND)
+    return ((proj > 0).astype(np.int64) * pw2[None, None, :]).sum(axis=2)
+
 
 def lsh_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
              num_planes: int = 8, num_tables: int = 8, seed: int = 42,
@@ -533,29 +574,21 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     """
     qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
     dim = qmat.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, num_planes, dim))
-    pw2 = 1 << np.arange(num_planes)
-
-    def codes_of(mat: np.ndarray) -> np.ndarray:
-        # (rows, tables) bucket codes
-        proj = np.einsum("tpd,rd->rtp", planes, mat)
-        return ((proj > 0).astype(np.int64) * pw2[None, None, :]).sum(axis=2)
-
-    qcodes = codes_of(qmat)  # (Q, T)
-    qref = ray.put((qids, qmat, qcodes))
+    planes = srp_planes(num_tables, num_planes, dim, seed)
+    qcodes = srp_codes(qmat, planes)  # (Q, T)
+    qref = ray.put((qids, qmat, qcodes, planes))
 
     def score(batch: pa.Table) -> pa.Table:
-        ids_q, qm, qc = ray.get(qref)
+        ids_q, qm, qc, pl = ray.get(qref)
         vecs = _normalize(_emb_matrix(batch, col))
         vids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
-        vc = codes_of(vecs)  # (B, T)
+        vc = srp_codes(vecs, pl)  # (B, T)
         out_q, out_v, out_c = [], [], []
         for qi in range(len(ids_q)):
             cand = (vc == qc[qi][None, :]).any(axis=1)
             if not cand.any():
                 continue
-            row = vecs[cand] @ qm[qi]
+            row = np.round(vecs[cand] @ qm[qi], COS_ROUND)
             cvids = vids[cand]
             kk = min(k, row.size)
             idx = np.lexsort((cvids, -row))[:kk]
