@@ -387,39 +387,89 @@ class QueryEngine:
         top-k rank, or (c) change the normalization max — so stop. Results
         are bit-identical to boosting everything (asserted in tests)."""
         order = np.argsort(base, kind="stable")[::-1]
-        chunk = max(4 * top_k, 256)
+        ob = base[order]  # descending
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
-        kth = -np.inf
-        n_collected = 0
+        topk_buf = np.empty(0, dtype=np.float64)  # running top-k scores only
+        n = len(order)
+        # Boosts are ≥ 1, so the k-th boosted score is at least the k-th
+        # base score — a FREE initial bound before any boosting. Each round
+        # processes exactly the prefix the current bound cannot prune, in
+        # one large (thread-parallel) call; steep distributions converge in
+        # small rounds, flat ones take one big round (where per-chunk
+        # overhead would dominate). Capped per round to retain adaptivity.
+        kth = ob[top_k - 1] if n >= top_k else -np.inf
+        # geometric round growth: early rounds stay small so a steep
+        # distribution tightens kth before committing to a big scan; flat
+        # ones escalate to large thread-parallel rounds within ~3 steps
+        round_cap = max(4 * top_k, 8192)
         i = 0
-        while i < len(order):
-            nxt = base[order[i]]
-            # nxt <= 0 ⇒ boosted 0 ⇒ below min_score, never in results
-            if n_collected >= top_k and (nxt * self.MAX_BOOST < kth or nxt <= 0):
-                break
-            sel = order[i:i + chunk]
+        while i < n:
+            if ob[i] <= 0 or (np.isfinite(kth)
+                              and ob[i] * self.MAX_BOOST < kth):
+                break  # prunable (or boosted 0 ⇒ below min_score)
+            # prefix the current bound cannot prune: ob ≥ kth/MAX_BOOST
+            # (1-ulp slack down — boosting a doc extra is always admissible,
+            # pruning one on a float boundary is not)
+            if np.isfinite(kth):
+                tau = np.nextafter(kth / self.MAX_BOOST, -np.inf)
+                hi = int(np.searchsorted(-ob, -tau, side="right"))
+                hi = max(hi, i + 1)
+            else:
+                hi = n
+            hi = min(n, hi, i + round_cap)
+            sel = order[i:hi]
             s = self._apply_boosts(ids[sel], base[sel],
                                    original_tokens, original_query)
             out_ids.append(ids[sel])
             out_scores.append(s)
-            n_collected += len(sel)
-            flat = np.concatenate(out_scores)
-            if len(flat) >= top_k:
-                kth = np.partition(flat, len(flat) - top_k)[len(flat) - top_k]
-            i += chunk
-            # flat score distributions defeat the bound — grow the chunk
-            # geometrically so per-call kernel overhead stays O(log n)
-            chunk *= 2
+            # incremental k-th bound: merge into a top_k-sized buffer
+            merged = np.concatenate([topk_buf, s])
+            if len(merged) > top_k:
+                merged = np.partition(merged, len(merged) - top_k)[-top_k:]
+            topk_buf = merged
+            i = hi
+            round_cap *= 4
+            if len(topk_buf) >= top_k:
+                kth = max(kth, topk_buf.min())
         return np.concatenate(out_ids), np.concatenate(out_scores)
+
+    # Boost chunks above this size are sliced across a thread pool: the
+    # substring kernels (Arrow) and float math (numpy) release the GIL and
+    # every operation is elementwise per doc, so slicing is bit-identical
+    # (asserted in tests). This is the measured p95 driver — not decode:
+    # a flat base-score distribution forces boosting ~all candidates
+    # (semantically: any of them could still boost into the top-k).
+    _BOOST_PARALLEL_MIN = 4096
 
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
                       original_tokens: list[str], original_query: str) -> np.ndarray:
+        title, desc, snip = self._doc_fields_lower(ids)
+        if len(ids) >= self._BOOST_PARALLEL_MIN:
+            import concurrent.futures as cf
+            if not hasattr(self, "_boost_pool"):
+                self._boost_pool = cf.ThreadPoolExecutor(
+                    max_workers=min(8, os.cpu_count() or 1))
+            nw = min(self._boost_pool._max_workers,
+                     max(1, len(ids) // (self._BOOST_PARALLEL_MIN // 2)))
+            bounds = np.linspace(0, len(ids), nw + 1).astype(np.int64)
+            futs = [self._boost_pool.submit(
+                        self._boost_math, scores[s:e],
+                        title.slice(s, e - s), desc.slice(s, e - s),
+                        snip.slice(s, e - s), original_tokens,
+                        original_query)
+                    for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
+            return np.concatenate([f.result() for f in futs])
+        return self._boost_math(scores, title, desc, snip, original_tokens,
+                                original_query)
+
+    def _boost_math(self, scores: np.ndarray, title, desc, snip,
+                    original_tokens: list[str],
+                    original_query: str) -> np.ndarray:
         """Reference indexer.py:405-441, vectorized via Arrow
         match_substring kernels; multiplication order matches the oracle
         exactly (phrase → title pct → desc pct → prox)."""
         import pyarrow.compute as pc
-        title, desc, snip = self._doc_fields_lower(ids)
 
         def _contains(arr, pat: str) -> np.ndarray:
             return pc.match_substring(arr, pat).to_numpy(zero_copy_only=False)
@@ -433,9 +483,9 @@ class QueryEngine:
                                 np.where(in_snip, out * 1.3, out)))
         if original_tokens:
             k = len(original_tokens)
-            t_hits = np.zeros(len(ids), dtype=np.int64)
-            d_hits = np.zeros(len(ids), dtype=np.int64)
-            all_in_snip = np.ones(len(ids), dtype=bool)
+            t_hits = np.zeros(len(scores), dtype=np.int64)
+            d_hits = np.zeros(len(scores), dtype=np.int64)
+            all_in_snip = np.ones(len(scores), dtype=bool)
             for tkn in original_tokens:
                 t_hits += _contains(title, tkn)
                 d_hits += _contains(desc, tkn)
