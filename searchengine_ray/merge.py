@@ -29,8 +29,8 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from searchengine_ray.codec import (block_max_tf_batch, decode_postings,
-                                    encode_postings_batch)
+from searchengine_ray.codec import (CODEC_VERSION, block_max_tf_batch,
+                                    decode_postings, encode_postings_batch)
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.hashing import hash64
 from searchengine_ray.stages.postings import LENGTHS_SCHEMA, SEGMENT_SCHEMA
@@ -97,7 +97,8 @@ class SegmentMerger:
         lens_arr = np.array(lens, dtype=np.int64)
         ends = np.cumsum(lens_arr)
         starts = ends - lens_arr
-        posts = encode_postings_batch(all_ids, all_tfs, starts, ends)
+        posts = encode_postings_batch(all_ids, all_tfs, starts, ends,
+                                      self.cfg.block_size)
         bms = block_max_tf_batch(all_tfs, starts, ends, self.cfg.block_size)
         seg = pa.Table.from_arrays(
             [pa.array(terms_sorted, type=pa.string()),
@@ -165,6 +166,8 @@ def merge_indexes(source_dirs: list[str], out_dir: str,
             f"{d}: num_length_partitions mismatch vs cfg"
         assert m["tokenizer_version"] == TOKENIZER_VERSION, \
             f"{d}: tokenizer_version mismatch"
+        assert m.get("codec_version") == CODEC_VERSION, \
+            f"{d}: codec_version {m.get('codec_version')} != {CODEC_VERSION}"
         assert m["hot_terms"] == base["hot_terms"], \
             "sources must share hot_terms (build deltas with " \
             "hot_terms_override of the base index)"
@@ -208,6 +211,7 @@ def merge_indexes(source_dirs: list[str], out_dir: str,
         "bm25": {"k1": cfg.k1, "b": cfg.b},
         "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
                    "content": cfg.content_boost},
+        "codec_version": CODEC_VERSION,
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": base["hot_terms"],
         "docstore_done": True,

@@ -26,7 +26,8 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from searchengine_ray.codec import decode_postings
+from searchengine_ray.codec import (CODEC_VERSION, decode_postings,
+                                    decode_postings_range)
 from searchengine_ray.config import IndexConfig, QueryConfig
 from searchengine_ray.functions.hashing import hash64
 from searchengine_ray.functions.tokenizer import (
@@ -48,7 +49,8 @@ class QueryEngine:
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
                  qcfg: QueryConfig = QueryConfig(), *,
                  lazy_segments: bool = False,
-                 lazy_docstore: bool = False):
+                 lazy_docstore: bool = False,
+                 doc_range: tuple[int, int] | None = None):
         """Huge-index modes (results identical to eager — asserted in tests;
         eager is faster for small/warm indexes):
 
@@ -69,9 +71,19 @@ class QueryEngine:
         self.qcfg = qcfg
         self.lazy_segments = lazy_segments
         self.lazy_docstore = lazy_docstore
+        # doc_range=(lo, hi): this engine scores only docs with lo ≤ id < hi
+        # — the range-sharded serving tier (ShardedQueryService). Posting
+        # decode is BLOCK-GRANULAR via the codec's restart directory: each
+        # shard decodes only the blocks intersecting its range.
+        self.doc_range = doc_range
         manifest = load_manifest(index_dir)
         if manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        have_codec = int(manifest.get("codec_version", 1))
+        if have_codec != CODEC_VERSION:
+            raise ValueError(
+                f"index at {index_dir} uses codec v{have_codec}; this "
+                f"engine reads v{CODEC_VERSION} — rebuild the index")
         self.manifest = manifest
         self.N = int(manifest["num_docs"])
         self.avgdl = float(manifest["avg_doc_len"])
@@ -151,18 +163,23 @@ class QueryEngine:
                           filters=[("term", "==", term)])
         return t if len(t) else None
 
+    def _decode(self, buf: bytes):
+        if self.doc_range is not None:
+            return decode_postings_range(buf, *self.doc_range)
+        return decode_postings(buf)
+
     def _lookup_in_part(self, part: int, term: str):
         if self.lazy_segments:
             t = self._lazy_row(part, term, ["term", "postings"])
             if t is None:
                 return None
-            return decode_postings(t["postings"][0].as_py())
+            return self._decode(t["postings"][0].as_py())
         self._load_part(part)
         row = self._segments[part].get(term)
         if row is None:
             return None
         t = self._segment_tables[part]
-        return decode_postings(t["postings"][row].as_py())
+        return self._decode(t["postings"][row].as_py())
 
     # -- docstore access ---------------------------------------------------
     def _fetch_doc_rows(self, ids_sorted: np.ndarray, columns: list[str]):
@@ -299,14 +316,17 @@ class QueryEngine:
         return ids[order], tfs[order]
 
     # -- scoring -----------------------------------------------------------
-    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+    def _score_candidates(self, query: str):
+        """Accumulated (pre-boost) BM25 base scores for every candidate doc
+        (in this engine's doc_range when set). Returns (acc_ids, acc_scores,
+        original_tokens, original_query) or None when the query yields no
+        candidates. idf uses the GLOBAL df from the segment df column — in
+        unranged mode it equals the decoded posting length; in ranged mode
+        the decode is a range slice but idf must stay corpus-wide."""
         cfg, qcfg = self.cfg, self.qcfg
-        top_k = qcfg.top_k if top_k is None else top_k
-        if top_k <= 0:
-            return []
         filtered, original_tokens, original_query = prepare_query(query, cfg)
         if not filtered:
-            return []
+            return None
         id_parts: list[np.ndarray] = []
         contrib_parts: list[np.ndarray] = []
         original_set = set(original_tokens)
@@ -324,8 +344,7 @@ class QueryEngine:
             if post is None:
                 continue
             ids, tfs = post
-            n = ids.size
-            idf = max(0.0, math.log((self.N - n + 0.5) / (n + 0.5)))
+            idf = max(0.0, math.log((self.N - df + 0.5) / (df + 0.5)))
             importance = qcfg.term_importance if qt in original_set else 1.0
             dl = self._len_vals[np.searchsorted(self._len_ids, ids)]
             tf = tfs.astype(np.float64)
@@ -335,7 +354,7 @@ class QueryEngine:
             id_parts.append(ids)
             contrib_parts.append(contrib)
         if not id_parts:
-            return []
+            return None
         # One grouped sum over all terms' contributions. np.add.at applies
         # additions in flattened-array order = term order per doc, so the
         # float accumulation order matches the oracle exactly (bit-equal).
@@ -345,7 +364,31 @@ class QueryEngine:
         acc_scores = np.zeros(acc_ids.size, dtype=np.float64)
         np.add.at(acc_scores, inv, all_contribs)
         if acc_ids.size == 0:
+            return None
+        return acc_ids, acc_scores, original_tokens, original_query
+
+    def search_raw(self, query: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, UNNORMALIZED boosted scores) for every candidate —
+        the shard-side half of a range-sharded search: the merger
+        concatenates shards, normalizes by the global max and applies
+        top-k + min-score (ShardedQueryService.search)."""
+        scored = self._score_candidates(query)
+        if scored is None:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.float64))
+        acc_ids, acc_scores, original_tokens, original_query = scored
+        boosted = self._apply_boosts(acc_ids, acc_scores, original_tokens,
+                                     original_query)
+        return acc_ids, boosted
+
+    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
             return []
+        scored = self._score_candidates(query)
+        if scored is None:
+            return []
+        acc_ids, acc_scores, original_tokens, original_query = scored
         if top_k <= 1024:
             acc_ids, scores = self._boost_topk(
                 acc_ids, acc_scores, original_tokens, original_query, top_k)
@@ -619,6 +662,63 @@ class QueryService:
         for a in self._actors:
             ray.kill(a)
         self._actors = []
+
+
+class ShardedQueryService:
+    """Doc-id-range-sharded query tier — the 10^12-doc serving structure
+    (ROADMAP "shard query actors by doc_id range"), enabled by the codec's
+    per-block restart directory: each shard decodes only the posting
+    BLOCKS intersecting its uint64 doc_id slice (block-granular decode
+    skipping), scores its own candidates exactly (idf/avgdl/N are global
+    manifest scalars, boosts are per-doc), and the merger concatenates,
+    normalizes by the global max and applies top-k + min-score. Results
+    are BIT-IDENTICAL to a single QueryEngine (asserted in tests).
+
+    In-process engines here; each maps 1:1 onto a Ray actor at scale (the
+    QueryEngineActor pattern), where each actor would also load only its
+    range's docstore/length files (range-partitioned on disk)."""
+
+    def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
+                 qcfg: QueryConfig = QueryConfig(), num_shards: int = 2):
+        step = 2 ** 64 // num_shards + 1
+        self.qcfg = qcfg
+        self.shards = [
+            QueryEngine(index_dir, cfg, qcfg,
+                        doc_range=(i * step, min(2 ** 64, (i + 1) * step)))
+            for i in range(num_shards)
+        ]
+
+    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
+            return []
+        parts = [s.search_raw(query) for s in self.shards]
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        if ids.size == 0:
+            return []
+        max_score = scores.max()
+        if max_score > 0:
+            scores = scores / max_score
+        order = np.lexsort((ids, -scores))[:top_k]
+        picked = [(int(ids[i]), float(scores[i])) for i in order
+                  if float(scores[i]) > self.qcfg.min_score]
+        if not picked:
+            return []
+        eng = self.shards[0]
+        metas = eng._doc_meta(np.array([p[0] for p in picked],
+                                       dtype=np.uint64))
+        from searchengine_ray.functions.tokenizer import prepare_query
+        _, original_tokens, _ = prepare_query(query, eng.cfg)
+        return [{
+            "doc_id": doc_id,
+            "url": meta["url"],
+            "title": meta["title"],
+            "description": meta["meta"],
+            "content_snippet": generate_relevant_snippet(
+                meta["snippet"], original_tokens, self.qcfg),
+            "score": score,
+        } for (doc_id, score), meta in zip(picked, metas)]
 
 
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),

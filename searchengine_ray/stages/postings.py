@@ -252,7 +252,8 @@ class SegmentWriter:
         rows_term = uniq_terms
         rows_hash = [hash64(t) for t in uniq_terms]
         rows_df = (ends - starts).tolist()
-        rows_post = encode_postings_batch(doc_ids, wtf, starts, ends)
+        rows_post = encode_postings_batch(doc_ids, wtf, starts, ends,
+                                          cfg.block_size)
         rows_bm = block_max_tf_batch(wtf, starts, ends, cfg.block_size)
         seg = pa.Table.from_arrays(
             [

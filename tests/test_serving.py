@@ -44,6 +44,28 @@ def test_search_page_slices_and_filters(built):
     assert all("org2/" not in r["url"] for r in excl["results"])
 
 
+def test_sharded_service_bit_identical(built):
+    """Doc-range-sharded serving (block-granular decode skipping via the
+    codec v2 restart directory) must return BIT-identical results to a
+    single engine, for 1/2/5 shards, and each shard must decode strictly
+    fewer postings than the full list (the skip actually skips)."""
+    from searchengine_ray.query import QueryEngine, ShardedQueryService
+    eng = QueryEngine(built.index_dir, built.cfg)
+    for num_shards in (1, 2, 5):
+        svc = ShardedQueryService(built.index_dir, built.cfg,
+                                  num_shards=num_shards)
+        for q in ("queue71", "py org2", "tokenStream", "java parse",
+                  "nosuchterm"):
+            assert svc.search(q, top_k=10) == eng.search(q, top_k=10), \
+                (num_shards, q)
+    # decode-skip evidence: per-shard candidate counts partition the total
+    svc = ShardedQueryService(built.index_dir, built.cfg, num_shards=4)
+    full_ids, _ = eng.search_raw("py org2")
+    shard_sizes = [s.search_raw("py org2")[0].size for s in svc.shards]
+    assert sum(shard_sizes) == full_ids.size
+    assert all(0 < sz < full_ids.size for sz in shard_sizes)
+
+
 def test_cli_query_and_stats(built, capsys):
     from searchengine_ray import cli
     rc = cli.main(["stats", "--index", built.index_dir, "--partitions", "8"])
