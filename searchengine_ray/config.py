@@ -41,6 +41,13 @@ class IndexConfig:
     min_token_length: int = 2
     max_token_length: int = 20
     stopwords: frozenset[str] = DEFAULT_STOPWORDS
+    # Pluggable tokenizer variant: "none" = the reference's fallback chain
+    # (round-1 conformance semantics); "porter" = classic Porter stemming
+    # applied to every token before the length/stopword filters — the
+    # reference's PRIMARY branch when NLTK is present
+    # (utils/text_processing.py:62-74). Index and queries must use the
+    # same value (recorded in the manifest; mismatches refuse loudly).
+    stemmer: str = "none"
 
     # Physical layout knobs (no reference equivalent — the reference is a
     # single in-memory dict, SURVEY.md §4). num_partitions is the width of

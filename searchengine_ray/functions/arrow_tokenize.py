@@ -56,6 +56,12 @@ def tokenize_column(arr, cfg: IndexConfig | None = None,
         lists = lists.combine_chunks()
     parents = pc.list_parent_indices(lists)
     flat = pc.list_flatten(lists)
+    stemmer = getattr(cfg, "stemmer", "none") if cfg is not None else "none"
+    if stemmer and stemmer != "none":
+        # reference NLTK-branch order: stem BEFORE the length filters
+        # (text_processing.py:66-74); per-DISTINCT-token Python cost only
+        from searchengine_ray.functions.stemmer import stem_array
+        flat = stem_array(flat, stemmer)
     lens = pc.utf8_length(flat)
     mask = pc.greater(lens, 1)
     if apply_filter and cfg is not None:

@@ -38,8 +38,12 @@ _PUNCT = re.compile(r"[^\w\s-]", re.ASCII)
 # 7) '-' -> ' ' (reference :60) and '_' -> ' ' (our code-aware extension)
 
 
-def tokenize(text: str) -> list[str]:
-    """Code-aware tokenize; returns tokens of length > 1 (reference :81)."""
+def tokenize(text: str, stemmer: str | None = None) -> list[str]:
+    """Code-aware tokenize; returns tokens of length > 1 (reference :81).
+
+    ``stemmer="porter"`` stems each raw token BEFORE the length filter —
+    the reference's NLTK-branch order (text_processing.py:66-74: tokenize
+    → stem → drop len≤1)."""
     if not text:
         return []
     text = _CAMEL_RUN.sub(r"\1 \2", text)
@@ -49,7 +53,12 @@ def tokenize(text: str) -> list[str]:
     text = _URL.sub(" ", text)
     text = _PUNCT.sub(" ", text)
     text = text.replace("-", " ").replace("_", " ")
-    return [t for t in text.split() if len(t) > 1]
+    toks = text.split()
+    if stemmer and stemmer != "none":
+        from searchengine_ray.functions.stemmer import STEMMERS
+        fn = STEMMERS[stemmer]
+        toks = [fn(t) for t in toks]
+    return [t for t in toks if len(t) > 1]
 
 
 def filter_tokens(tokens: Iterable[str], cfg: IndexConfig) -> list[str]:
@@ -59,7 +68,7 @@ def filter_tokens(tokens: Iterable[str], cfg: IndexConfig) -> list[str]:
     return [t for t in tokens if t not in stop and lo <= len(t) <= hi]
 
 
-def expand_query(query: str) -> str:
+def expand_query(query: str, stemmer: str | None = None) -> str:
     """Query expansion, reference fallback semantics
     (text_processing.py:127-161) made case-aware: the token pass runs the
     code-aware tokenizer on the *original-case* query (so camelCase queries
@@ -69,7 +78,7 @@ def expand_query(query: str) -> str:
     tokens already present, doubling their weight)."""
     original = query.lower().strip()
     phrases = [p for p in original.split() if p]
-    tokens = tokenize(query)
+    tokens = tokenize(query, stemmer)
     expanded = list(tokens)
     for phrase in phrases:
         if phrase not in expanded and len(phrase) > 1:
@@ -86,10 +95,11 @@ def prepare_query(query: str, cfg: IndexConfig) -> tuple[list[str], list[str], s
     """
     if not query or not query.strip():
         return [], [], ""
-    expanded = expand_query(query)
+    stemmer = getattr(cfg, "stemmer", "none")
+    expanded = expand_query(query, stemmer)
     original_query = query.lower().strip()
-    query_tokens = tokenize(expanded)
-    original_query_tokens = tokenize(query)
+    query_tokens = tokenize(expanded, stemmer)
+    original_query_tokens = tokenize(query, stemmer)
     filtered = filter_tokens(query_tokens, cfg)
     return filtered, original_query_tokens, original_query
 

@@ -48,7 +48,8 @@ def process_document(title: str, meta: str, content: str,
     weighted: dict[str, float] = defaultdict(float)
     for text, boost in ((title, cfg.title_boost), (meta, cfg.meta_boost),
                         (content, cfg.content_boost)):
-        for token in filter_tokens(tokenize(text), cfg):
+        for token in filter_tokens(
+                tokenize(text, getattr(cfg, 'stemmer', 'none')), cfg):
             weighted[token] += boost
     return weighted
 

@@ -84,6 +84,12 @@ class QueryEngine:
             raise ValueError(
                 f"index at {index_dir} uses codec v{have_codec}; this "
                 f"engine reads v{CODEC_VERSION} — rebuild the index")
+        have_stem = manifest.get("stemmer", "none")
+        if have_stem != getattr(cfg, "stemmer", "none"):
+            raise ValueError(
+                f"index at {index_dir} was built with stemmer="
+                f"{have_stem!r} but the query config uses "
+                f"{cfg.stemmer!r} — term spaces would disagree")
         self.manifest = manifest
         self.N = int(manifest["num_docs"])
         self.avgdl = float(manifest["avg_doc_len"])
