@@ -752,6 +752,51 @@ FROM ranked WHERE rn <= {k}
 """
 
 
+def sql_embedding_neardup_lsh(tau: float = 0.3, num_planes: int = 6,
+                              num_tables: int = 24, seed: int = 42,
+                              max_bucket: int = 2000, dim: int = 64) -> str:
+    """Exact SQL restatement of similarity.embedding_neardup_lsh: SRP
+    planes as constants, rounded-projection sign bits, candidates = pairs
+    sharing a (table, code) bucket of size ≤ max_bucket, exact rounded
+    cosine ≥ tau. The LSH output itself (not just the exact verifier) is
+    oracle-checked — same trick as the MinHash m31 family."""
+    from searchengine_ray.pipelines.similarity import srp_planes
+    planes = srp_planes(num_tables, num_planes, dim, seed)
+    vals = ", ".join(
+        f"({t}, {p}, {d}, {planes[t, p, d]!r})"
+        for t in range(num_tables) for p in range(num_planes)
+        for d in range(dim))
+    return f"""
+WITH planes(t, p, d, w) AS (VALUES {vals}),
+{_sql_unit_vectors()},
+proj AS (
+  SELECT uv.vec_id, pl.t, pl.p, round(sum(uv.u * pl.w), 6) AS pr
+  FROM uv JOIN planes pl ON pl.d = uv.d
+  GROUP BY uv.vec_id, pl.t, pl.p),
+codes AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+           AS code
+  FROM proj GROUP BY vec_id, t),
+bucket_sizes AS (
+  SELECT t, code, count(*) AS c FROM codes GROUP BY t, code),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM codes a
+  JOIN codes b ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
+  JOIN bucket_sizes s ON s.t = a.t AND s.code = a.code
+  WHERE s.c BETWEEN 2 AND {max_bucket}),
+scored AS (
+  SELECT c.a_id, c.b_id, round(sum(ua.u * ub.u), 6) AS cos_r
+  FROM cand c
+  JOIN uv ua ON ua.vec_id = c.a_id
+  JOIN uv ub ON ub.vec_id = c.b_id AND ub.d = ua.d
+  GROUP BY c.a_id, c.b_id)
+SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, cos_r
+FROM scored WHERE cos_r >= {tau}
+"""
+
+
 def sql_ann_ivf_topk(query_ids: list[int], k: int, n_centroids: int = 16,
                      n_probe: int = 4, sample_rows: int = 512,
                      lloyd_iters: int = 2) -> str:
@@ -871,6 +916,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf), family="m31"),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
+        "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(
+            _embs(sf)),
         "ann_cosine_topk": lambda sf: similarity.brute_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "ann_lsh_topk": lambda sf: similarity.lsh_topk(
@@ -924,6 +971,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": sql_minhash_lsh(),
         "fingerprint": sql_fingerprint(),
         "embedding_neardup": sql_embedding_neardup(),
+        "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
         "ann_lsh_topk": sql_ann_lsh_topk(ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),

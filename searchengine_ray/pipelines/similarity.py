@@ -194,7 +194,9 @@ class _BlockPairScorer:
 
 def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
                       id_col: str = "vec_id", col: str = "embedding",
-                      num_blocks: int = 16, scratch_dir: str | None = None,
+                      num_blocks: int | None = None,
+                      scratch_dir: str | None = None,
+                      rows_per_block: int = 100_000,
                       concurrency=(1, 8)) -> "ray.data.Dataset":
     """All vector pairs (a<b) with round(cosine, 6) ≥ tau — the EXACT
     embedding-cosine near-dup detector. Columns: a_id, b_id (int64),
@@ -212,6 +214,12 @@ def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
     pair schema)."""
     import os
     import tempfile
+    if num_blocks is None:
+        # size blocks to ~rows_per_block vectors (≈50 MB at 64-d float64):
+        # small inputs become a handful of tasks, 10^8+ vectors still get
+        # bounded per-task memory. count() on a parquet read is metadata.
+        n_rows = ds.count()
+        num_blocks = max(1, -(-n_rows // rows_per_block))
     if scratch_dir is None:
         scratch_dir = tempfile.mkdtemp(prefix="seray_neardup_",
                                        dir="/tmp")
