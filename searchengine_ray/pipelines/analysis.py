@@ -67,6 +67,49 @@ def token_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def ws_quality_stats(text: pa.Array | pa.ChunkedArray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """(n_ws_tokens, n_stopwords, n_distinct, sum_token_len) per row over
+    whitespace tokens — the shared kernel behind quality_score,
+    quality_filter and curate."""
+    stop = pa.array(sorted(DEFAULT_STOPWORDS), type=pa.string())
+    text = pc.cast(text, pa.string())
+    n = len(text)
+    lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    n_ws = np.zeros(n, dtype=np.int64)
+    np.add.at(n_ws, parents, 1)
+    is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
+    n_stop = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stop, parents, is_stop.astype(np.int64))
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_len = np.zeros(n, dtype=np.int64)
+    np.add.at(sum_len, parents, tok_len)
+    # distinct tokens per doc
+    t = pa.table({"d": pa.array(parents), "t": flat})
+    g = t.group_by(["d", "t"], use_threads=False).aggregate([])
+    n_distinct = np.zeros(n, dtype=np.int64)
+    np.add.at(n_distinct, g["d"].to_numpy(zero_copy_only=False), 1)
+    return n_ws, n_stop, n_distinct, sum_len
+
+
+def quality_keep_mask(text: pa.Array | pa.ChunkedArray, *,
+                      min_ws_tokens: int = 10,
+                      max_stop_ratio_u: int = 500_000,
+                      min_distinct_ratio_u: int = 300_000) -> np.ndarray:
+    """Boolean quality-gate mask per row (scaled-integer ratio rules —
+    exact in Ray and SQL)."""
+    n_ws, n_stop, n_dist, _ = ws_quality_stats(text)
+    safe = np.maximum(n_ws, 1)
+    return ((n_ws >= min_ws_tokens)
+            & ((n_stop * 1_000_000) // safe <= max_stop_ratio_u)
+            & ((n_dist * 1_000_000) // safe >= min_distinct_ratio_u))
+
+
 def quality_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-doc quality heuristics (training-data staple): stopword ratio,
     distinct-token ratio, mean token length — all over whitespace tokens.
@@ -75,29 +118,8 @@ def quality_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     mean_token_len_u (= sum_token_len*1e6 // n_ws_tokens — scaled-integer
     mean, exact in Ray and SQL; 0 for empty docs).
     """
-    stop = pa.array(sorted(DEFAULT_STOPWORDS), type=pa.string())
-
     def fn(batch: pa.Table) -> pa.Table:
-        text = pc.cast(batch["text"], pa.string())
-        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(lists)
-        n = len(batch)
-        n_ws = np.zeros(n, dtype=np.int64)
-        np.add.at(n_ws, parents, 1)
-        is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
-        n_stop = np.zeros(n, dtype=np.int64)
-        np.add.at(n_stop, parents, is_stop.astype(np.int64))
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        sum_len = np.zeros(n, dtype=np.int64)
-        np.add.at(sum_len, parents, tok_len)
-        # distinct tokens per doc
-        t = pa.table({"d": pa.array(parents), "t": flat})
-        g = t.group_by(["d", "t"], use_threads=False).aggregate([])
-        n_distinct = np.zeros(n, dtype=np.int64)
-        np.add.at(n_distinct, g["d"].to_numpy(zero_copy_only=False), 1)
+        n_ws, n_stop, n_distinct, sum_len = ws_quality_stats(batch["text"])
         mean_u = np.where(n_ws > 0,
                           (sum_len * 1_000_000) // np.maximum(n_ws, 1), 0)
         return pa.table({

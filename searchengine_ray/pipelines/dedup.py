@@ -503,8 +503,14 @@ def minhash_signatures(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
         if family == "m31":
             sh = _shingle_batch(batch, n, text_col, id_col)
             doc_ids = sh["doc_id"].to_numpy(zero_copy_only=False)
-            x = np.fromiter((_md5_32(s) for s in sh["shingle"].to_pylist()),
-                            dtype=np.int64, count=len(sh)) % MERSENNE31
+            # md5 each DISTINCT shingle once, gather through codes (the
+            # fingerprint lesson: per-occurrence hashlib is the hot cost)
+            dic = sh["shingle"].combine_chunks().dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False)
+            uniq = dic.dictionary.to_pylist()
+            x = (np.fromiter((_md5_32(u) for u in uniq), dtype=np.int64,
+                             count=len(uniq))[codes] % MERSENNE31
+                 if len(uniq) else np.empty(0, dtype=np.int64))
             sentinel = np.int64(MERSENNE31)
         else:
             doc_ids, x = _shingle_hash_batch(batch, n, text_col, id_col)

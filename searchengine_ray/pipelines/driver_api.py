@@ -33,8 +33,8 @@ from searchengine_ray.functions.tokenizer import (
     sql_filtered_tokens_expr,
     sql_tokens_expr,
 )
-from searchengine_ray.pipelines import (analysis, classify, dedup, events,
-                                        multimodal, similarity)
+from searchengine_ray.pipelines import (analysis, classify, curate, dedup,
+                                        events, multimodal, similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -905,6 +905,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_keep": lambda sf: dedup.dedup_keep_mask(_docs(sf)),
         "quality_filter": lambda sf: analysis.quality_filter(_docs(sf)),
+        "curate": lambda sf: curate.curate(_docs(sf)),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(_docs(sf)),
         "simhash": lambda sf: dedup.simhash(_docs(sf), CFG),
         # max_bucket effectively unbounded: 4×16-bit banding is COMPLETE for
@@ -965,6 +966,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": sql_exact_dedup(),
         "dedup_keep": sql_dedup_keep(),
         "quality_filter": sql_quality_filter(),
+        "curate": curate.sql_curate(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "simhash": sql_simhash(),
         "dedup_simhash": sql_simhash_neardup(),

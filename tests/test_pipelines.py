@@ -296,6 +296,50 @@ def test_embedding_neardup_lsh_subset_and_recall(emb_ds):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation (dedup keeper ∧ quality gate, one shuffle)
+# ---------------------------------------------------------------------------
+
+def test_curate_matches_bruteforce(ray_session):
+    import hashlib
+    import ray.data
+    from searchengine_ray.config import DEFAULT_STOPWORDS
+    from searchengine_ray.pipelines.curate import curate
+    texts = [
+        " ".join(f"w{i % 13}x{i % 7}" for i in range(40)),   # good quality
+        " ".join(f"w{i % 13}x{i % 7}" for i in range(40)),   # exact dupe
+        "short doc",                                          # < 10 tokens
+        " ".join(["the"] * 30),                               # all stopwords
+        " ".join(f"u{i}" for i in range(25)),                 # good
+        "",                                                   # empty
+        " ".join(f"u{i}" for i in range(25)),                 # dupe of 4
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    got = {(r["doc_id"], r["text"])
+           for r in curate(ray.data.from_arrow(t)).take_all()}
+
+    # brute force: min doc_id per sha, then the quality rules
+    keeper: dict[bytes, int] = {}
+    for i, tx in enumerate(texts):
+        keeper.setdefault(hashlib.sha256(tx.encode()).digest(), i)
+    want = set()
+    for i in sorted(keeper.values()):
+        toks = texts[i].split()
+        n_ws = len(toks)
+        if n_ws < 10:
+            continue
+        n_stop = sum(1 for x in toks if x in DEFAULT_STOPWORDS)
+        n_dist = len(set(toks))
+        if (n_stop * 10**6) // max(n_ws, 1) > 500_000:
+            continue
+        if (n_dist * 10**6) // max(n_ws, 1) < 300_000:
+            continue
+        want.add((i, texts[i]))
+    assert got == want
+    assert {0, 4} == {d for d, _ in want}  # keepers of the two dupe groups
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprint
 # ---------------------------------------------------------------------------
 
