@@ -103,14 +103,14 @@ class QueryEngine:
         self._len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)[order]
 
         self._docstore_dir = os.path.join(index_dir, "docstore")
+        self._docstore_files = self._select_docstore_files()
         if self.lazy_docstore:
-            ids = _read_dir(self._docstore_dir, columns=["doc_id"])["doc_id"] \
+            ids = self._read_docstore(columns=["doc_id"])["doc_id"] \
                 .to_numpy(zero_copy_only=False)
             self._doc_ids = np.sort(ids)
         else:
-            store = _read_dir(self._docstore_dir,
-                              columns=["doc_id", "doc_key", "title", "meta",
-                                       "snippet"])
+            store = self._read_docstore(
+                columns=["doc_id", "doc_key", "title", "meta", "snippet"])
             ids = store["doc_id"].to_numpy(zero_copy_only=False)
             order = np.argsort(ids, kind="stable")
             self._doc_ids = ids[order]
@@ -140,6 +140,41 @@ class QueryEngine:
         self._postings_cache: dict[str, object] = {}
         self._df_cache: dict[tuple[int, str], int | None] = {}
         self._postings_cache_cap = 100_000
+
+    def _select_docstore_files(self) -> list[str]:
+        """Docstore file names this engine needs. A doc_range engine reads
+        ONLY the range-partitioned docstore files intersecting its range
+        (file part-N covers doc_id slice N·step..(N+1)·step — whole-file
+        pruning from the name alone); merged/legacy layouts fall back to
+        all files."""
+        files = sorted(f for f in os.listdir(self._docstore_dir)
+                       if f.endswith(".parquet"))
+        ndp = self.manifest.get("num_docstore_partitions")
+        if self.doc_range is None or not ndp:
+            return files
+        base = (int(self.manifest["num_partitions"])
+                + int(self.manifest["num_length_partitions"]))
+        step = 2 ** 64 // int(ndp) + 1
+        lo, hi = self.doc_range
+        keep = []
+        for f in files:
+            try:
+                d = int(f.split("-")[1].split(".")[0]) - base
+            except (IndexError, ValueError):
+                keep.append(f)  # unrecognized name: keep (safe fallback)
+                continue
+            if d * step < hi and (d + 1) * step > lo:
+                keep.append(f)
+        return keep
+
+    def _read_docstore(self, columns=None):
+        import pyarrow as pa
+        tables = [pq.read_table(os.path.join(self._docstore_dir, f),
+                                columns=columns)
+                  for f in self._docstore_files]
+        if not tables:
+            return pa.table({c: pa.array([]) for c in (columns or [])})
+        return pa.concat_tables(tables)
 
     # -- posting access ----------------------------------------------------
     def _part_path(self, part: int) -> str:
@@ -195,13 +230,11 @@ class QueryEngine:
         doc_id, exactly one row per requested id."""
         import pyarrow as pa
         import pyarrow.compute as pc
-        files = sorted(f for f in os.listdir(self._docstore_dir)
-                       if f.endswith(".parquet"))
         # typed expression keeps uint64 ids intact (a plain Python list
         # would coerce through int64 and overflow)
         expr = pc.field("doc_id").isin(pa.array(ids_sorted))
         parts = []
-        for f in files:
+        for f in self._docstore_files:
             t = pq.read_table(os.path.join(self._docstore_dir, f),
                               columns=["doc_id"] + columns,
                               filters=expr)
@@ -686,11 +719,12 @@ class ShardedQueryService:
 
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
                  qcfg: QueryConfig = QueryConfig(), num_shards: int = 2):
-        step = 2 ** 64 // num_shards + 1
+        self._step = 2 ** 64 // num_shards + 1
         self.qcfg = qcfg
         self.shards = [
             QueryEngine(index_dir, cfg, qcfg,
-                        doc_range=(i * step, min(2 ** 64, (i + 1) * step)))
+                        doc_range=(i * self._step,
+                                   min(2 ** 64, (i + 1) * self._step)))
             for i in range(num_shards)
         ]
 
@@ -711,11 +745,21 @@ class ShardedQueryService:
                   if float(scores[i]) > self.qcfg.min_score]
         if not picked:
             return []
-        eng = self.shards[0]
-        metas = eng._doc_meta(np.array([p[0] for p in picked],
-                                       dtype=np.uint64))
+        # meta lookups route to the OWNING shard (each shard resident-
+        # loads only its range's docstore partition files)
+        picked_ids = np.array([p[0] for p in picked], dtype=np.uint64)
+        step_u = np.uint64(min(self._step, 2 ** 64 - 1))  # 1-shard step
+        owner = np.minimum(picked_ids // step_u,
+                           len(self.shards) - 1).astype(np.int64)
+        metas: list = [None] * len(picked)
+        for si in range(len(self.shards)):
+            sel = np.nonzero(owner == si)[0]
+            if sel.size:
+                got = self.shards[si]._doc_meta(picked_ids[sel])
+                for j, m in zip(sel, got):
+                    metas[j] = m
         from searchengine_ray.functions.tokenizer import prepare_query
-        _, original_tokens, _ = prepare_query(query, eng.cfg)
+        _, original_tokens, _ = prepare_query(query, self.shards[0].cfg)
         return [{
             "doc_id": doc_id,
             "url": meta["url"],

@@ -64,6 +64,12 @@ def test_sharded_service_bit_identical(built):
     shard_sizes = [s.search_raw("py org2")[0].size for s in svc.shards]
     assert sum(shard_sizes) == full_ids.size
     assert all(0 < sz < full_ids.size for sz in shard_sizes)
+    # docstore residency: each shard loads only its range-partitioned
+    # docstore files, and together they cover all of them
+    all_files = set(eng._docstore_files)
+    per_shard = [set(s._docstore_files) for s in svc.shards]
+    assert all(fs < all_files for fs in per_shard)
+    assert set().union(*per_shard) == all_files
 
 
 def test_cli_query_and_stats(built, capsys):
