@@ -97,10 +97,20 @@ class QueryEngine:
         self.hot_terms: dict[str, int] = manifest.get("hot_terms", {})
 
         lengths = _read_dir(os.path.join(index_dir, "lengths"))
-        order = np.argsort(lengths["doc_id"].to_numpy(zero_copy_only=False),
-                           kind="stable")
-        self._len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)[order]
-        self._len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)[order]
+        len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)
+        len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)
+        if self.doc_range is not None:
+            # keep only this shard's rows resident (lengths files are
+            # doc_id-HASH partitioned, so the prune is row-level, not
+            # file-level like the docstore)
+            lo, hi = self.doc_range
+            m = len_ids >= np.uint64(lo)
+            if hi <= 2 ** 64 - 1:
+                m &= len_ids < np.uint64(hi)
+            len_ids, len_vals = len_ids[m], len_vals[m]
+        order = np.argsort(len_ids, kind="stable")
+        self._len_ids = len_ids[order]
+        self._len_vals = len_vals[order]
 
         self._docstore_dir = os.path.join(index_dir, "docstore")
         self._docstore_files = self._select_docstore_files()
