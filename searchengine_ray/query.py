@@ -598,7 +598,15 @@ class QueryEngine:
         if not hasattr(self, "_emb"):
             from searchengine_ray.pipelines.embeddings import \
                 load_doc_embeddings
-            self._emb = load_doc_embeddings(self.index_dir)
+            emb = load_doc_embeddings(self.index_dir)
+            if emb is not None and self.doc_range is not None:
+                ids, mat = emb
+                lo, hi = self.doc_range
+                m = ids >= np.uint64(lo)
+                if hi <= 2 ** 64 - 1:
+                    m &= ids < np.uint64(hi)
+                emb = (ids[m], mat[m])
+            self._emb = emb
         return self._emb is not None
 
     def vector_search(self, query: str, top_k: int) -> list[tuple[int, float]]:
@@ -713,6 +721,31 @@ class QueryService:
         self._actors = []
 
 
+def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,
+                      doc_range: tuple[int, int]):
+    """One range-shard serving actor: holds only its shard's resident
+    state (range-pruned docstore files, length rows, embedding rows) and
+    decodes only its posting-block spans."""
+    import ray
+
+    @ray.remote
+    class ShardActor:
+        def __init__(self):
+            self.eng = QueryEngine(index_dir, cfg, qcfg,
+                                   doc_range=doc_range)
+
+        def search_raw(self, query: str):
+            return self.eng.search_raw(query)
+
+        def vector_search(self, query: str, top_k: int):
+            return self.eng.vector_search(query, top_k)
+
+        def doc_meta(self, ids: list[int]):
+            return self.eng._doc_meta(np.array(ids, dtype=np.uint64))
+
+    return ShardActor.remote()
+
+
 class ShardedQueryService:
     """Doc-id-range-sharded query tier — the 10^12-doc serving structure
     (ROADMAP "shard query actors by doc_id range"), enabled by the codec's
@@ -723,26 +756,54 @@ class ShardedQueryService:
     normalizes by the global max and applies top-k + min-score. Results
     are BIT-IDENTICAL to a single QueryEngine (asserted in tests).
 
-    In-process engines here; each maps 1:1 onto a Ray actor at scale (the
-    QueryEngineActor pattern), where each actor would also load only its
-    range's docstore/length files (range-partitioned on disk)."""
+    ``use_actors=True`` runs each shard as a Ray actor (parallel fan-out,
+    per-actor resident state = only that shard's docstore partition files,
+    length rows and embedding rows); the in-process mode is the same code
+    path without the actor hop. ``hybrid_search`` merges per-shard vector
+    partials into the global vector top-k and is likewise bit-identical
+    to the single engine."""
 
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
-                 qcfg: QueryConfig = QueryConfig(), num_shards: int = 2):
+                 qcfg: QueryConfig = QueryConfig(), num_shards: int = 2,
+                 use_actors: bool = False):
         self._step = 2 ** 64 // num_shards + 1
+        self._cfg = cfg
         self.qcfg = qcfg
-        self.shards = [
-            QueryEngine(index_dir, cfg, qcfg,
-                        doc_range=(i * self._step,
-                                   min(2 ** 64, (i + 1) * self._step)))
-            for i in range(num_shards)
-        ]
+        self.use_actors = use_actors
+        ranges = [(i * self._step, min(2 ** 64, (i + 1) * self._step))
+                  for i in range(num_shards)]
+        if use_actors:
+            # one Ray actor per range shard — queries fan out in parallel
+            # and each actor holds only its shard's resident state
+            self.actors = [_make_shard_actor(index_dir, cfg, qcfg, r)
+                           for r in ranges]
+            self.shards = []
+        else:
+            self.shards = [QueryEngine(index_dir, cfg, qcfg, doc_range=r)
+                           for r in ranges]
+            self.actors = []
+
+    def _n_shards(self) -> int:
+        return len(self.actors) if self.use_actors else len(self.shards)
+
+    def _raw_parts(self, query: str):
+        if self.use_actors:
+            import ray
+            return ray.get([a.search_raw.remote(query) for a in self.actors])
+        return [s.search_raw(query) for s in self.shards]
+
+    def _meta_for(self, shard_idx: int, ids: np.ndarray) -> list[dict]:
+        if self.use_actors:
+            import ray
+            return ray.get(self.actors[shard_idx].doc_meta.remote(
+                [int(i) for i in ids]))
+        return self.shards[shard_idx]._doc_meta(ids)
 
     def search(self, query: str, top_k: int | None = None) -> list[dict]:
         top_k = self.qcfg.top_k if top_k is None else top_k
         if top_k <= 0:
             return []
-        parts = [s.search_raw(query) for s in self.shards]
+        parts = self._raw_parts(query)
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         if ids.size == 0:
@@ -758,18 +819,9 @@ class ShardedQueryService:
         # meta lookups route to the OWNING shard (each shard resident-
         # loads only its range's docstore partition files)
         picked_ids = np.array([p[0] for p in picked], dtype=np.uint64)
-        step_u = np.uint64(min(self._step, 2 ** 64 - 1))  # 1-shard step
-        owner = np.minimum(picked_ids // step_u,
-                           len(self.shards) - 1).astype(np.int64)
-        metas: list = [None] * len(picked)
-        for si in range(len(self.shards)):
-            sel = np.nonzero(owner == si)[0]
-            if sel.size:
-                got = self.shards[si]._doc_meta(picked_ids[sel])
-                for j, m in zip(sel, got):
-                    metas[j] = m
+        metas = self._routed_meta([p[0] for p in picked])
         from searchengine_ray.functions.tokenizer import prepare_query
-        _, original_tokens, _ = prepare_query(query, self.shards[0].cfg)
+        _, original_tokens, _ = prepare_query(query, self._cfg)
         return [{
             "doc_id": doc_id,
             "url": meta["url"],
@@ -779,6 +831,59 @@ class ShardedQueryService:
                 meta["snippet"], original_tokens, self.qcfg),
             "score": score,
         } for (doc_id, score), meta in zip(picked, metas)]
+
+    def _routed_meta(self, doc_ids: list[int]) -> list[dict]:
+        """Meta rows for doc_ids, each fetched from its OWNING shard."""
+        picked_ids = np.array(doc_ids, dtype=np.uint64)
+        step_u = np.uint64(min(self._step, 2 ** 64 - 1))  # 1-shard step
+        owner = np.minimum(picked_ids // step_u,
+                           self._n_shards() - 1).astype(np.int64)
+        metas: list = [None] * len(doc_ids)
+        for si in range(self._n_shards()):
+            sel = np.nonzero(owner == si)[0]
+            if sel.size:
+                got = self._meta_for(si, picked_ids[sel])
+                for j, m in zip(sel, got):
+                    metas[j] = m
+        return metas
+
+    def hybrid_search(self, query: str,
+                      top_k: int | None = None) -> list[dict]:
+        """Sharded twin of QueryEngine.hybrid_search — bit-identical
+        (asserted in tests): global-normalized BM25 top-2k from shard raw
+        scores, global vector top-k merged from per-shard partials (each
+        shard holds only its range's embedding rows; per-row dots are
+        identical to the full-matrix ones), intersection combined
+        0.7/0.3, sorted, head-k."""
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
+            return []
+        bm25 = self.search(query, top_k=top_k * 2)
+        if not bm25:
+            return []
+        if self.use_actors:
+            import ray
+            vparts = ray.get([a.vector_search.remote(query, top_k)
+                              for a in self.actors])
+        else:
+            vparts = [s.vector_search(query, top_k) for s in self.shards]
+        allv = [t for part in vparts for t in part]
+        if not allv:
+            return bm25[:top_k]
+        allv.sort(key=lambda t: (-t[1], t[0]))
+        vec = dict(allv[:top_k])
+        combined = []
+        for r in bm25:
+            sim = vec.get(r["doc_id"])
+            if sim is None:
+                continue
+            row = dict(r)
+            row["score"] = (QueryEngine.HYBRID_BM25_WEIGHT * r["score"]
+                            + QueryEngine.HYBRID_VEC_WEIGHT * sim)
+            row["search_method"] = "Hybrid BM25+Embedding"
+            combined.append(row)
+        combined.sort(key=lambda x: (-x["score"], x["doc_id"]))
+        return combined[:top_k]
 
 
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),

@@ -72,6 +72,28 @@ def test_sharded_service_bit_identical(built):
     assert set().union(*per_shard) == all_files
 
 
+def test_sharded_hybrid_and_actor_mode(built):
+    """Sharded hybrid_search (global vector top-k merged from per-shard
+    partials) and the actor-backed deployment must both be bit-identical
+    to the single engine."""
+    import os
+    from searchengine_ray.pipelines.embeddings import build_doc_embeddings
+    from searchengine_ray.query import QueryEngine, ShardedQueryService
+    if not os.path.isdir(os.path.join(built.index_dir, "embeddings")):
+        build_doc_embeddings(built.index_dir)
+    eng = QueryEngine(built.index_dir, built.cfg)
+    svc = ShardedQueryService(built.index_dir, built.cfg, num_shards=3)
+    for q in ("queue71", "py org2", "java parse"):
+        assert svc.hybrid_search(q, top_k=10) == \
+            eng.hybrid_search(q, top_k=10), q
+    asvc = ShardedQueryService(built.index_dir, built.cfg, num_shards=3,
+                               use_actors=True)
+    for q in ("queue71", "py org2", "nosuchterm"):
+        assert asvc.search(q, top_k=10) == eng.search(q, top_k=10), q
+        assert asvc.hybrid_search(q, top_k=10) == \
+            eng.hybrid_search(q, top_k=10), q
+
+
 def test_cli_query_and_stats(built, capsys):
     from searchengine_ray import cli
     rc = cli.main(["stats", "--index", built.index_dir, "--partitions", "8"])
