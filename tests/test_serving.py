@@ -72,21 +72,25 @@ def test_sharded_service_bit_identical(built):
     assert set().union(*per_shard) == all_files
 
 
-def test_sharded_hybrid_and_actor_mode(built):
+def test_sharded_hybrid_and_actor_mode(built, tmp_path):
     """Sharded hybrid_search (global vector top-k merged from per-shard
     partials) and the actor-backed deployment must both be bit-identical
-    to the single engine."""
-    import os
+    to the single engine. Uses its OWN index copy: the shared fixture must
+    stay embeddings-free for the hybrid-fallback conformance test."""
+    from searchengine_ray.build import build_index
     from searchengine_ray.pipelines.embeddings import build_doc_embeddings
     from searchengine_ray.query import QueryEngine, ShardedQueryService
-    if not os.path.isdir(os.path.join(built.index_dir, "embeddings")):
-        build_doc_embeddings(built.index_dir)
-    eng = QueryEngine(built.index_dir, built.cfg)
-    svc = ShardedQueryService(built.index_dir, built.cfg, num_shards=3)
+    from searchengine_ray.sources.corpus import read_source
+    index_dir = str(tmp_path / "sharded_hybrid_index")
+    build_index(read_source(built.corpus_dir), index_dir, built.cfg,
+                salt_hot_terms=False)
+    build_doc_embeddings(index_dir)
+    eng = QueryEngine(index_dir, built.cfg)
+    svc = ShardedQueryService(index_dir, built.cfg, num_shards=3)
     for q in ("queue71", "py org2", "java parse"):
         assert svc.hybrid_search(q, top_k=10) == \
             eng.hybrid_search(q, top_k=10), q
-    asvc = ShardedQueryService(built.index_dir, built.cfg, num_shards=3,
+    asvc = ShardedQueryService(index_dir, built.cfg, num_shards=3,
                                use_actors=True)
     for q in ("queue71", "py org2", "nosuchterm"):
         assert asvc.search(q, top_k=10) == eng.search(q, top_k=10), q
