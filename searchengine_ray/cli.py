@@ -55,7 +55,8 @@ def cmd_build(args) -> int:
     from searchengine_ray.config import IndexConfig
     from searchengine_ray.sources.corpus import read_source
     cfg = IndexConfig(num_partitions=args.partitions,
-                      num_length_partitions=max(2, args.partitions // 8))
+                      num_length_partitions=max(2, args.partitions // 8),
+                      stemmer=args.stemmer)
     manifest = build_index(read_source(args.source), args.index, cfg,
                            resume=not args.no_resume,
                            salt_hot_terms=not args.no_salt)
@@ -68,7 +69,8 @@ def cmd_query(args) -> int:
     from searchengine_ray.config import IndexConfig, QueryConfig
     from searchengine_ray.query import QueryEngine
     cfg = IndexConfig(num_partitions=args.partitions,
-                      num_length_partitions=max(2, args.partitions // 8))
+                      num_length_partitions=max(2, args.partitions // 8),
+                      stemmer=args.stemmer)
     eng = QueryEngine(args.index, cfg, QueryConfig())
     if args.page is not None:
         out = eng.search_page(args.q, page=args.page, per_page=args.per_page,
@@ -129,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--no-salt", action="store_true")
+    b.add_argument("--stemmer", choices=["none", "porter"], default="none")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -136,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--top-k", type=int, default=20)
+    q.add_argument("--stemmer", choices=["none", "porter"], default="none")
     q.add_argument("--partitions", type=int, default=32)
     q.add_argument("--page", type=int, default=None)
     q.add_argument("--per-page", type=int, default=15)
