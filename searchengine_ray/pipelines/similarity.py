@@ -373,6 +373,58 @@ def train_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
     return cents
 
 
+def train_centroids_distributed(ds: "ray.data.Dataset",
+                                n_centroids: int = 16,
+                                lloyd_iters: int = 2,
+                                sample_rows: int = 512,
+                                id_col: str = "vec_id",
+                                col: str = "embedding") -> np.ndarray:
+    """The 10^9-vector k-means path: seeding is the same tiny id-prefix
+    stride sample as ``train_centroids`` (no Lloyd), but every Lloyd
+    iteration streams the FULL dataset through ``map_batches`` emitting
+    per-centroid partial (sum, count) rows — k×d floats per batch cross to
+    the driver, never vectors. Centroid coords are round(·, 6) after every
+    update (the rounded-arithmetic discipline), which also makes the
+    result independent of batch-reduction order. Plug the result into
+    ``ivf_topk(..., centroids=...)`` / ``build_ivf_index``."""
+    cents = train_centroids(ds, n_centroids, sample_rows, lloyd_iters=0,
+                            id_col=id_col, col=col)
+    for _ in range(lloyd_iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            unit = _normalize(_emb_matrix(batch, col))
+            if not len(unit):
+                return pa.table({"j": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.list_(
+                                     pa.float64()))})
+            assign = assign_centroids(unit, cc)
+            k, d = cc.shape
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, unit)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "j": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": _float_list_array(sums),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        k, d = cents.shape
+        tot = np.zeros((k, d), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            tot[int(r["j"])] += np.asarray(r["s"], dtype=np.float64)
+            cnt[int(r["j"])] += int(r["n"])
+        newc = cents.copy()
+        nz = cnt > 0
+        newc[nz] = np.round(tot[nz] / cnt[nz, None], COS_ROUND)
+        cents = np.round(_normalize(newc), COS_ROUND)
+    return cents
+
+
 def assign_centroids(unit: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Nearest-centroid index per unit vector: argmax of round(dot, 6),
     ties → lowest index (the SQL twin's ORDER BY)."""
@@ -389,7 +441,8 @@ def probe_centroids(qmat: np.ndarray, cents: np.ndarray,
 
 def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", col: str = "embedding") -> pa.Table:
+             id_col: str = "vec_id", col: str = "embedding",
+             centroids: np.ndarray | None = None) -> pa.Table:
     """Approximate cosine top-k via inverted-file (IVF) partitioning.
 
     Vectors are assigned to their nearest centroid; a query scores only
@@ -399,7 +452,8 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     bucketing, after which each query reads only n_probe bucket files —
     here the probe filter runs inline in the same streaming pass.
     """
-    cents = train_centroids(ds, n_centroids, id_col=id_col, col=col)
+    cents = (centroids if centroids is not None
+             else train_centroids(ds, n_centroids, id_col=id_col, col=col))
     qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
     qprobe = probe_centroids(qmat, cents, n_probe)  # (Q, P)
     ref = ray.put((qids, qmat, cents, qprobe))
@@ -451,7 +505,8 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
 
 def build_ivf_index(ds: "ray.data.Dataset", out_dir: str,
                     n_centroids: int = 16, id_col: str = "vec_id",
-                    col: str = "embedding") -> dict:
+                    col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> dict:
     """Materialized IVF index: one parquet file per centroid bucket +
     centroids.npy + manifest.json. This is the resumable-output form of
     ivf_topk: the one-off bucketing shuffle runs once; each later query
@@ -460,7 +515,8 @@ def build_ivf_index(ds: "ray.data.Dataset", out_dir: str,
     tmp→rename, manifest lineage)."""
     import json
     import os
-    cents = train_centroids(ds, n_centroids, id_col=id_col, col=col)
+    cents = (centroids if centroids is not None
+             else train_centroids(ds, n_centroids, id_col=id_col, col=col))
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "centroids.npy"), cents)
     cref = ray.put(cents)

@@ -458,6 +458,31 @@ def test_boost_pruning_equivalent(built):
                [(r["doc_id"], r["score"]) for r in full], q
 
 
+def test_distributed_kmeans_recall_and_determinism(emb_ds):
+    """The streamed-partial-sums trainer (the 10^9-vector path) must be
+    deterministic across runs and give IVF recall comparable to the
+    sample-trained centroids."""
+    from searchengine_ray.pipelines.similarity import (
+        brute_topk, ivf_topk, train_centroids_distributed)
+    c1 = train_centroids_distributed(emb_ds, n_centroids=8)
+    c2 = train_centroids_distributed(emb_ds, n_centroids=8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=2e-6)
+    k, qids = 5, [0, 1, 2, 3]
+    exact = brute_topk(emb_ds, qids, k=k)
+    approx = ivf_topk(emb_ds, qids, k=k, n_probe=3, centroids=c1)
+    ex: dict[int, set[int]] = {}
+    ap: dict[int, set[int]] = {}
+    for q, v in zip(exact["query_id"].to_pylist(),
+                    exact["vec_id"].to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    for q, v in zip(approx["query_id"].to_pylist(),
+                    approx["vec_id"].to_pylist()):
+        ap.setdefault(q, set()).add(v)
+    recalls = [len(ex[q] & ap.get(q, set())) / k for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
 def test_ivf_topk_recall(emb_ds):
     from searchengine_ray.pipelines.similarity import brute_topk, ivf_topk
     k, qids = 5, [0, 1, 2, 3]
