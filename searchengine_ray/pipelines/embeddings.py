@@ -73,6 +73,11 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
     ``index_dir/embeddings/`` parquet (doc_id, embedding) and returns the
     directory."""
     out_dir = os.path.join(index_dir, "embeddings")
+    # idempotence: write_parquet ADDS uniquely-named files, so a re-run
+    # into a dirty dir would silently duplicate embedding rows — own the
+    # directory instead
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     docstore = ray.data.read_parquet(
         os.path.join(index_dir, "docstore"),
         columns=["doc_id", "title", "meta", "snippet"])
