@@ -34,7 +34,8 @@ from searchengine_ray.functions.tokenizer import (
     sql_tokens_expr,
 )
 from searchengine_ray.pipelines import (analysis, classify, curate, dedup,
-                                        events, multimodal, similarity)
+                                        events, graph, multimodal,
+                                        similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -574,6 +575,26 @@ FROM est WHERE est_matches >= {min_matches}
 """
 
 
+def sql_minhash_components() -> str:
+    """Connected components of the m31 MinHash-LSH near-dup graph via a
+    RECURSIVE CTE: reach(node, lbl) closes over the edge set, so
+    min(lbl) per node = the minimum doc_id reachable = the component
+    representative — exactly the fixpoint of graph.connected_components'
+    min-label propagation."""
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh()}),
+edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+          UNION ALL SELECT b_id, a_id FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node::BIGINT AS doc_id, min(lbl)::BIGINT AS component_id
+FROM reach GROUP BY node
+"""
+
+
 def sql_simhash(cfg: IndexConfig = CFG) -> str:
     toks = sql_filtered_tokens_expr("text", cfg)
     chunk_cols = ", ".join(
@@ -916,6 +937,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # the default for non-oracle use)
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
             _docs(sf), family="m31"),
+        # the iterative-graph operator: near-dup pairs → duplicate
+        # CLUSTERS (min-label propagation to fixpoint)
+        "dedup_minhash_components": lambda sf: graph.connected_components(
+            dedup.minhash_lsh_pairs(_docs(sf), family="m31"),
+            _docs(sf, ["doc_id"])),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(
             _embs(sf)),
@@ -971,6 +997,7 @@ def build_oracles() -> dict[str, str]:
         "simhash": sql_simhash(),
         "dedup_simhash": sql_simhash_neardup(),
         "dedup_minhash_lsh": sql_minhash_lsh(),
+        "dedup_minhash_components": sql_minhash_components(),
         "fingerprint": sql_fingerprint(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),

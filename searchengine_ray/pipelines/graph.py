@@ -1,0 +1,221 @@
+"""Distributed iterative graph ops — connected components over candidate
+pairs (the missing half of near-dup dedup: pair lists → duplicate
+CLUSTERS → one keeper per cluster).
+
+Algorithm: min-label propagation (the classic "hash-to-min" shape). Every
+node starts labeled with itself; each round, labels flow across edges and
+every node keeps the minimum label seen; fixpoint after ≤ diameter
+rounds. Ray-Data-first layout — there is no join primitive, so each round
+is TWO coarse hash-partitioned shuffles built from the house
+grouped-pattern:
+
+  1. co-partition (edge endpoint, label) rows by hash(node): within a
+     partition, a vectorized searchsorted lookup attaches each node's
+     current label to its outgoing edges → proposal rows (neighbor,
+     label)
+  2. groupby node over proposals ∪ current labels → new label = min;
+     a rides-along changed counter (summed driver-side, 8 bytes per
+     partition) decides termination
+
+Scale notes: edges and labels stream through every round; the LABEL
+table (24 B/node) is materialized once per round — the legitimate cut an
+iterative algorithm needs so round N+1 doesn't re-execute rounds 1..N's
+lineage — and only the per-round changed count (8 B/partition) reaches
+the driver. Rounds = graph diameter; near-dup graphs are dense clusters
+with tiny diameters (2-3 rounds typical). Skewed hub nodes cost one
+partition's worth of their edges, bounded by the upstream pair caps
+(max_bucket / max_df).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+NUM_GRAPH_PARTITIONS = 16
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _part_of(ids: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((ids.astype(np.uint64) * _MIX)
+                % np.uint64(NUM_GRAPH_PARTITIONS)).astype(np.int32)
+
+
+def connected_components(pairs: "ray.data.Dataset",
+                         nodes: "ray.data.Dataset",
+                         a_col: str = "a_id", b_col: str = "b_id",
+                         node_col: str = "doc_id",
+                         max_rounds: int = 50) -> "ray.data.Dataset":
+    """Connected components of the undirected graph (nodes, pairs).
+
+    Columns out: ``doc_id`` (int64), ``component_id`` (int64 — the MIN
+    node id in the component; isolated nodes map to themselves).
+    Deterministic; independent of round count past convergence.
+    """
+    # materialize the (small) edge list once per call: each round streams
+    # it again, so keep it as a Dataset of both orientations
+    def orient(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(batch[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({"part": pa.array(_part_of(src)),
+                         "src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = pairs.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch[node_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"part": pa.array(_part_of(n)),
+                         "node": pa.array(n), "lbl": pa.array(n)})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        sentinel = np.iinfo(np.int64).min
+
+        # 1) attach labels to outgoing edges within each co-partition:
+        # a group holds this partition's label rows (node, lbl) AND edge
+        # rows (src, dst) — label lookup is a vectorized searchsorted
+        def propose(group: pa.Table) -> pa.Table:
+            node = group["node"].to_numpy(zero_copy_only=False)
+            lbl = group["lbl"].to_numpy(zero_copy_only=False)
+            src = group["src"].to_numpy(zero_copy_only=False)
+            dst = group["dst"].to_numpy(zero_copy_only=False)
+            lmask = node != sentinel
+            ln, ll = node[lmask], lbl[lmask]
+            order = np.argsort(ln, kind="stable")
+            ln, ll = ln[order], ll[order]
+            emask = src != sentinel
+            src, dst = src[emask], dst[emask]
+            if ln.size == 0 or src.size == 0:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "lbl": pa.array([], type=pa.int64())})
+            pos = np.minimum(np.searchsorted(ln, src), ln.size - 1)
+            ok = ln[pos] == src
+            return pa.table({
+                "node": pa.array(dst[ok]),
+                "lbl": pa.array(ll[pos[ok]]),
+            })
+
+        def pad_labels(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table({
+                "part": batch["part"],
+                "node": batch["node"], "lbl": batch["lbl"],
+                "src": pa.array(np.full(n, sentinel, dtype=np.int64)),
+                "dst": pa.array(np.full(n, sentinel, dtype=np.int64)),
+            })
+
+        def pad_edges(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table({
+                "part": batch["part"],
+                "node": pa.array(np.full(n, sentinel, dtype=np.int64)),
+                "lbl": pa.array(np.full(n, sentinel, dtype=np.int64)),
+                "src": batch["src"], "dst": batch["dst"],
+            })
+
+        # pointer doubling: the current (node ↔ lbl) links are themselves
+        # intra-component edges — propagating across them too shortcuts
+        # long paths, so convergence is O(log diameter) rounds instead of
+        # O(diameter) (verified by the chain-graph test)
+        def label_links(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            lbl = batch["lbl"].to_numpy(zero_copy_only=False)
+            src = np.concatenate([node, lbl])
+            dst = np.concatenate([lbl, node])
+            n = src.size
+            return pa.table({
+                "part": pa.array(_part_of(src)),
+                "node": pa.array(np.full(n, sentinel, dtype=np.int64)),
+                "lbl": pa.array(np.full(n, sentinel, dtype=np.int64)),
+                "src": pa.array(src), "dst": pa.array(dst),
+            })
+
+        unioned = (labels.map_batches(pad_labels, batch_format="pyarrow")
+                   .union(edges.map_batches(pad_edges,
+                                            batch_format="pyarrow"))
+                   .union(labels.map_batches(label_links,
+                                             batch_format="pyarrow")))
+        proposals = unioned.groupby("part").map_groups(
+            propose, batch_format="pyarrow")
+
+        # 2) new label per node = min(current, proposals); count changes
+        def fold(group: pa.Table) -> pa.Table:
+            node = group["node"].to_numpy(zero_copy_only=False)
+            lbl = group["lbl"].to_numpy(zero_copy_only=False)
+            cur = group["cur"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            node, lbl, cur = node[order], lbl[order], cur[order]
+            b = np.nonzero(np.diff(node))[0] + 1
+            starts = np.concatenate([[0], b])
+            new_lbl = np.minimum.reduceat(lbl, starts)
+            # the current label is the row with cur==1 in each run
+            cur_lbl = np.full(starts.size, np.iinfo(np.int64).max,
+                              dtype=np.int64)
+            run_of = np.cumsum(np.concatenate([[False], np.diff(node) > 0]))
+            cm = cur == 1
+            cur_lbl[run_of[cm]] = lbl[cm]
+            changed = int((new_lbl != cur_lbl).sum())
+            out_node = node[starts]
+            return pa.table({
+                "part": pa.array(_part_of(out_node)),
+                "node": pa.array(out_node),
+                "lbl": pa.array(new_lbl),
+                "changed": pa.array(
+                    np.concatenate([[changed],
+                                    np.zeros(starts.size - 1,
+                                             dtype=np.int64)])),
+            })
+
+        def mark(batch: pa.Table, cur: int) -> pa.Table:
+            return pa.table({
+                "part": batch["part"], "node": batch["node"],
+                "lbl": batch["lbl"],
+                "cur": pa.array(np.full(len(batch), cur, dtype=np.int64)),
+            })
+
+        merged = (labels.map_batches(lambda b: mark(b, 1),
+                                     batch_format="pyarrow")
+                  .union(proposals.map_batches(
+                      lambda b: pa.table({
+                          "part": pa.array(_part_of(
+                              b["node"].to_numpy(zero_copy_only=False))),
+                          "node": b["node"], "lbl": b["lbl"],
+                          "cur": pa.array(np.zeros(len(b),
+                                                   dtype=np.int64)),
+                      }), batch_format="pyarrow")))
+        # repartition bounds the label table's block count: labels feed
+        # THREE branches of next round's union, so without this the block
+        # count (and with it every groupby's task count) would TRIPLE per
+        # round — measured 4→13→40→121→364→1093 blocks and a per-round
+        # wall-time explosion before the cap
+        new_labels = (merged.groupby("part")
+                      .map_groups(fold, batch_format="pyarrow")
+                      .repartition(NUM_GRAPH_PARTITIONS)
+                      .materialize())
+        n_changed = sum(r["changed"] for r in
+                        new_labels.select_columns(["changed"]).take_all())
+        labels = new_labels.select_columns(["part", "node", "lbl"])
+        import os as _os
+        if _os.environ.get("SERAY_CC_DEBUG"):
+            import sys as _sys
+            import time as _time
+            print(f"cc round changed={n_changed} "
+                  f"blocks={new_labels.num_blocks()} "
+                  f"rows={new_labels.count()} t={_time.time():.1f}",
+                  file=_sys.stderr, flush=True)
+        if n_changed == 0:
+            break
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["node"], pa.int64()),
+                         "component_id": pc.cast(batch["lbl"], pa.int64())})
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -296,6 +296,52 @@ def test_embedding_neardup_lsh_subset_and_recall(emb_ds):
 
 
 # ---------------------------------------------------------------------------
+# connected components (iterative min-label propagation)
+# ---------------------------------------------------------------------------
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.graph import connected_components
+    rng = np.random.default_rng(3)
+    n = 120
+    # sparse random graph + a chain (multi-round diameter; pointer
+    # doubling converges in O(log d) rounds — kept small because each
+    # round costs two Ray shuffles of fixed ~second latency at toy scale)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n, size=(50, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(100, 110)]
+    pairs = pa.table({
+        "a_id": pa.array([min(e) for e in edges], type=pa.int64()),
+        "b_id": pa.array([max(e) for e in edges], type=pa.int64()),
+    })
+    nodes = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    out = connected_components(ray.data.from_arrow(pairs),
+                               ray.data.from_arrow(nodes)).take_all()
+    got = {r["doc_id"]: r["component_id"] for r in out}
+    assert got == _union_find_components(n, edges)
+
+
+# ---------------------------------------------------------------------------
 # corpus curation (dedup keeper ∧ quality gate, one shuffle)
 # ---------------------------------------------------------------------------
 
