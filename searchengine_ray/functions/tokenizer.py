@@ -68,7 +68,7 @@ def filter_tokens(tokens: Iterable[str], cfg: IndexConfig) -> list[str]:
     return [t for t in tokens if t not in stop and lo <= len(t) <= hi]
 
 
-def expand_query(query: str, stemmer: str | None = None) -> str:
+def expand_query(query: str) -> str:
     """Query expansion, reference fallback semantics
     (text_processing.py:127-161) made case-aware: the token pass runs the
     code-aware tokenizer on the *original-case* query (so camelCase queries
@@ -78,7 +78,7 @@ def expand_query(query: str, stemmer: str | None = None) -> str:
     tokens already present, doubling their weight)."""
     original = query.lower().strip()
     phrases = [p for p in original.split() if p]
-    tokens = tokenize(query, stemmer)
+    tokens = tokenize(query)
     expanded = list(tokens)
     for phrase in phrases:
         if phrase not in expanded and len(phrase) > 1:
@@ -95,8 +95,15 @@ def prepare_query(query: str, cfg: IndexConfig) -> tuple[list[str], list[str], s
     """
     if not query or not query.strip():
         return [], [], ""
+    # Stemming happens exactly ONCE, in the outer tokenize over the
+    # (unstemmed) expansion — so every query token lives in the index's
+    # term space. Deliberate deviation from the reference's NLTK branch,
+    # which re-stems the already-stemmed expansion (tokenize→stem inside
+    # expand_query, stem again at indexer.py:295) and so emits
+    # double-stemmed tokens the index can never contain (Porter is not
+    # idempotent: 'decision'→'decis'→'deci').
     stemmer = getattr(cfg, "stemmer", "none")
-    expanded = expand_query(query, stemmer)
+    expanded = expand_query(query)
     original_query = query.lower().strip()
     query_tokens = tokenize(expanded, stemmer)
     original_query_tokens = tokenize(query, stemmer)

@@ -137,28 +137,21 @@ def quality_score(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def quality_filter(ds: "ray.data.Dataset", *, min_ws_tokens: int = 10,
                    max_stop_ratio_u: int = 500_000,
                    min_distinct_ratio_u: int = 300_000) -> "ray.data.Dataset":
-    """The training-data QUALITY GATE built on quality_score: keep docs with
+    """The training-data QUALITY GATE (quality_keep_mask kernel): keep docs with
     ≥ min_ws_tokens whitespace tokens, stopword ratio ≤ max_stop_ratio_u/1e6
     and distinct-token ratio ≥ min_distinct_ratio_u/1e6 (scaled-integer
     ratios — exact in Ray and SQL). Columns: doc_id, keep (int64 0/1)."""
-    scored = quality_score(ds)
-
     def fn(batch: pa.Table) -> pa.Table:
-        n_ws = batch["n_ws_tokens"].to_numpy(zero_copy_only=False)
-        n_stop = batch["n_stopwords"].to_numpy(zero_copy_only=False)
-        n_dist = batch["n_distinct"].to_numpy(zero_copy_only=False)
-        safe = np.maximum(n_ws, 1)
-        stop_u = (n_stop * 1_000_000) // safe
-        dist_u = (n_dist * 1_000_000) // safe
-        keep = ((n_ws >= min_ws_tokens)
-                & (stop_u <= max_stop_ratio_u)
-                & (dist_u >= min_distinct_ratio_u))
+        keep = quality_keep_mask(batch["text"],
+                                 min_ws_tokens=min_ws_tokens,
+                                 max_stop_ratio_u=max_stop_ratio_u,
+                                 min_distinct_ratio_u=min_distinct_ratio_u)
         return pa.table({
-            "doc_id": batch["doc_id"],
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "keep": pa.array(keep.astype(np.int64)),
         })
 
-    return scored.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def lang_id(ds: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -831,8 +831,8 @@ def sql_ann_ivf_topk(query_ids: list[int], k: int, n_centroids: int = 16,
     # initial centroids: every stride-th sample row (by vec_id order)
     parts = [f"""
 WITH {_sql_unit_vectors()},
-samp AS (SELECT DISTINCT vec_id FROM embeddings
-         WHERE vec_id < {sample_rows}),
+samp AS (SELECT vec_id FROM embeddings
+         ORDER BY vec_id LIMIT {sample_rows}),
 stride AS (
   SELECT greatest((SELECT count(*) FROM samp) // {n_centroids}, 1) AS s),
 sidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn

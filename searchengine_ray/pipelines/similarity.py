@@ -132,10 +132,12 @@ class _BlockPairScorer:
     cross-cosine and emits pairs ≥ tau. Holds at most a few blocks
     (≈ 2·N/B rows) in memory — never the dataset."""
 
-    def __init__(self, blocks_dir: str, tau: float, cache_blocks: int = 4):
+    def __init__(self, blocks_dir: str, tau: float,
+                 present_blocks: frozenset[int], cache_blocks: int = 4):
         import collections
         self.blocks_dir = blocks_dir
         self.tau = tau
+        self.present_blocks = present_blocks
         self._cache: "collections.OrderedDict[int, tuple]" = \
             collections.OrderedDict()
         self._cap = cache_blocks
@@ -146,10 +148,20 @@ class _BlockPairScorer:
             self._cache.move_to_end(i)
             return self._cache[i]
         import os
-        path = os.path.join(self.blocks_dir, f"block-{i:05d}.parquet")
-        if not os.path.exists(path):  # empty block: no rows hashed to it
+        if i not in self.present_blocks:
+            # stage 1's manifest says no rows hashed to this block
             val = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
         else:
+            # missing-but-expected must FAIL LOUDLY: an operator documented
+            # as exact must never silently drop pairs because scratch files
+            # are unreadable (e.g. node-local scratch on a multi-node
+            # cluster — use shared storage for scratch_dir there)
+            path = os.path.join(self.blocks_dir, f"block-{i:05d}.parquet")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"near-dup block file missing: {path} (written by "
+                    f"stage 1 — is scratch_dir on storage all workers "
+                    f"share?)")
             t = pq.read_table(path)
             val = (t["vec_id"].to_numpy(zero_copy_only=False),
                    _emb_matrix(t, "unit"))
@@ -246,17 +258,24 @@ def embedding_neardup(ds: "ray.data.Dataset", tau: float = 0.3,
         return pa.table({"blk": pa.array([b], type=pa.int32()),
                          "rows": pa.array([len(g)], type=pa.int64())})
 
-    # stage 1 (eager, tiny result): partitioned spill of unit vectors
-    (ds.map_batches(assign, batch_format="pyarrow")
-       .groupby("blk").map_groups(write_block, batch_format="pyarrow")
-       .take_all())
+    # stage 1 (eager, tiny result): partitioned spill of unit vectors.
+    # The returned rows are the block manifest — the scorer uses it to
+    # distinguish legitimately-empty blocks from unreadable scratch.
+    written = (ds.map_batches(assign, batch_format="pyarrow")
+                 .groupby("blk").map_groups(write_block,
+                                            batch_format="pyarrow")
+                 .take_all())
+    present = frozenset(int(r["blk"]) for r in written)
 
-    # stage 2 (lazy): the block-pair grid
+    # stage 2 (lazy): the block-pair grid. NOTE the scratch_dir contract:
+    # the caller owns cleanup after consuming the returned dataset (the
+    # grid re-reads the block files lazily, so they cannot be deleted
+    # here); on a multi-node cluster scratch_dir must be shared storage.
     pair_rows = [{"i": i, "j": j}
                  for i in range(num_blocks) for j in range(i, num_blocks)]
     return (ray.data.from_items(pair_rows)
             .map_batches(_BlockPairScorer,
-                         fn_constructor_args=(scratch_dir, tau),
+                         fn_constructor_args=(scratch_dir, tau, present),
                          batch_size=1, concurrency=concurrency,
                          batch_format="pyarrow"))
 
@@ -342,21 +361,32 @@ def train_centroids(ds: "ray.data.Dataset", n_centroids: int = 16,
                     sample_rows: int = 512, lloyd_iters: int = 2,
                     id_col: str = "vec_id",
                     col: str = "embedding") -> np.ndarray:
-    """Deterministic mini k-means on a bounded id-prefix sample (rows with
-    id < sample_rows — driver-side; the sample is tiny. At 10^9+ vectors
-    this becomes a map_batches partial k-means, same contract). Returns
-    unit-norm (n_centroids, dim).
+    """Deterministic mini k-means seeded from the ``sample_rows`` SMALLEST
+    vec_ids (streaming per-batch partial + tiny driver reduce — works for
+    any id scheme; SQL twin: ORDER BY vec_id LIMIT). At 10^9+ vectors
+    ``train_centroids_distributed`` streams the Lloyd iterations too.
+    Returns unit-norm (n_centroids, dim).
 
     Rounded-arithmetic discipline (shared with the SQL oracle): centroid
     coordinates are round(·, 6) after every update and assignments/probes
     compare round(dot, 6) — so the ~1e-16 summation-order differences
     between numpy and DuckDB can never flip a k-means assignment, and the
     trained centroids are bit-identical across engines."""
-    sr = pa.scalar(sample_rows, type=pa.int64())
-    small = ds.map_batches(
-        lambda b: b.filter(pc.less(pc.cast(b[id_col], pa.int64()), sr)),
-        batch_format="pyarrow").take_all()
-    rows = sorted(small, key=lambda r: int(r[id_col]))
+    def partial_smallest(b: pa.Table) -> pa.Table:
+        # per-batch partial: keep this batch's sample_rows smallest ids,
+        # so the driver sees ≤ blocks × sample_rows rows regardless of
+        # the id scheme (works for hash/offset ids, not just 0-based)
+        vids = pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(b) > sample_rows:
+            idx = np.argpartition(vids, sample_rows)[:sample_rows]
+            b = b.take(pa.array(np.sort(idx)))
+        return b.select([id_col, col])
+
+    small = ds.map_batches(partial_smallest,
+                           batch_format="pyarrow").take_all()
+    rows = sorted(small, key=lambda r: int(r[id_col]))[:sample_rows]
+    if not rows:
+        raise ValueError("train_centroids: empty embeddings dataset")
     mat = _normalize(np.array([r[col] for r in rows], dtype=np.float64))
     stride = max(1, len(mat) // n_centroids)
     cents = np.round(mat[::stride][:n_centroids], COS_ROUND)

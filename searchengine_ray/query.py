@@ -818,7 +818,6 @@ class ShardedQueryService:
             return []
         # meta lookups route to the OWNING shard (each shard resident-
         # loads only its range's docstore partition files)
-        picked_ids = np.array([p[0] for p in picked], dtype=np.uint64)
         metas = self._routed_meta([p[0] for p in picked])
         from searchengine_ray.functions.tokenizer import prepare_query
         _, original_tokens, _ = prepare_query(query, self._cfg)

@@ -504,6 +504,27 @@ def test_boost_pruning_equivalent(built):
                [(r["doc_id"], r["score"]) for r in full], q
 
 
+def test_train_centroids_offset_ids(ray_session):
+    """Sampling must work for ANY id scheme (the smallest-ids sample, not
+    a 0-based prefix filter): offset ids train fine, empty input raises."""
+    import ray.data
+    import pytest as pt
+    from searchengine_ray.pipelines.similarity import train_centroids
+    t = emb_table()
+    shifted = pa.table({
+        "vec_id": pa.array([v + 10**9 for v in
+                            t["vec_id"].to_pylist()], type=pa.int64()),
+        "embedding": t["embedding"],
+    })
+    cents = train_centroids(ray.data.from_arrow(shifted), n_centroids=8)
+    assert cents.shape[0] == 8
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0, atol=2e-6)
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "embedding": pa.array([], type=pa.list_(pa.float64()))})
+    with pt.raises(ValueError, match="empty"):
+        train_centroids(ray.data.from_arrow(empty))
+
+
 def test_distributed_kmeans_recall_and_determinism(emb_ds):
     """The streamed-partial-sums trainer (the 10^9-vector path) must be
     deterministic across runs and give IVF recall comparable to the
