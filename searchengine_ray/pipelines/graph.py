@@ -74,7 +74,64 @@ def connected_components(pairs: "ray.data.Dataset",
         return pa.table({"part": pa.array(_part_of(n)),
                          "node": pa.array(n), "lbl": pa.array(n)})
 
-    labels = nodes.map_batches(init_labels, batch_format="pyarrow")
+    # contraction pre-pass: each edge partition holds the full adjacency
+    # of its nodes (orient emits both orientations, partitioned by src),
+    # so a LOCAL union-find collapses the partition's subgraph in one
+    # task and seeds labels with per-partition component minima — the
+    # filtering-contraction trick that saves whole propagation rounds on
+    # clique-heavy near-dup graphs. Seeds are valid labels (ids of true
+    # component members), so the fixpoint is unchanged.
+    def local_contract(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(src.tolist(), dst.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        my_part = int(group["part"][0].as_py())
+        out_n, out_l = [], []
+        for u in np.unique(src).tolist():
+            if _part_of(np.array([u]))[0] == my_part:
+                out_n.append(u)
+                out_l.append(find(u))
+        return pa.table({
+            "part": pa.array(np.full(len(out_n), my_part, dtype=np.int32)),
+            "node": pa.array(out_n, type=pa.int64()),
+            "lbl": pa.array(out_l, type=pa.int64()),
+        })
+
+    seeds = edges.groupby("part").map_groups(local_contract,
+                                             batch_format="pyarrow")
+
+    def seed_fold(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        lbl = group["lbl"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, lbl = node[order], lbl[order]
+        b = np.nonzero(np.diff(node))[0] + 1
+        starts = np.concatenate([[0], b])
+        return pa.table({
+            "part": group["part"][:len(starts)],
+            "node": pa.array(node[starts]),
+            "lbl": pa.array(np.minimum.reduceat(lbl, starts)),
+        })
+
+    labels = (nodes.map_batches(init_labels, batch_format="pyarrow")
+              .union(seeds)
+              .groupby("part")
+              .map_groups(seed_fold, batch_format="pyarrow")
+              .repartition(NUM_GRAPH_PARTITIONS)
+              .materialize())
 
     for _ in range(max_rounds):
         sentinel = np.iinfo(np.int64).min
