@@ -252,6 +252,73 @@ def top_sources(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return grouped_aggregate(partials, ["source"], reduce_part)
 
 
+def repetition_stats(ds: "ray.data.Dataset", top_n: int = 2,
+                     dup_n: int = 5) -> "ray.data.Dataset":
+    """Repetition-based quality signals (the Gopher-rule family, Rae et
+    al. 2021 appendix A: excessive n-gram repetition marks boilerplate /
+    spam): per doc, the occurrence share of the single most frequent
+    ``top_n``-gram and the duplicate share of ``dup_n``-gram occurrences.
+    Scaled-integer ratios (×1e6 //) — exact in Ray and SQL.
+
+    Columns: doc_id, n_2grams, top_2gram_count, top_2gram_frac_u,
+    n_5grams, dup_5gram_frac_u (whitespace-token grams; no shuffle —
+    embarrassingly parallel map_batches)."""
+    def grams(flat: pa.Array, parents: np.ndarray, n: int, nb: int):
+        """(per-doc gram counts: totals, top, distinct) via slice-join."""
+        totals = np.zeros(nb, dtype=np.int64)
+        top = np.zeros(nb, dtype=np.int64)
+        distinct = np.zeros(nb, dtype=np.int64)
+        if len(flat) < n:
+            return totals, top, distinct
+        m = len(flat) - n + 1
+        parts = [flat.slice(i, m) for i in range(n)]
+        g = pc.binary_join_element_wise(*parts, " ")
+        same = parents[:m] == parents[n - 1:]
+        doc = parents[:m][same]
+        g = pc.filter(g, pa.array(same))
+        np.add.at(totals, doc, 1)
+        t = pa.table({"d": pa.array(doc), "g": g})
+        cnt = t.group_by(["d", "g"], use_threads=False) \
+            .aggregate([("d", "count")])
+        cd = cnt["d"].to_numpy(zero_copy_only=False)
+        cc = cnt["d_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        np.maximum.at(top, cd, cc)
+        np.add.at(distinct, cd, 1)
+        return totals, top, distinct
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nb = len(batch)
+        text = pc.cast(batch["text"], pa.string())
+        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        ne = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, ne)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[ne.to_numpy(zero_copy_only=False)]
+        t2, top2, _ = grams(flat, parents, top_n, nb)
+        t5, _, d5 = grams(flat, parents, dup_n, nb)
+        top2_frac = np.where(t2 > 0,
+                             (top2 * 1_000_000) // np.maximum(t2, 1), 0)
+        dup5_frac = np.where(t5 > 0,
+                             ((t5 - d5) * 1_000_000) // np.maximum(t5, 1),
+                             0)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_2grams": pa.array(t2),
+            "top_2gram_count": pa.array(top2),
+            "top_2gram_frac_u": pa.array(top2_frac),
+            "n_5grams": pa.array(t5),
+            "dup_5gram_frac_u": pa.array(dup5_frac),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.data.Dataset":
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     rolling hash over k-token shingles, per-window minimum kept.

@@ -454,6 +454,43 @@ def sql_top_sources() -> str:
     return "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source"
 
 
+def sql_repetition_stats(top_n: int = 2, dup_n: int = 5) -> str:
+    def gram_cte(n: int, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(L) - {n} + 2, 1)),
+                               i -> array_to_string(L[i:i+{n - 1}], ' ')))
+           AS g
+  FROM toks)"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS L
+  FROM documents),{gram_cte(top_n, "g2")},{gram_cte(dup_n, "g5")},
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS top2
+       FROM c2 GROUP BY doc_id),
+c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+a5 AS (SELECT doc_id, sum(c)::BIGINT AS n5, count(*)::BIGINT AS d5
+       FROM c5 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a2.n2, 0)::BIGINT AS n_2grams,
+       coalesce(a2.top2, 0)::BIGINT AS top_2gram_count,
+       (CASE WHEN coalesce(a2.n2, 0) > 0
+             THEN (a2.top2 * 1000000) // a2.n2 ELSE 0 END)::BIGINT
+         AS top_2gram_frac_u,
+       coalesce(a5.n5, 0)::BIGINT AS n_5grams,
+       (CASE WHEN coalesce(a5.n5, 0) > 0
+             THEN ((a5.n5 - a5.d5) * 1000000) // a5.n5 ELSE 0 END)::BIGINT
+         AS dup_5gram_frac_u
+FROM documents d
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
+LEFT JOIN a5 ON a5.doc_id = d.doc_id
+"""
+
+
 def sql_exact_dedup() -> str:
     return ("SELECT sha256(text) AS content_sha, min(doc_id)::BIGINT AS keeper_id, "
             "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)")
@@ -923,6 +960,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "term_df": lambda sf: analysis.term_df(_docs(sf, ["text"]), CFG),
         "top_sources": lambda sf: analysis.top_sources(_docs(sf, ["source"])),
         "fingerprint": lambda sf: analysis.fingerprint(_docs(sf)),
+        "repetition_stats": lambda sf: analysis.repetition_stats(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_keep": lambda sf: dedup.dedup_keep_mask(_docs(sf)),
         "quality_filter": lambda sf: analysis.quality_filter(_docs(sf)),
@@ -999,6 +1037,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": sql_minhash_lsh(),
         "dedup_minhash_components": sql_minhash_components(),
         "fingerprint": sql_fingerprint(),
+        "repetition_stats": sql_repetition_stats(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),

@@ -409,6 +409,39 @@ def _fingerprint_rowwise(text: str, k: int, window: int):
             int(fps.max()) if fps.size else 0)
 
 
+def test_repetition_stats_hand_vectors(ray_session):
+    """Gopher-rule repetition signals: hand-checked boilerplate vs clean
+    docs, plus boundary cases (empty, single token)."""
+    import ray.data
+    from searchengine_ray.pipelines.analysis import repetition_stats
+    texts = [
+        "spam spam spam spam spam",          # one bigram repeated 4×
+        "a b c d e f",                       # all bigrams distinct
+        "",                                  # no grams
+        "one",                               # < 2 tokens
+        "x y x y x y x y",                   # alternating boilerplate
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    rows = {r["doc_id"]: r
+            for r in repetition_stats(ray.data.from_arrow(t)).take_all()}
+    # doc 0: 4 bigrams, all identical → top frac 1.0; 1 distinct 5-gram
+    assert rows[0]["n_2grams"] == 4 and rows[0]["top_2gram_count"] == 4
+    assert rows[0]["top_2gram_frac_u"] == 1_000_000
+    assert rows[0]["n_5grams"] == 1 and rows[0]["dup_5gram_frac_u"] == 0
+    # doc 1: 5 distinct bigrams → top frac 1/5
+    assert rows[1]["top_2gram_frac_u"] == 200_000
+    # empties
+    assert rows[2]["n_2grams"] == 0 and rows[2]["top_2gram_frac_u"] == 0
+    assert rows[3]["n_2grams"] == 0
+    # doc 4: bigrams: "x y"×4, "y x"×3 → top 4/7; 5-grams: 4 total,
+    # 2 distinct ("x y x y x", "y x y x y") → dup frac 2/4
+    assert rows[4]["n_2grams"] == 7 and rows[4]["top_2gram_count"] == 4
+    assert rows[4]["top_2gram_frac_u"] == (4 * 10**6) // 7
+    assert rows[4]["n_5grams"] == 4
+    assert rows[4]["dup_5gram_frac_u"] == 500_000
+
+
 def test_fingerprint_matches_rowwise_reference():
     import ray.data
     from searchengine_ray.pipelines.analysis import fingerprint
