@@ -123,6 +123,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                           ("num_docstore_partitions",
                            cfg.num_docstore_partitions),
                           ("codec_version", CODEC_VERSION),
+                          ("lengths_layout", "range"),
                           ("stemmer", cfg.stemmer),
                           ("tokenizer_version", TOKENIZER_VERSION)):
             have = prior.get(key)
@@ -256,6 +257,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
                    "content": cfg.content_boost},
         "codec_version": CODEC_VERSION,
+        "lengths_layout": "range",
         "stemmer": cfg.stemmer,
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": hot_terms,

@@ -170,6 +170,8 @@ def merge_indexes(source_dirs: list[str], out_dir: str,
             f"{d}: codec_version {m.get('codec_version')} != {CODEC_VERSION}"
         assert m.get("stemmer", "none") == cfg.stemmer, \
             f"{d}: stemmer {m.get('stemmer')} != cfg {cfg.stemmer}"
+        assert m.get("lengths_layout") == "range", \
+            f"{d}: lengths_layout {m.get('lengths_layout')} != range"
         assert m["hot_terms"] == base["hot_terms"], \
             "sources must share hot_terms (build deltas with " \
             "hot_terms_override of the base index)"
@@ -214,6 +216,7 @@ def merge_indexes(source_dirs: list[str], out_dir: str,
         "boosts": {"title": cfg.title_boost, "meta": cfg.meta_boost,
                    "content": cfg.content_boost},
         "codec_version": CODEC_VERSION,
+        "lengths_layout": "range",
         "stemmer": cfg.stemmer,
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": base["hot_terms"],

@@ -86,7 +86,7 @@ def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
 # bump when the on-disk index format or indexing semantics change, so a
 # stale /tmp cache from an older code revision can never answer for the
 # current engine
-ENGINE_CACHE_REV = 5  # r2: docstore ranges + codec v2 + stemmer manifest key
+ENGINE_CACHE_REV = 6  # r2: + range-partitioned lengths layout
 
 
 def index_dir_for(sf_dir: str) -> str:

@@ -96,13 +96,20 @@ class QueryEngine:
         self.num_partitions = int(manifest["num_partitions"])
         self.hot_terms: dict[str, int] = manifest.get("hot_terms", {})
 
-        lengths = _read_dir(os.path.join(index_dir, "lengths"))
+        lengths_dir = os.path.join(index_dir, "lengths")
+        import pyarrow as _pa
+        lengths = _pa.concat_tables([
+            pq.read_table(os.path.join(lengths_dir, f))
+            for f in self._select_range_files(
+                lengths_dir, int(manifest["num_partitions"]),
+                manifest.get("num_length_partitions")
+                if manifest.get("lengths_layout") == "range" else None)])
         len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)
         len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)
         if self.doc_range is not None:
-            # keep only this shard's rows resident (lengths files are
-            # doc_id-HASH partitioned, so the prune is row-level, not
-            # file-level like the docstore)
+            # row-level residency filter (also covers the legacy hash
+            # layout; under the range layout whole files were already
+            # pruned by name and this just trims the boundary files)
             lo, hi = self.doc_range
             m = len_ids >= np.uint64(lo)
             if hi <= 2 ** 64 - 1:
@@ -151,31 +158,36 @@ class QueryEngine:
         self._df_cache: dict[tuple[int, str], int | None] = {}
         self._postings_cache_cap = 100_000
 
-    def _select_docstore_files(self) -> list[str]:
-        """Docstore file names this engine needs. A doc_range engine reads
-        ONLY the range-partitioned docstore files intersecting its range
-        (file part-N covers doc_id slice N·step..(N+1)·step — whole-file
-        pruning from the name alone); merged/legacy layouts fall back to
-        all files."""
-        files = sorted(f for f in os.listdir(self._docstore_dir)
+    def _select_range_files(self, dir_path: str, part_base: int,
+                            num_parts: int | None) -> list[str]:
+        """File names in a RANGE-partitioned dir this engine needs: a
+        doc_range engine reads ONLY files whose id slice intersects its
+        range (file part-(base+N) covers N·step..(N+1)·step — whole-file
+        pruning from the name alone). Merged/legacy layouts (num_parts
+        None) and unranged engines fall back to all files."""
+        files = sorted(f for f in os.listdir(dir_path)
                        if f.endswith(".parquet"))
-        ndp = self.manifest.get("num_docstore_partitions")
-        if self.doc_range is None or not ndp:
+        if self.doc_range is None or not num_parts:
             return files
-        base = (int(self.manifest["num_partitions"])
-                + int(self.manifest["num_length_partitions"]))
-        step = 2 ** 64 // int(ndp) + 1
+        step = 2 ** 64 // int(num_parts) + 1
         lo, hi = self.doc_range
         keep = []
         for f in files:
             try:
-                d = int(f.split("-")[1].split(".")[0]) - base
+                d = int(f.split("-")[1].split(".")[0]) - part_base
             except (IndexError, ValueError):
                 keep.append(f)  # unrecognized name: keep (safe fallback)
                 continue
             if d * step < hi and (d + 1) * step > lo:
                 keep.append(f)
         return keep
+
+    def _select_docstore_files(self) -> list[str]:
+        return self._select_range_files(
+            self._docstore_dir,
+            int(self.manifest["num_partitions"])
+            + int(self.manifest["num_length_partitions"]),
+            self.manifest.get("num_docstore_partitions"))
 
     def _read_docstore(self, columns=None):
         import pyarrow as pa

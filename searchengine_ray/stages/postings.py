@@ -138,11 +138,14 @@ class ExplodePostings:
                 salt_idx = (post_doc_ids[hot_rows]
                             % row_salts[hot_rows]).astype(np.int64)
                 parts[hot_rows] = lut[codes[hot_rows], salt_idx]
-        # Per-doc length rows (doc_len = sum of weighted tfs, indexer.py:144-146)
+        # Per-doc length rows (doc_len = sum of weighted tfs, indexer.py:144-146).
+        # RANGE partitioned by doc_id (uniform hash64 ids → balanced), so
+        # each lengths file covers a disjoint id range and a doc-range
+        # shard loads only its files (same contract as the docstore).
         doc_len = np.zeros(len(batch), dtype=np.float64)
         np.add.at(doc_len, doc_index, wtf)
         len_parts = (cfg.num_partitions
-                     + (ids % np.uint64(cfg.num_length_partitions)).astype(np.int64)
+                     + range_partition_ids(ids, cfg.num_length_partitions)
                      ).astype(np.int32)
         term_col = terms.combine_chunks() if isinstance(
             terms, pa.ChunkedArray) else terms
@@ -158,6 +161,17 @@ class ExplodePostings:
         )
 
 
+def range_partition_ids(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    """0-based RANGE partition index per uint64 id: slice N covers
+    N·step..(N+1)·step with step = 2^64//P + 1 (shared math with the
+    query-side file prune, QueryEngine._select_range_files). P == 1 is
+    guarded — 2^64+1 overflows uint64."""
+    if num_parts <= 1:
+        return np.zeros(len(ids), dtype=np.int64)
+    step = np.uint64(2 ** 64 // num_parts + 1)
+    return (ids.astype(np.uint64) // step).astype(np.int64)
+
+
 def docstore_part_ids(doc_ids: np.ndarray, cfg: IndexConfig) -> np.ndarray:
     """Docstore partition id per doc: RANGE partition of the uint64 doc_id
     space into cfg.num_docstore_partitions equal slices, offset past the
@@ -165,9 +179,8 @@ def docstore_part_ids(doc_ids: np.ndarray, cfg: IndexConfig) -> np.ndarray:
     range slices are balanced AND every docstore file covers a disjoint
     doc_id range — lazy_docstore fetches prune whole files."""
     base = cfg.num_partitions + cfg.num_length_partitions
-    step = np.uint64(2 ** 64 // cfg.num_docstore_partitions + 1)
-    return (base + (doc_ids.astype(np.uint64) // step).astype(np.int64)) \
-        .astype(np.int32)
+    return (base + range_partition_ids(doc_ids, cfg.num_docstore_partitions)
+            ).astype(np.int32)
 
 
 class DocstoreWriter:

@@ -149,18 +149,21 @@ def test_resume_mid_docstore(built, tmp_path):
     assert np.unique(ids).size == ids.size == len(built.table)
 
 
-def test_docstore_files_cover_disjoint_ranges(built):
-    """Docstore partitioning contract: each file covers a disjoint doc_id
-    RANGE (what lazy_docstore whole-file pruning relies on)."""
-    files = sorted(glob.glob(os.path.join(built.index_dir, "docstore",
-                                          "*.parquet")))
-    assert len(files) > 1
-    prev_max = -1
-    for f in files:
-        t = pq.read_table(f, columns=["doc_id"])
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        assert int(ids.min()) > prev_max
-        prev_max = int(ids.max())
+def test_docstore_and_lengths_files_cover_disjoint_ranges(built):
+    """Range-partitioning contract: each docstore AND lengths file covers
+    a disjoint doc_id RANGE (whole-file pruning for lazy_docstore and
+    doc-range shards relies on it)."""
+    for sub in ("docstore", "lengths"):
+        files = sorted(glob.glob(os.path.join(built.index_dir, sub,
+                                              "*.parquet")))
+        assert len(files) > 1, sub
+        prev_max = -1
+        for f in files:
+            t = pq.read_table(f, columns=["doc_id"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            assert int(ids.min()) > prev_max, (sub, f)
+            prev_max = int(ids.max())
 
 
 def test_completed_build_is_noop_on_rebuild(built):

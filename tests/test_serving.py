@@ -70,6 +70,12 @@ def test_sharded_service_bit_identical(built):
     per_shard = [set(s._docstore_files) for s in svc.shards]
     assert all(fs < all_files for fs in per_shard)
     assert set().union(*per_shard) == all_files
+    # lengths residency: range layout → per-shard resident rows partition
+    # the corpus and each shard holds a strict subset
+    n_total = eng._len_ids.size
+    shard_rows = [s._len_ids.size for s in svc.shards]
+    assert sum(shard_rows) == n_total
+    assert all(0 < r < n_total for r in shard_rows)
 
 
 def test_sharded_hybrid_and_actor_mode(built, tmp_path):
