@@ -733,6 +733,116 @@ class QueryService:
         self._actors = []
 
 
+class FederatedQueryEngine(QueryEngine):
+    """Query N indexes (disjoint doc_id spaces — e.g. a base plus fresh
+    delta indexes) as ONE logical index, bit-identical to querying the
+    merged index (asserted in tests): corpus scalars combine exactly
+    (N = ΣN_i, avgdl = Σ(avgdl_i·N_i)/N), per-term df and postings
+    concatenate across children, and the resident docstore/length arrays
+    are the sorted union. This is the serving-side half of incremental
+    indexing: deltas become queryable the moment they finish building,
+    while ``merge_indexes`` compacts in the background."""
+
+    def __init__(self, engines: list[QueryEngine]):
+        assert engines, "need at least one engine"
+        e0 = engines[0]
+        for e in engines[1:]:
+            assert e.cfg == e0.cfg, "federated engines must share cfg"
+        self.engines = engines
+        self.cfg, self.qcfg = e0.cfg, e0.qcfg
+        self.index_dir = None
+        self.doc_range = None
+        self.lazy_segments = False
+        self.lazy_docstore = False
+        self.N = sum(e.N for e in engines)
+        sum_len = sum(e.avgdl * e.N for e in engines)
+        self.avgdl = (sum_len / self.N) if self.N else 0.0
+        # num_terms across children is not a sum (terms overlap) — stats()
+        # reports the distinct-per-child sum upper bound explicitly
+        self.manifest = {
+            "num_docs": self.N,
+            "avg_doc_len": self.avgdl,
+            "num_terms": sum(e.manifest["num_terms"] for e in engines),
+            "federated_from": [e.index_dir for e in engines],
+        }
+        self.hot_terms = {}
+
+        self._len_ids = np.concatenate([e._len_ids for e in engines])
+        self._len_vals = np.concatenate([e._len_vals for e in engines])
+        order = np.argsort(self._len_ids, kind="stable")
+        self._len_ids = self._len_ids[order]
+        self._len_vals = self._len_vals[order]
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ids = np.concatenate([e._doc_ids for e in engines])
+        order = np.argsort(ids, kind="stable")
+        self._doc_ids = ids[order]
+        self._doc_key = pd.concat([e._doc_key for e in engines],
+                                  ignore_index=True).iloc[order] \
+            .reset_index(drop=True)
+        self._title = pd.concat([e._title for e in engines],
+                                ignore_index=True).iloc[order] \
+            .reset_index(drop=True)
+        self._meta = pd.concat([e._meta for e in engines],
+                               ignore_index=True).iloc[order] \
+            .reset_index(drop=True)
+        self._snippet = pd.concat([e._snippet for e in engines],
+                                  ignore_index=True).iloc[order] \
+            .reset_index(drop=True)
+        take = pa.array(order)
+        for attr in ("_title_lower", "_meta_lower", "_snippet_lower"):
+            combined = pa.concat_arrays(
+                [getattr(e, attr).combine_chunks()
+                 if isinstance(getattr(e, attr), pa.ChunkedArray)
+                 else getattr(e, attr) for e in engines])
+            setattr(self, attr, pc.take(combined, take))
+        self._postings_cache = {}
+        self._postings_cache_cap = 100_000
+
+    def term_df(self, term: str) -> int | None:
+        dfs = [d for d in (e.term_df(term) for e in self.engines)
+               if d is not None]
+        return sum(dfs) if dfs else None
+
+    def postings(self, term: str):
+        cached = self._postings_cache.get(term, "miss")
+        if not isinstance(cached, str):
+            return cached
+        found = [p for p in (e.postings(term) for e in self.engines)
+                 if p is not None]
+        if not found:
+            res = None
+        else:
+            ids = np.concatenate([p[0] for p in found])
+            tfs = np.concatenate([p[1] for p in found])
+            order = np.argsort(ids, kind="stable")
+            res = ids[order], tfs[order]
+        if len(self._postings_cache) < self._postings_cache_cap:
+            self._postings_cache[term] = res
+        return res
+
+    def _load_embeddings(self) -> bool:
+        if not hasattr(self, "_emb"):
+            embs = []
+            for e in self.engines:
+                if not e._load_embeddings():
+                    self._emb = None
+                    return False
+                embs.append(e._emb)
+            ids = np.concatenate([x[0] for x in embs])
+            mat = np.concatenate([x[1] for x in embs])
+            order = np.argsort(ids, kind="stable")
+            self._emb = (ids[order], mat[order])
+        return True
+
+    def stats(self) -> dict:
+        return {"num_docs": self.N,
+                "num_terms": self.manifest["num_terms"],
+                "avg_doc_len": self.avgdl}
+
+
 def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,
                       doc_range: tuple[int, int]):
     """One range-shard serving actor: holds only its shard's resident

@@ -73,6 +73,30 @@ def test_query_results_identical(merged_setup):
         assert full_eng.search(q, top_k=20) == merged_eng.search(q, top_k=20), q
 
 
+def test_federated_matches_merged(merged_setup):
+    """FederatedQueryEngine over the two delta indexes must be
+    rank-identical to querying the merged index, scores equal to float
+    accumulation-order tolerance (avgdl is reconstructed as
+    Σ(avgdl_i·N_i)/N — one multiply-back ulp vs the merged manifest)."""
+    from searchengine_ray.query import FederatedQueryEngine, QueryEngine
+    _, out_dir, _, m_merged = merged_setup
+    a_dir, b_dir = m_merged["merged_from"]
+    fed = FederatedQueryEngine([QueryEngine(a_dir, CFG),
+                                QueryEngine(b_dir, CFG)])
+    merged_eng = QueryEngine(out_dir, CFG)
+    assert fed.stats()["num_docs"] == merged_eng.N
+    assert fed.avgdl == pytest.approx(merged_eng.avgdl, rel=1e-14)
+    for q in QUERIES:
+        got = fed.search(q, top_k=20)
+        want = merged_eng.search(q, top_k=20)
+        assert [r["doc_id"] for r in got] == \
+            [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+            assert g["url"] == w["url"]
+            assert g["content_snippet"] == w["content_snippet"]
+
+
 def test_merge_is_idempotent(merged_setup):
     """Re-running the merge over the same sources rewrites identical
     artifacts (atomic tmp→rename; resume-safe)."""
