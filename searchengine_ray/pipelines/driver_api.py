@@ -1008,6 +1008,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 shard_events=2048),
         "events_props_extract": lambda sf: events.props_extract(
             _events(sf, ["event_id", "props"])),
+        "events_value_quantiles": lambda sf: events.value_quantiles(
+            _events(sf, ["event_type", "user_id", "value"])),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
         "docstore_sha256": q_docstore_sha,
@@ -1053,6 +1055,7 @@ def build_oracles() -> dict[str, str]:
         # output-identical by construction → same oracle
         "events_streaming_window_salted": events.sql_streaming_windowed_agg(),
         "events_props_extract": events.sql_props_extract(),
+        "events_value_quantiles": events.sql_value_quantiles(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),
         "docstore_sha256": sql_docstore_sha(),

@@ -470,6 +470,105 @@ FROM flagged GROUP BY window_start_us, event_type, is_late
 """
 
 
+def value_quantiles(ds: "ray.data.Dataset",
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa.Table:
+    """EXACT per-type value quantiles + distinct-user counts, distributed
+    via bounded-domain histograms: value_c = round(value·100) has bounded
+    cardinality, so a (type, value_c) count table is an exact, mergeable
+    "sketch" — partial histograms per batch, one digest-sized shuffle,
+    and only histogram rows (types × domain) ever reach the driver.
+    Distinct users ride hash-partitioned pair-dedup partials the same way.
+
+    Columns: event_type, n_events, n_users, p{50,90,99}_value_c — the
+    quantile convention matches DuckDB quantile_disc: sorted value at
+    index max(0, ceil(q·n) − 1)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        t = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "vc": pa.array(vc),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = (t.group_by(["event_type", "vc"], use_threads=False)
+             .aggregate([("n", "sum")]))
+        return g.rename_columns(["event_type", "vc", "n"])
+
+    def hreduce(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["event_type", "vc"], use_threads=False)
+             .aggregate([("n", "sum")]))
+        return g.rename_columns(["event_type", "vc", "n"])
+
+    hist = grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                             ["event_type", "vc"], hreduce)
+
+    def upart(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+        })
+        return (t.group_by(["event_type", "user_id"], use_threads=False)
+                .aggregate([]))
+
+    def ureduce(part: pa.Table) -> pa.Table:
+        d = (part.group_by(["event_type", "user_id"], use_threads=False)
+             .aggregate([]))
+        g = (d.group_by(["event_type"], use_threads=False)
+             .aggregate([("user_id", "count")]))
+        return pa.table({"event_type": pc.cast(g["event_type"], pa.string()),
+                         "pu": pc.cast(g["user_id_count"], pa.int64())})
+
+    users = grouped_aggregate(
+        ds.map_batches(upart, batch_format="pyarrow"),
+        ["event_type", "user_id"], ureduce)
+
+    # driver-side finalize over BOUNDED rows (types × value domain)
+    hrows = hist.take_all()
+    urows = users.take_all()
+    by_type: dict[str, dict[int, int]] = {}
+    for r in hrows:
+        by_type.setdefault(r["event_type"], {})[int(r["vc"])] = \
+            by_type.get(r["event_type"], {}).get(int(r["vc"]), 0) \
+            + int(r["n"])
+    u_by_type: dict[str, int] = {}
+    for r in urows:
+        u_by_type[r["event_type"]] = u_by_type.get(r["event_type"], 0) \
+            + int(r["pu"])
+    out: dict[str, list] = {"event_type": [], "n_events": [], "n_users": []}
+    for q in qs:
+        out[f"p{int(round(q * 100))}_value_c"] = []
+    for etype in sorted(by_type):
+        counts = by_type[etype]
+        vals = np.array(sorted(counts), dtype=np.int64)
+        cnts = np.array([counts[int(v)] for v in vals], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out["event_type"].append(etype)
+        out["n_events"].append(n)
+        out["n_users"].append(u_by_type.get(etype, 0))
+        for q in qs:
+            # exact ceil(q·n)−1 in integer math (q as parts-per-million —
+            # int(0.99·1e6) would TRUNCATE to 989999)
+            qn = int(round(q * 1_000_000))
+            idx = max(0, -(-qn * n // 1_000_000) - 1)
+            pos = int(np.searchsorted(cum, idx + 1, side="left"))
+            out[f"p{int(round(q * 100))}_value_c"].append(int(vals[pos]))
+    return pa.table({k: pa.array(v, type=pa.string() if k == "event_type"
+                                 else pa.int64())
+                     for k, v in out.items()})
+
+
+def sql_value_quantiles(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    cols = ", ".join(
+        f"quantile_disc(round(value * 100)::BIGINT, {q})::BIGINT "
+        f"AS p{int(round(q * 100))}_value_c" for q in qs)
+    return (f"SELECT event_type, count(*)::BIGINT AS n_events, "
+            f"count(DISTINCT user_id)::BIGINT AS n_users, {cols} "
+            f"FROM events GROUP BY event_type")
+
+
 def props_extract(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Extract the integer ``k`` from the JSON-ish props column with an RE2
     kernel (reference has no JSON functions, SURVEY.md §2.10 — this is the

@@ -278,6 +278,35 @@ def test_verify_index_healthy_and_detects_damage(built, tmp_path):
     assert any("missing artifact" in p for p in rep2["problems"])
 
 
+def test_value_quantiles_matches_quantile_disc(ray_session):
+    """Histogram-exact quantiles must match DuckDB quantile_disc semantics
+    (sorted value at max(0, ceil(q·n)−1)) on skewed synthetic data and
+    on single-row / all-equal groups."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (sql_value_quantiles,
+                                                   value_quantiles)
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table({
+        "event_type": pa.array(
+            ["a"] * 1500 + ["b"] * 1499 + ["single"]),
+        "user_id": pa.array(rng.integers(0, 40, size=n), type=pa.int64()),
+        "value": pa.array(
+            np.concatenate([rng.exponential(1.0, 1500),
+                            np.full(1499, 2.0), [7.77]]),
+            type=pa.float64()),
+    })
+    got = value_quantiles(ray.data.from_arrow(t)).to_pylist()
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(sql_value_quantiles()
+                       + " ORDER BY event_type").fetch_arrow_table() \
+        .to_pylist()
+    assert sorted(got, key=lambda r: r["event_type"]) == want
+
+
 def test_streaming_window_late_policy(ray_session):
     """Hand-built out-of-order stream: the watermark (running max event
     time − lateness) must drop exactly the straggler that arrives after
