@@ -166,6 +166,30 @@ def test_docstore_and_lengths_files_cover_disjoint_ranges(built):
             prev_max = int(ids.max())
 
 
+def test_incompatible_index_refused_loudly(built, tmp_path):
+    """Format guards: an index whose manifest declares a different codec
+    version or lengths layout must be refused at load with a clear error
+    (silent misreads would corrupt results)."""
+    import json
+    import shutil
+    import pytest as pt
+    from searchengine_ray.state.manifest import load_manifest, save_manifest
+    for key, value, match in (("codec_version", 1, "codec"),
+                              ("stemmer", "porter", "stemmer")):
+        dmg = str(tmp_path / f"tampered_{key}")
+        shutil.copytree(built.index_dir, dmg)
+        m = load_manifest(dmg)
+        m[key] = value
+        save_manifest(dmg, m)
+        with pt.raises(ValueError, match=match):
+            QueryEngine(dmg, built.cfg)
+        # resume onto the tampered layout refuses too
+        from searchengine_ray.build import build_index
+        from searchengine_ray.sources.corpus import read_source
+        with pt.raises(ValueError, match="resume mismatch"):
+            build_index(read_source(built.corpus_dir), dmg, built.cfg)
+
+
 def test_completed_build_is_noop_on_rebuild(built):
     m = load_manifest(built.index_dir)
     m2 = build_index(read_source(built.corpus_dir), built.index_dir,
