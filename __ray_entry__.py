@@ -33,9 +33,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (column names in lockstep). Entries
-    without SQL (winnowing fingerprints, banded LSH candidates, approximate
-    ANN) are intentionally omitted → rows-only driver check, pytest-verified
-    instead."""
+    """DuckDB-equivalent SQL per query (column names in lockstep). EVERY
+    queries() entry has an exact oracle — the approximate/iterative ones
+    (ANN, banded LSH, k-means IVF, connected components) via the rounded-
+    arithmetic discipline and WITH RECURSIVE restatements."""
     from searchengine_ray.pipelines.driver_api import build_oracles
     return build_oracles()
