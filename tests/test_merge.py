@@ -97,6 +97,43 @@ def test_federated_matches_merged(merged_setup):
             assert g["content_snippet"] == w["content_snippet"]
 
 
+def test_second_level_merge_and_federation(merged_setup, tmp_path):
+    """Compaction chains: merging an already-merged index with a fresh
+    delta equals the one-shot build over everything (same hot routing),
+    and federating [merged, delta] serves rank-identically meanwhile."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.merge import merge_indexes
+    from searchengine_ray.query import FederatedQueryEngine, QueryEngine
+    from searchengine_ray.sources.corpus import generate_corpus_table
+    _, out_dir, m_full, _ = merged_setup
+    hot = m_full["hot_terms"]
+    delta_t = generate_corpus_table(60, seed=43, start=300)
+    c_dir = str(tmp_path / "c")
+    m2_dir = str(tmp_path / "m2")
+    all_dir = str(tmp_path / "all")
+    build_index(ray.data.from_arrow(delta_t), c_dir, CFG,
+                hot_terms_override=hot)
+    merge_indexes([out_dir, c_dir], m2_dir, CFG, concurrency=(1, 2))
+    full_t = generate_corpus_table(300, seed=42, start=0)
+    build_index(ray.data.from_arrow(
+        pa.concat_tables([full_t, delta_t])), all_dir, CFG,
+        hot_terms_override=hot)
+    eng_all = QueryEngine(all_dir, CFG)
+    eng_m2 = QueryEngine(m2_dir, CFG)
+    fed = FederatedQueryEngine([QueryEngine(out_dir, CFG),
+                                QueryEngine(c_dir, CFG)])
+    for q in QUERIES:
+        want = eng_all.search(q, top_k=20)
+        assert eng_m2.search(q, top_k=20) == want, q
+        got = fed.search(q, top_k=20)
+        assert [r["doc_id"] for r in got] == \
+            [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
 def test_merge_is_idempotent(merged_setup):
     """Re-running the merge over the same sources rewrites identical
     artifacts (atomic tmp→rename; resume-safe)."""
