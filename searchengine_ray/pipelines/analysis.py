@@ -252,6 +252,41 @@ def top_sources(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return grouped_aggregate(partials, ["source"], reduce_part)
 
 
+# PII scrubbing patterns (training-data safety pass) — RE2 syntax, shared
+# verbatim between pyarrow (RE2) and DuckDB (RE2), so redaction output is
+# bit-identical across engines. Order matters: emails before the generic
+# URL pattern would not matter here (disjoint), but phones run LAST so a
+# redaction token never partially matches the phone digits pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PII scrubbing pass (training-data safety staple): count and redact
+    emails, URLs and phone-number-shaped spans with RE2 kernels — no
+    Python loop, no shuffle. The redacted TEXT is emitted (not just
+    counts), so the driver check certifies the rewrite itself.
+
+    Columns: doc_id, n_email, n_url, n_phone (int64), redacted (string).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        out = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+        red = text
+        for name, pat, token in PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(red, pat), pa.int64())
+            red = pc.replace_substring_regex(red, pattern=pat,
+                                             replacement=token)
+        out["redacted"] = red
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def repetition_stats(ds: "ray.data.Dataset", top_n: int = 2,
                      dup_n: int = 5) -> "ray.data.Dataset":
     """Repetition-based quality signals (the Gopher-rule family, Rae et

@@ -454,6 +454,29 @@ def sql_top_sources() -> str:
     return "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source"
 
 
+def sql_pii_redact() -> str:
+    """Sequential redaction restated as chained CTEs — counts are taken on
+    the progressively-redacted text exactly as the Ray pass does; both
+    sides run the SAME RE2 patterns."""
+    from searchengine_ray.pipelines.analysis import PII_PATTERNS
+    parts = ["WITH r0 AS (SELECT doc_id, text AS t FROM documents)"]
+    cols = []
+    prev = "r0"
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[:i - 1])
+        carry = (carry + ", ") if carry else ""
+        parts.append(
+            f", r{i} AS (SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t "
+            f"FROM {prev})")
+        prev = f"r{i}"
+        cols.append(f"n_{name}")
+    parts.append(f" SELECT doc_id, {', '.join(cols)}, t AS redacted "
+                 f"FROM {prev}")
+    return "".join(parts)
+
+
 def sql_repetition_stats(top_n: int = 2, dup_n: int = 5) -> str:
     def gram_cte(n: int, name: str) -> str:
         return f"""
@@ -961,6 +984,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": lambda sf: analysis.top_sources(_docs(sf, ["source"])),
         "fingerprint": lambda sf: analysis.fingerprint(_docs(sf)),
         "repetition_stats": lambda sf: analysis.repetition_stats(_docs(sf)),
+        "pii_redact": lambda sf: analysis.pii_redact(_docs(sf)),
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_keep": lambda sf: dedup.dedup_keep_mask(_docs(sf)),
         "quality_filter": lambda sf: analysis.quality_filter(_docs(sf)),
@@ -1040,6 +1064,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_components": sql_minhash_components(),
         "fingerprint": sql_fingerprint(),
         "repetition_stats": sql_repetition_stats(),
+        "pii_redact": sql_pii_redact(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),

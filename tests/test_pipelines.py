@@ -409,6 +409,41 @@ def _fingerprint_rowwise(text: str, k: int, window: int):
             int(fps.max()) if fps.size else 0)
 
 
+def test_pii_redact_planted(ray_session):
+    """Planted PII must be counted and redacted; the SQL twin must match
+    byte-for-byte on the same rows (testdata itself is mostly PII-free,
+    so the driver check alone would be vacuous for emails/phones)."""
+    import duckdb
+    import ray.data
+    from searchengine_ray.pipelines.analysis import pii_redact
+    from searchengine_ray.pipelines.driver_api import sql_pii_redact
+    texts = [
+        "contact bob.smith+x@corp.example.org or see https://x.io/a?b=1 now",
+        "call +1 (415) 555-0100 or 020-7946-0958 today",
+        "no pii here at all",
+        "two mails a@b.co c@d.io and http://e.f/g",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    rows = {r["doc_id"]: r
+            for r in pii_redact(ray.data.from_arrow(t)).take_all()}
+    assert rows[0]["n_email"] == 1 and rows[0]["n_url"] == 1
+    assert "<EMAIL>" in rows[0]["redacted"]
+    assert "<URL>" in rows[0]["redacted"]
+    assert "bob.smith" not in rows[0]["redacted"]
+    assert rows[1]["n_phone"] >= 1 and "555" not in rows[1]["redacted"]
+    assert rows[2]["redacted"] == texts[2]
+    assert rows[3]["n_email"] == 2 and rows[3]["n_url"] == 1
+    assert rows[4]["redacted"] == ""
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = {r["doc_id"]: r for r in
+            con.execute(sql_pii_redact()).fetch_arrow_table().to_pylist()}
+    for i in rows:
+        assert dict(rows[i]) == dict(want[i]), i
+
+
 def test_repetition_stats_hand_vectors(ray_session):
     """Gopher-rule repetition signals: hand-checked boilerplate vs clean
     docs, plus boundary cases (empty, single token)."""
