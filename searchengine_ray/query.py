@@ -865,6 +865,10 @@ def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,
         def doc_meta(self, ids: list[int]):
             return self.eng._doc_meta(np.array(ids, dtype=np.uint64))
 
+        def stats(self):
+            # manifest scalars are index-global, so any shard answers
+            return self.eng.stats()
+
     return ShardActor.remote()
 
 
@@ -1005,6 +1009,35 @@ class ShardedQueryService:
             combined.append(row)
         combined.sort(key=lambda x: (-x["score"], x["doc_id"]))
         return combined[:top_k]
+
+    def search_page(self, query: str, page: int = 1, per_page: int = 15,
+                    exclude_repos: list[str] | None = None) -> dict:
+        """Reference /search handler semantics over the sharded tier —
+        same logic as QueryEngine.search_page (fixed ×3 over-fetch,
+        post-filter, slice, total_pages 0 when empty); bit-identical to
+        the single engine because search() is."""
+        import math
+        page = max(1, int(page))
+        per_page = max(1, int(per_page))
+        fetched = self.search(query, top_k=per_page * 3)
+        if exclude_repos:
+            fetched = [r for r in fetched
+                       if not any(x in r["url"] for x in exclude_repos)]
+        total = len(fetched)
+        start = (page - 1) * per_page
+        return {
+            "query": query,
+            "page": page,
+            "total_pages": math.ceil(total / per_page) if total > 0 else 0,
+            "total_results": total,
+            "results": fetched[start:start + per_page],
+        }
+
+    def stats(self) -> dict:
+        if self.use_actors:
+            import ray
+            return ray.get(self.actors[0].stats.remote())
+        return self.shards[0].stats()
 
 
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),

@@ -102,6 +102,10 @@ def test_sharded_hybrid_and_actor_mode(built, tmp_path):
         assert asvc.search(q, top_k=10) == eng.search(q, top_k=10), q
         assert asvc.hybrid_search(q, top_k=10) == \
             eng.hybrid_search(q, top_k=10), q
+    # serving-surface parity: pagination + stats through both modes
+    assert svc.search_page("py org2", page=2, per_page=5) == \
+        eng.search_page("py org2", page=2, per_page=5)
+    assert svc.stats() == eng.stats() == asvc.stats()
 
 
 def test_cli_query_and_stats(built, capsys):
