@@ -48,23 +48,45 @@ def token_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """
     def fn(batch: pa.Table) -> pa.Table:
         text = pc.cast(batch["text"], pa.string())
-        ws = pc.list_value_length(pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(text)))
-        ws = pc.if_else(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0),
-                        pa.scalar(0, type=pa.int32()), ws)
+        ws_parents, _ = ws_flat_tokens(text)
+        n_ws = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n_ws, ws_parents, 1)
         di, _ = tokenize_column(text, None, apply_filter=False)
         n_tok = np.zeros(len(batch), dtype=np.int64)
         np.add.at(n_tok, di, 1)
         n_bpe = pc.count_substring_regex(text, BPE_PATTERN)
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-            "n_ws_tokens": pc.cast(ws, pa.int64()),
+            "n_ws_tokens": pa.array(n_ws),
             "n_tokens": pa.array(n_tok),
             "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
             "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+
+def ws_flat_tokens(text: pa.Array | pa.ChunkedArray
+                   ) -> tuple[np.ndarray, pa.Array]:
+    """Raw whitespace tokens as (parent_row_index, flat tokens), using the
+    RE2 ``\\s+`` split with empty tokens dropped — the ONE semantic of
+    the whitespace-split family, equal for ALL inputs to the SQL twins\'
+    ``list_filter(regexp_split_to_array(t, \'\\s+\'), x -> x != \'\')``
+    (RE2 on both sides; verified incl. non-ASCII whitespace, which
+    NEITHER side splits on — the previous utf8_split_whitespace/trim pair
+    diverged on trailing newlines and U+00A0)."""
+    text = pc.cast(text, pa.string())
+    lists = pc.split_pattern_regex(text, pattern=r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    ne = pc.greater(pc.utf8_length(flat), 0)
+    flat = pc.filter(flat, ne)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return parents[ne.to_numpy(zero_copy_only=False)], flat
 
 
 def ws_quality_stats(text: pa.Array | pa.ChunkedArray
@@ -76,11 +98,7 @@ def ws_quality_stats(text: pa.Array | pa.ChunkedArray
     stop = pa.array(sorted(DEFAULT_STOPWORDS), type=pa.string())
     text = pc.cast(text, pa.string())
     n = len(text)
-    lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(lists)
+    parents, flat = ws_flat_tokens(text)
     n_ws = np.zeros(n, dtype=np.int64)
     np.add.at(n_ws, parents, 1)
     is_stop = pc.is_in(flat, value_set=stop).to_numpy(zero_copy_only=False)
@@ -324,17 +342,7 @@ def repetition_stats(ds: "ray.data.Dataset", top_n: int = 2,
     def fn(batch: pa.Table) -> pa.Table:
         nb = len(batch)
         text = pc.cast(batch["text"], pa.string())
-        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parents = pc.list_parent_indices(lists).to_numpy(
-            zero_copy_only=False)
-        ne = pc.greater(pc.utf8_length(flat), 0)
-        flat = pc.filter(flat, ne)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        parents = parents[ne.to_numpy(zero_copy_only=False)]
+        parents, flat = ws_flat_tokens(text)
         t2, top2, _ = grams(flat, parents, top_n, nb)
         t5, _, d5 = grams(flat, parents, dup_n, nb)
         top2_frac = np.where(t2 > 0,
@@ -372,17 +380,9 @@ def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.dat
         out_min = np.zeros(nb, dtype=np.uint64)
         out_max = np.zeros(nb, dtype=np.uint64)
 
-        # whitespace tokens, flat + parent index (Python str.split semantics:
-        # empty/whitespace-only docs yield no tokens — drop "" tokens)
+        # whitespace tokens, flat + parent index (shared RE2 semantic)
         text = pc.cast(batch["text"], pa.string())
-        lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        nonempty = pc.greater(pc.utf8_length(flat), 0)
-        flat = pc.filter(flat, nonempty)
-        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+        parents, flat = ws_flat_tokens(text)
 
         if len(flat) >= k:
             # k-gram shingle strings via slice-join (no per-row loop), masked

@@ -100,8 +100,8 @@ WITH keepers AS (
     FROM documents) WHERE doc_id = keeper),
 m AS (
   SELECT doc_id, text,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS toks
   FROM keepers)
 SELECT doc_id, text FROM (
   SELECT doc_id, text, len(toks)::BIGINT AS n_ws,

@@ -398,8 +398,8 @@ def sql_token_stats() -> str:
     toks = sql_tokens_expr("text")
     return (
         "SELECT doc_id, "
-        "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array("
-        "trim(text), '\\s+')) END::BIGINT AS n_ws_tokens, "
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x != ''))::BIGINT AS n_ws_tokens, "
         f"len({toks})::BIGINT AS n_tokens, "
         f"len(regexp_extract_all(text, '{analysis.BPE_PATTERN}'))::BIGINT AS n_bpe_tokens, "
         "length(text)::BIGINT AS n_chars "
@@ -413,14 +413,15 @@ def sql_quality_score() -> str:
     return f"""
 WITH ws AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS toks
   FROM documents)
 SELECT doc_id,
        len(toks)::BIGINT AS n_ws_tokens,
        len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS n_stopwords,
        len(list_distinct(toks))::BIGINT AS n_distinct,
-       list_sum(list_transform(toks, t -> length(t)))::BIGINT AS sum_token_len,
+       coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT
+         AS sum_token_len,
        CASE WHEN len(toks) > 0
             THEN (list_sum(list_transform(toks, t -> length(t)))::BIGINT
                   * 1000000) // len(toks)
@@ -489,8 +490,8 @@ def sql_repetition_stats(top_n: int = 2, dup_n: int = 5) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS L
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS L
   FROM documents),{gram_cte(top_n, "g2")},{gram_cte(dup_n, "g5")},
 c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
 a2 AS (SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS top2
@@ -533,8 +534,8 @@ def sql_quality_filter(min_ws_tokens: int = 10,
     return f"""
 WITH ws AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS toks
   FROM documents),
 m AS (
   SELECT doc_id, len(toks)::BIGINT AS n_ws,
@@ -704,8 +705,8 @@ def sql_fingerprint(k: int = 5, window: int = 4) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(trim(text), '\\s+') END AS L
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') AS L
   FROM documents),
 hl AS (
   SELECT doc_id,

@@ -494,12 +494,17 @@ def value_quantiles(ds: "ray.data.Dataset",
         })
         g = (t.group_by(["event_type", "vc"], use_threads=False)
              .aggregate([("n", "sum")]))
-        return g.rename_columns(["event_type", "vc", "n"])
+        # by-NAME selection: group_by output column ORDER has differed
+        # across pyarrow versions; positional renames would silently
+        # mislabel
+        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
+                         "n": g["n_sum"]})
 
     def hreduce(part: pa.Table) -> pa.Table:
         g = (part.group_by(["event_type", "vc"], use_threads=False)
              .aggregate([("n", "sum")]))
-        return g.rename_columns(["event_type", "vc", "n"])
+        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
+                         "n": g["n_sum"]})
 
     hist = grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
                              ["event_type", "vc"], hreduce)

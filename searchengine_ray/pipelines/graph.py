@@ -99,15 +99,15 @@ def connected_components(pairs: "ray.data.Dataset",
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         my_part = int(group["part"][0].as_py())
-        out_n, out_l = [], []
-        for u in np.unique(src).tolist():
-            if _part_of(np.array([u]))[0] == my_part:
-                out_n.append(u)
-                out_l.append(find(u))
+        # every src in this group hashes to my_part by construction
+        # (orient partitions by _part_of(src)) — no per-node re-check
+        uniq = np.unique(src)
+        lbls = np.fromiter((find(int(u)) for u in uniq), dtype=np.int64,
+                           count=uniq.size)
         return pa.table({
-            "part": pa.array(np.full(len(out_n), my_part, dtype=np.int32)),
-            "node": pa.array(out_n, type=pa.int64()),
-            "lbl": pa.array(out_l, type=pa.int64()),
+            "part": pa.array(np.full(uniq.size, my_part, dtype=np.int32)),
+            "node": pa.array(uniq.astype(np.int64)),
+            "lbl": pa.array(lbls),
         })
 
     seeds = edges.groupby("part").map_groups(local_contract,

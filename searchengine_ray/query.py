@@ -38,11 +38,29 @@ from searchengine_ray.stages.postings import salt_of
 from searchengine_ray.state.manifest import load_manifest
 
 
-def _read_dir(path: str, columns=None):
-    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-    import pyarrow as pa
-    tables = [pq.read_table(os.path.join(path, f), columns=columns) for f in files]
-    return pa.concat_tables(tables)
+def _paginate(search_fn, query: str, page: int, per_page: int,
+              exclude_repos: list[str] | None) -> dict:
+    """THE reference /search handler pagination semantics (app.py:128-185:
+    fetch a FIXED results_per_page*3 regardless of page, excluded-domain
+    filter, slice [start:start+per_page], total_pages = ceil and 0 when
+    empty) — one implementation shared by QueryEngine.search_page and
+    ShardedQueryService.search_page."""
+    import math
+    page = max(1, int(page))
+    per_page = max(1, int(per_page))
+    fetched = search_fn(query, top_k=per_page * 3)
+    if exclude_repos:
+        fetched = [r for r in fetched
+                   if not any(x in r["url"] for x in exclude_repos)]
+    total = len(fetched)
+    start = (page - 1) * per_page
+    return {
+        "query": query,
+        "page": page,
+        "total_pages": math.ceil(total / per_page) if total > 0 else 0,
+        "total_results": total,
+        "results": fetched[start:start + per_page],
+    }
 
 
 class QueryEngine:
@@ -98,14 +116,19 @@ class QueryEngine:
 
         lengths_dir = os.path.join(index_dir, "lengths")
         import pyarrow as _pa
-        lengths = _pa.concat_tables([
+        ltables = [
             pq.read_table(os.path.join(lengths_dir, f))
             for f in self._select_range_files(
                 lengths_dir, int(manifest["num_partitions"]),
                 manifest.get("num_length_partitions")
-                if manifest.get("lengths_layout") == "range" else None)])
-        len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)
-        len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)
+                if manifest.get("lengths_layout") == "range" else None)]
+        if ltables:
+            lengths = _pa.concat_tables(ltables)
+            len_ids = lengths["doc_id"].to_numpy(zero_copy_only=False)
+            len_vals = lengths["doc_len"].to_numpy(zero_copy_only=False)
+        else:  # a shard whose whole range fell in never-written files
+            len_ids = np.empty(0, dtype=np.uint64)
+            len_vals = np.empty(0, dtype=np.float64)
         if self.doc_range is not None:
             # row-level residency filter (also covers the legacy hash
             # layout; under the range layout whole files were already
@@ -662,31 +685,12 @@ class QueryEngine:
 
     def search_page(self, query: str, page: int = 1, per_page: int = 15,
                     exclude_repos: list[str] | None = None) -> dict:
-        """Web-serving wrapper: over-fetch ×3, post-filter, paginate —
-        reference /search handler semantics, matched EXACTLY (app.py:128-185:
-        fetch a FIXED ``results_per_page*3`` at app.py:140 regardless of
-        page, excluded-domain filter at app.py:143-154 with repo-exclusion
-        as our F4 analogue, slice ``[start:start+per_page]`` at
-        app.py:171-185, ``total_pages = ceil(total/per_page)`` and 0 for an
-        empty result at app.py:176; ``results_per_page`` default 15 per
-        utils/config.py:104). Deep pages past the fixed over-fetch return
-        empty — as in the reference."""
-        import math
-        page = max(1, int(page))
-        per_page = max(1, int(per_page))
-        fetched = self.search(query, top_k=per_page * 3)
-        if exclude_repos:
-            fetched = [r for r in fetched
-                       if not any(x in r["url"] for x in exclude_repos)]
-        total = len(fetched)
-        start = (page - 1) * per_page
-        return {
-            "query": query,
-            "page": page,
-            "total_pages": math.ceil(total / per_page) if total > 0 else 0,
-            "total_results": total,
-            "results": fetched[start:start + per_page],
-        }
+        """Web-serving wrapper: reference /search handler semantics,
+        matched EXACTLY — see the shared ``_paginate`` helper (fixed
+        per_page*3 over-fetch regardless of page, repo-exclusion filter
+        as the F4 analogue, total_pages 0 on empty results; deep pages
+        past the fixed over-fetch return empty, as in the reference)."""
+        return _paginate(self.search, query, page, per_page, exclude_repos)
 
     def stats(self) -> dict:
         return {"num_docs": self.N, "num_terms": self.manifest["num_terms"],
@@ -746,8 +750,11 @@ class FederatedQueryEngine(QueryEngine):
     def __init__(self, engines: list[QueryEngine]):
         assert engines, "need at least one engine"
         e0 = engines[0]
-        for e in engines[1:]:
+        for e in engines:
             assert e.cfg == e0.cfg, "federated engines must share cfg"
+            assert not e.lazy_docstore and e.doc_range is None, \
+                "federated children must be eager, unranged engines " \
+                "(their resident docstore/length arrays are concatenated)"
         self.engines = engines
         self.cfg, self.qcfg = e0.cfg, e0.qcfg
         self.index_dir = None
@@ -835,7 +842,9 @@ class FederatedQueryEngine(QueryEngine):
             mat = np.concatenate([x[1] for x in embs])
             order = np.argsort(ids, kind="stable")
             self._emb = (ids[order], mat[order])
-        return True
+        # NOT a bare True: a failed first load sets _emb = None and
+        # hasattr() would otherwise report success on every later call
+        return self._emb is not None
 
     def stats(self) -> dict:
         return {"num_docs": self.N,
@@ -1013,25 +1022,9 @@ class ShardedQueryService:
     def search_page(self, query: str, page: int = 1, per_page: int = 15,
                     exclude_repos: list[str] | None = None) -> dict:
         """Reference /search handler semantics over the sharded tier —
-        same logic as QueryEngine.search_page (fixed ×3 over-fetch,
-        post-filter, slice, total_pages 0 when empty); bit-identical to
-        the single engine because search() is."""
-        import math
-        page = max(1, int(page))
-        per_page = max(1, int(per_page))
-        fetched = self.search(query, top_k=per_page * 3)
-        if exclude_repos:
-            fetched = [r for r in fetched
-                       if not any(x in r["url"] for x in exclude_repos)]
-        total = len(fetched)
-        start = (page - 1) * per_page
-        return {
-            "query": query,
-            "page": page,
-            "total_pages": math.ceil(total / per_page) if total > 0 else 0,
-            "total_results": total,
-            "results": fetched[start:start + per_page],
-        }
+        delegates to the ONE implementation (_paginate over self.search),
+        bit-identical to the single engine because search() is."""
+        return _paginate(self.search, query, page, per_page, exclude_repos)
 
     def stats(self) -> dict:
         if self.use_actors:

@@ -409,6 +409,37 @@ def _fingerprint_rowwise(text: str, k: int, window: int):
             int(fps.max()) if fps.size else 0)
 
 
+def test_ws_family_nasty_whitespace_parity(ray_session):
+    """The whitespace-split family must match its DuckDB twins for inputs
+    the synthetic corpus never produces: trailing newlines, tabs, CRs,
+    U+00A0, whitespace-only and empty docs (the round-2 review found the
+    old utf8_split_whitespace/trim pair diverged exactly there)."""
+    import duckdb
+    import ray.data
+    from searchengine_ray.pipelines import analysis
+    from searchengine_ray.pipelines.driver_api import (sql_fingerprint,
+                                                       sql_quality_score,
+                                                       sql_repetition_stats,
+                                                       sql_token_stats)
+    texts = [
+        "foo bar\n", "\tx  y z", "", "   ", "a\r\nb", "w v plain",
+        "end space ", "\nlead", "the the\tthe\n",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    con = duckdb.connect()
+    con.register("documents", t)
+    ds = ray.data.from_arrow(t)
+    for op, sql in ((analysis.token_stats, sql_token_stats()),
+                    (analysis.quality_score, sql_quality_score()),
+                    (analysis.fingerprint, sql_fingerprint()),
+                    (analysis.repetition_stats, sql_repetition_stats())):
+        got = sorted(op(ds).take_all(), key=lambda r: r["doc_id"])
+        want = sorted(con.execute(sql).fetch_arrow_table().to_pylist(),
+                      key=lambda r: r["doc_id"])
+        assert [dict(g) for g in got] == want, op.__name__
+
+
 def test_pii_redact_planted(ray_session):
     """Planted PII must be counted and redacted; the SQL twin must match
     byte-for-byte on the same rows (testdata itself is mostly PII-free,
