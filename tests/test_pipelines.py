@@ -425,6 +425,17 @@ def test_ws_family_nasty_whitespace_parity(ray_session):
         "foo bar\n", "\tx  y z", "", "   ", "a\r\nb", "w v plain",
         "end space ", "\nlead", "the the\tthe\n",
     ]
+    # deterministic unicode fuzz: exotic whitespace (NBSP, ideographic
+    # space, zero-width space, separators), emoji, combining marks -
+    # neither engine treats non-RE2-whitespace codepoints as separators
+    rng = np.random.default_rng(9)
+    alphabet = (list("ab the\t\n\r\x0b\x0c ")
+                + ["\u00a0", "\u3000", "\u200b", "\u2028", "e\u0301",
+                   "\u6c49", "\U0001f642"])
+    for _ in range(12):
+        k = int(rng.integers(0, 30))
+        texts.append("".join(alphabet[int(i)] for i in
+                             rng.integers(0, len(alphabet), size=k)))
     t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
                   "text": pa.array(texts, type=pa.string())})
     con = duckdb.connect()
