@@ -708,10 +708,23 @@ class QueryService:
     """
 
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
-                 qcfg: QueryConfig = QueryConfig(), num_actors: int = 2):
+                 qcfg: QueryConfig = QueryConfig(), num_actors: int = 2,
+                 cache_size: int = 0):
+        """``cache_size`` > 0 enables a serving-tier result LRU keyed by
+        (query, top_k) — the reference's search-cache analogue (S9: the
+        deployed artifact caches search results per query). The cache
+        lives in the SERVICE (not the engines), so cold-path latency
+        benchmarks measure the engine, and repeat traffic is absorbed
+        here. The index is immutable per service instance, so entries
+        never go stale."""
         self._actors = [make_query_actor(index_dir, cfg, qcfg)
                         for _ in range(num_actors)]
         self._next = 0
+        import collections
+        self._cache: "collections.OrderedDict[tuple, list]" =             collections.OrderedDict()
+        self._cache_size = cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def _pick(self):
         a = self._actors[self._next % len(self._actors)]
@@ -719,11 +732,24 @@ class QueryService:
         return a
 
     def submit(self, query: str, top_k: int | None = None):
-        """Async search → ObjectRef (callers batch ray.get for throughput)."""
+        """Async search → ObjectRef (callers batch ray.get for throughput;
+        bypasses the result cache)."""
         return self._pick().search.remote(query, top_k)
 
     def search(self, query: str, top_k: int | None = None) -> list[dict]:
         import ray
+        if self._cache_size > 0:
+            key = (query, top_k)
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                self.cache_hits += 1
+                return self._cache[key]
+            res = ray.get(self.submit(query, top_k))
+            self.cache_misses += 1
+            self._cache[key] = res
+            if len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+            return res
         return ray.get(self.submit(query, top_k))
 
     def stats(self) -> dict:

@@ -226,6 +226,30 @@ def test_query_service_pool(built):
         svc.shutdown()
 
 
+def test_query_service_result_lru(built):
+    """The S9 search-cache analogue: repeat queries hit the LRU with
+    identical results; the cache is bounded; cold path unaffected."""
+    from searchengine_ray.query import QueryEngine, QueryService
+    eng = QueryEngine(built.index_dir, built.cfg)
+    svc = QueryService(built.index_dir, built.cfg, num_actors=1,
+                       cache_size=2)
+    try:
+        a1 = svc.search("queue71", top_k=5)
+        a2 = svc.search("queue71", top_k=5)   # hit
+        assert a1 == a2 == eng.search("queue71", top_k=5)
+        assert (svc.cache_hits, svc.cache_misses) == (1, 1)
+        svc.search("py org2", top_k=5)        # miss, fills slot 2
+        svc.search("rust engine", top_k=5)    # miss, evicts queue71
+        assert len(svc._cache) == 2
+        svc.search("queue71", top_k=5)        # miss again (evicted)
+        assert svc.cache_misses == 4 and svc.cache_hits == 1
+        # different top_k is a different key
+        assert svc.search("py org2", top_k=3) == eng.search("py org2",
+                                                            top_k=3)
+    finally:
+        svc.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # hybrid BM25 ⊕ embedding path (reference optimized_indexer semantics)
 # ---------------------------------------------------------------------------
