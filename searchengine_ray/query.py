@@ -50,8 +50,12 @@ def _paginate(search_fn, query: str, page: int, per_page: int,
     per_page = max(1, int(per_page))
     fetched = search_fn(query, top_k=per_page * 3)
     if exclude_repos:
+        # Reference app.py:146 lowercases the URL before the excluded-domain
+        # substring check; we lowercase the exclusion entries too so a
+        # caller-supplied 'GitHub.com' behaves identically.
+        excl = [x.lower() for x in exclude_repos]
         fetched = [r for r in fetched
-                   if not any(x in r["url"] for x in exclude_repos)]
+                   if not any(x in r["url"].lower() for x in excl)]
     total = len(fetched)
     start = (page - 1) * per_page
     return {
@@ -218,7 +222,12 @@ class QueryEngine:
                                 columns=columns)
                   for f in self._docstore_files]
         if not tables:
-            return pa.table({c: pa.array([]) for c in (columns or [])})
+            # Typed empty table (doc_id uint64, content_sha256 binary, rest
+            # string) — a null-typed pa.array([]) would refuse to concat with
+            # typed shards or convert to typed pandas Series downstream.
+            types = {"doc_id": pa.uint64(), "content_sha256": pa.binary()}
+            return pa.table({c: pa.array([], type=types.get(c, pa.string()))
+                             for c in (columns or [])})
         return pa.concat_tables(tables)
 
     # -- posting access ----------------------------------------------------
@@ -569,15 +578,25 @@ class QueryEngine:
     # (semantically: any of them could still boost into the top-k).
     _BOOST_PARALLEL_MIN = 4096
 
+    def close(self) -> None:
+        """Release the lazily created boost thread pool. Safe to call more
+        than once; the engine remains usable (the pool re-creates on the
+        next large boost phase)."""
+        pool = getattr(self, "_boost_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._boost_pool = None
+
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
                       original_tokens: list[str], original_query: str) -> np.ndarray:
         title, desc, snip = self._doc_fields_lower(ids)
         if len(ids) >= self._BOOST_PARALLEL_MIN:
             import concurrent.futures as cf
-            if not hasattr(self, "_boost_pool"):
+            if getattr(self, "_boost_pool", None) is None:
+                self._boost_pool_workers = min(8, os.cpu_count() or 1)
                 self._boost_pool = cf.ThreadPoolExecutor(
-                    max_workers=min(8, os.cpu_count() or 1))
-            nw = min(self._boost_pool._max_workers,
+                    max_workers=self._boost_pool_workers)
+            nw = min(self._boost_pool_workers,
                      max(1, len(ids) // (self._BOOST_PARALLEL_MIN // 2)))
             bounds = np.linspace(0, len(ids), nw + 1).astype(np.int64)
             futs = [self._boost_pool.submit(
@@ -743,10 +762,13 @@ class QueryService:
             if key in self._cache:
                 self._cache.move_to_end(key)
                 self.cache_hits += 1
-                return self._cache[key]
+                # Defensive copy: the reference app mutates result rows
+                # (result["source"] = ...); handing out the cached objects
+                # would let one caller corrupt every later hit.
+                return [dict(r) for r in self._cache[key]]
             res = ray.get(self.submit(query, top_k))
             self.cache_misses += 1
-            self._cache[key] = res
+            self._cache[key] = [dict(r) for r in res]
             if len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
             return res
@@ -1057,6 +1079,18 @@ class ShardedQueryService:
             import ray
             return ray.get(self.actors[0].stats.remote())
         return self.shards[0].stats()
+
+    def shutdown(self) -> None:
+        """Tear down shard state: kill actors (actor mode) / release each
+        in-process engine's thread pool."""
+        if self.use_actors:
+            import ray
+            for a in self.actors:
+                ray.kill(a)
+            self.actors = []
+        for s in self.shards:
+            s.close()
+        self.shards = []
 
 
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),

