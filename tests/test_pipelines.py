@@ -229,6 +229,31 @@ def test_brute_topk_matches_numpy(emb_ds):
         assert got[q] == want
 
 
+def test_topk_driver_fetch_is_q_times_k(emb_ds, monkeypatch):
+    """The ANN final reduce must be distributed (round-2 verdict): the
+    driver's row fetch is exactly ≤ Q × k — never linear in block count."""
+    import ray.data
+    from searchengine_ray.pipelines.similarity import brute_topk
+
+    calls = []
+    real_take_all = ray.data.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = real_take_all(self, *a, **kw)
+        calls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy)
+    k, qids = 5, [0, 1, 2]
+    # many tiny blocks: the old driver merge would have fetched
+    # blocks × Q × k rows here
+    ds = emb_ds.repartition(24)
+    out = brute_topk(ds, qids, k=k)
+    assert len(out) == len(qids) * k
+    # fetch #1 is load_query_vectors (≤ Q rows), fetch #2 the final reduce
+    assert max(calls) <= len(qids) * k, calls
+
+
 def test_lsh_topk_recall(emb_ds):
     from searchengine_ray.pipelines.similarity import brute_topk, lsh_topk
     k, qids = 5, [0, 1, 2, 3]
