@@ -107,6 +107,25 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.query import QueryEngine
+    from searchengine_ray.serve import SearchApp, SearchHTTPServer
+    cfg = IndexConfig(num_partitions=args.partitions,
+                      num_length_partitions=max(2, args.partitions // 8))
+    eng = QueryEngine(args.index, cfg)
+    app = SearchApp(eng, mode="hybrid" if args.hybrid else "bm25",
+                    results_per_page=args.per_page)
+    srv = SearchHTTPServer(app, host=args.host, port=args.port)
+    print(json.dumps({"serving": True, "host": args.host,
+                      "port": srv.port}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="searchengine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -160,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify")
     v.add_argument("--index", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    sv = sub.add_parser("serve", help="HTTP serving layer (reference "
+                                      "app.py endpoints: /search, "
+                                      "/api/search, /health)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--partitions", type=int, default=32)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--per-page", type=int, default=15)
+    sv.add_argument("--hybrid", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -24,6 +24,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -128,7 +129,8 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
     # map engine doc_id → original doc_id via the docstore title
     pos = np.searchsorted(eng._doc_ids, eng._len_ids)
     titles = eng._title.iloc[pos]
-    orig = np.array([_orig_id_from_title(t) for t in titles], dtype=np.int64)
+    # vectorized id recovery (title = f"doc_{doc_id}.txt")
+    orig = titles.str[4:-4].astype(np.int64).to_numpy()
     return pa.table({
         "doc_id": pa.array(orig),
         "doc_len": pa.array(eng._len_vals.astype(np.int64)),
@@ -171,23 +173,67 @@ def sql_index_stats() -> str:
     )
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex_of_binary(col) -> pa.ChunkedArray:
+    """Vectorized bytes→lowercase-hex for a (large_)binary column of
+    fixed-length values: nibble lookup over the raw data buffer, output
+    assembled zero-copy via StringArray.from_buffers — no per-row Python."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        otype = (np.int64 if pa.types.is_large_binary(ch.type)
+                 else np.int32)
+        offs = np.frombuffer(ch.buffers()[1], dtype=otype)[
+            ch.offset: ch.offset + n + 1]
+        lens = np.diff(offs)
+        width = int(lens[0])
+        assert (lens == width).all(), "mixed-width binary column"
+        data = np.frombuffer(ch.buffers()[2], dtype=np.uint8)
+        mat = data[offs[0]:offs[-1]].reshape(n, width)
+        out = np.empty((n, 2 * width), dtype=np.uint8)
+        out[:, 0::2] = _HEX_DIGITS[mat >> 4]
+        out[:, 1::2] = _HEX_DIGITS[mat & 0x0F]
+        starts = np.arange(0, 2 * width * (n + 1), 2 * width,
+                           dtype=np.int32)
+        parts.append(pa.StringArray.from_buffers(
+            n, pa.py_buffer(starts.tobytes()), pa.py_buffer(out.tobytes())))
+    if not parts:
+        return pa.chunked_array([], type=pa.string())
+    return pa.chunked_array(parts)
+
+
 def q_docstore_sha(sf_dir: str) -> pa.Table:
     """The BASELINE.json per-row invariant, surfaced directly: sha256 of
     every docstore row (as built by the INDEX pipeline) must equal sha256
-    of the source text. Columns: doc_id, sha_hex."""
+    of the source text. Columns: doc_id, sha_hex.
+
+    Streams the docstore through map_batches (column-pruned read); id
+    recovery and hex encoding are vectorized Arrow/numpy kernels. The
+    O(N) output table is inherent to the oracle check itself."""
     import glob
 
-    import pyarrow.parquet as pq
+    import ray.data
     idx = ensure_index(sf_dir)
     files = sorted(glob.glob(os.path.join(idx, "docstore", "*.parquet")))
-    t = pa.concat_tables([
-        pq.read_table(f, columns=["title", "content_sha256"]) for f in files])
-    orig = [_orig_id_from_title(x) for x in t["title"].to_pylist()]
-    hexes = [d.hex() for d in t["content_sha256"].to_pylist()]
-    return pa.table({
-        "doc_id": pa.array(orig, type=pa.int64()),
-        "sha_hex": pa.array(hexes, type=pa.string()),
-    })
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        # adapt_documents writes title = path = f"doc_{doc_id}.txt"
+        ids = pc.cast(pc.replace_substring_regex(
+            pc.utf8_slice_codeunits(t["title"], 4), r"\.txt$", ""),
+            pa.int64())
+        return pa.table({"doc_id": ids,
+                         "sha_hex": _hex_of_binary(t["content_sha256"])})
+
+    ds = (ray.data.read_parquet(files, columns=["title", "content_sha256"])
+          .map_batches(to_rows, batch_format="pyarrow"))
+    import ray as _ray
+    tables = _ray.get(ds.to_arrow_refs())
+    return pa.concat_tables([t for t in tables if len(t)]).combine_chunks()
 
 
 def sql_docstore_sha() -> str:

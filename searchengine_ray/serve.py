@@ -1,0 +1,213 @@
+"""HTTP serving layer — the reference Flask app's endpoint surface
+(reference app.py:111-194 ``/search``, app.py:197-244 ``/api/search``,
+app.py:246-274 ``/health`` + ``/api/health``) over any of this repo's
+serving tiers, with zero extra dependencies (stdlib ``http.server``).
+
+The backend is ANY engine-like object exposing ``search(q, top_k)`` (and
+optionally ``hybrid_search``/``stats``): an in-process ``QueryEngine``,
+the actor-pool ``QueryService`` (result LRU + round-robin fan-out), the
+doc-range ``ShardedQueryService``, or a ``FederatedQueryEngine`` serving
+base+delta indexes. One process = one gunicorn-worker analogue; at scale
+you run one ``serve`` process per frontend node, all sharing the same
+actor tier on the Ray cluster — the index itself stays distributed.
+
+Endpoint semantics (JSON instead of the reference's HTML templates —
+the repo has no template surface; the handler DATA is reference-exact):
+
+``GET /search?q=&page=``
+    Reference app.py:128-185: fixed over-fetch ``results_per_page * 3``
+    regardless of page, excluded-domain substring filter on the
+    lowercased URL, ``source`` tag on every result, slice
+    ``[start:start+per_page]``, ``total_pages = ceil`` (0 when empty)
+    and the prev/next pagination dict.
+
+``GET /api/search?q=&limit=``
+    Reference app.py:197-244: over-fetch ``limit * 2``, same domain
+    filter + source tag, truncate to ``limit``; empty query → empty
+    result envelope, not an error.
+
+``GET /health`` / ``GET /api/health``
+    Reference app.py:246-274: index cardinalities + search mode when
+    loaded, ``initializing`` before first use (this wrapper's backend
+    loads eagerly, so it reports loaded), 500 + ``unhealthy`` on error.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+# Reference app.py:136/217 — the hardcoded excluded-domain set.
+DEFAULT_EXCLUDED_DOMAINS = frozenset({
+    "open.spotify.com", "spotify.com", "podcasts.apple.com",
+    "podcasts.google.com",
+})
+
+RESULTS_PER_PAGE = 15  # reference utils/config.py:104 WEB_CONFIG
+
+
+class SearchApp:
+    """Transport-independent handler logic (reference app.py handlers,
+    HTML rendering excluded). Exposed separately from the HTTP plumbing
+    so tests can assert byte-identity between HTTP responses and direct
+    calls."""
+
+    def __init__(self, backend, *, mode: str = "bm25",
+                 results_per_page: int = RESULTS_PER_PAGE,
+                 excluded_domains=DEFAULT_EXCLUDED_DOMAINS):
+        if mode not in ("bm25", "hybrid"):
+            raise ValueError(f"mode must be bm25|hybrid, got {mode!r}")
+        if mode == "hybrid" and not hasattr(backend, "hybrid_search"):
+            raise ValueError("hybrid mode needs a backend with "
+                             "hybrid_search()")
+        self.backend = backend
+        self.mode = mode
+        self.results_per_page = int(results_per_page)
+        self.excluded_domains = [d.lower() for d in excluded_domains]
+        # reference app.py:133: the source string names the engine family
+        self.search_source = ("Hybrid BM25+BERT" if mode == "hybrid"
+                              else "BM25")
+
+    def _search_fn(self, query: str, top_k: int) -> list[dict]:
+        if self.mode == "hybrid":
+            return self.backend.hybrid_search(query, top_k=top_k)
+        return self.backend.search(query, top_k=top_k)
+
+    def _filter_tag(self, results: list[dict]) -> list[dict]:
+        """Excluded-domain filter + source tag (app.py:144-154) — on
+        copies, so a shared result cache is never mutated."""
+        out = []
+        for r in results:
+            url = str(r.get("url", "")).lower()
+            if any(d in url for d in self.excluded_domains):
+                continue
+            r = dict(r)
+            r["source"] = self.search_source
+            out.append(r)
+        return out
+
+    def search(self, query: str, page: int = 1) -> dict:
+        """``/search`` payload (app.py:111-194)."""
+        per_page = self.results_per_page
+        page = int(page)
+        if not query:
+            return {"query": "", "results": [], "total_results": 0,
+                    "pagination": None, "search_source": self.search_source}
+        fetched = self._filter_tag(
+            self._search_fn(query, top_k=per_page * 3))
+        total = len(fetched)
+        start = (page - 1) * per_page
+        total_pages = math.ceil(total / per_page) if total > 0 else 0
+        return {
+            "query": query,
+            "results": fetched[start:start + per_page],
+            "total_results": total,
+            "pagination": {
+                "current_page": page,
+                "total_pages": total_pages,
+                "has_prev": page > 1,
+                "has_next": page < total_pages,
+                "prev_page": page - 1 if page > 1 else None,
+                "next_page": page + 1 if page < total_pages else None,
+            },
+            "search_source": self.search_source,
+        }
+
+    def api_search(self, query: str, limit: int | None = None) -> dict:
+        """``/api/search`` payload (app.py:197-244)."""
+        limit = self.results_per_page if limit is None else int(limit)
+        if not query:
+            return {"results": [], "total": 0}
+        results = self._filter_tag(
+            self._search_fn(query, top_k=limit * 2))[:limit]
+        return {"results": results, "total": len(results)}
+
+    def health(self) -> tuple[int, dict]:
+        """``/health`` payload + status code (app.py:246-274)."""
+        try:
+            stats = self.backend.stats()
+            return 200, {
+                "status": "healthy",
+                "index_loaded": True,
+                "document_count": int(stats["num_docs"]),
+                "term_count": int(stats["num_terms"]),
+                "search_mode": self.mode,
+            }
+        except Exception as e:  # app.py:270-274
+            return 500, {"status": "unhealthy", "error": str(e)}
+
+
+class SearchHTTPServer:
+    """Thin stdlib HTTP wrapper around :class:`SearchApp`.
+
+    ``serve_forever()`` blocks (CLI use); ``start()`` runs the accept
+    loop in a daemon thread and returns the bound port (tests / embedded
+    use). Request handling is threaded, matching the read-only backends
+    (engine search paths are pure reads; QueryService's LRU ops are
+    GIL-atomic dict/OrderedDict operations)."""
+
+    def __init__(self, app: SearchApp, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.app = app
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet — callers own logging
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 (stdlib API name)
+                try:
+                    u = urlparse(self.path)
+                    q = parse_qs(u.query)
+                    first = {k: v[0] for k, v in q.items()}
+                    if u.path == "/search":
+                        self._json(200, outer.app.search(
+                            first.get("q", ""),
+                            int(first.get("page", 1))))
+                    elif u.path == "/api/search":
+                        lim = first.get("limit")
+                        self._json(200, outer.app.api_search(
+                            first.get("q", ""),
+                            None if lim is None else int(lim)))
+                    elif u.path in ("/health", "/api/health"):
+                        code, payload = outer.app.health()
+                        self._json(code, payload)
+                    else:
+                        self._json(404, {"error": "not found"})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

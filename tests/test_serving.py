@@ -456,3 +456,106 @@ def test_sessionize_salted_equivalent(events_ds):
          for r in sessionize_salted(events_ds,
                                     shard_us=3_600_000_000).take_all()))
     assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# HTTP serving layer (reference app.py:111-274 endpoint semantics)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def http_server(built):
+    from searchengine_ray.query import QueryEngine
+    from searchengine_ray.serve import SearchApp, SearchHTTPServer
+    eng = QueryEngine(built.index_dir, built.cfg)
+    app = SearchApp(eng, results_per_page=5,
+                    excluded_domains={"org2.example"})
+    srv = SearchHTTPServer(app)
+    srv.start()
+    yield srv, app, eng
+    srv.shutdown()
+
+
+def _get(port: int, path: str):
+    import urllib.request
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+            return r.status, json.loads(r.read().decode())
+    except Exception as e:  # urllib raises on non-2xx
+        import urllib.error
+        if isinstance(e, urllib.error.HTTPError):
+            return e.code, json.loads(e.read().decode())
+        raise
+
+
+def test_http_search_bit_identical_to_search_page(http_server):
+    """/search over HTTP must carry exactly the rows search_page returns
+    (same over-fetch, filter, slice), plus the reference's source tag and
+    pagination envelope."""
+    srv, app, eng = http_server
+    for page in (1, 2):
+        status, got = _get(srv.port, f"/search?q=py+org2&page={page}")
+        assert status == 200
+        want = eng.search_page("py org2", page=page, per_page=5,
+                               exclude_repos=["org2.example"])
+        stripped = [{k: v for k, v in r.items() if k != "source"}
+                    for r in got["results"]]
+        assert stripped == want["results"]
+        assert got["total_results"] == want["total_results"]
+        assert got["pagination"]["total_pages"] == want["total_pages"]
+        assert got["pagination"]["current_page"] == page
+        assert all(r["source"] == "BM25" for r in got["results"])
+    # pagination envelope flags (reference app.py:178-185)
+    _, p1 = _get(srv.port, "/search?q=py+org2&page=1")
+    assert p1["pagination"]["has_prev"] is False
+    assert p1["pagination"]["prev_page"] is None
+    if p1["pagination"]["total_pages"] > 1:
+        assert p1["pagination"]["has_next"] is True
+        assert p1["pagination"]["next_page"] == 2
+
+
+def test_http_api_search_and_empty_query(http_server):
+    srv, app, eng = http_server
+    status, got = _get(srv.port, "/api/search?q=queue71&limit=3")
+    assert status == 200
+    assert got["total"] == len(got["results"]) <= 3
+    # over-fetch x2 then truncate (app.py:222,239): equals direct call
+    direct = app.api_search("queue71", 3)
+    assert got == json.loads(json.dumps(direct))
+    # empty query -> empty envelope, not an error (app.py:206-207)
+    assert _get(srv.port, "/api/search") == (200, {"results": [],
+                                                   "total": 0})
+    status, home = _get(srv.port, "/search")
+    assert status == 200 and home["results"] == []
+
+
+def test_http_health_and_404(http_server):
+    srv, app, eng = http_server
+    for path in ("/health", "/api/health"):
+        status, h = _get(srv.port, path)
+        assert status == 200
+        assert h["status"] == "healthy" and h["index_loaded"] is True
+        assert h["document_count"] == eng.stats()["num_docs"]
+        assert h["term_count"] == eng.stats()["num_terms"]
+        assert h["search_mode"] == "bm25"
+    status, _ = _get(srv.port, "/nope")
+    assert status == 404
+
+
+def test_http_excluded_domain_filter_case_insensitive(http_server):
+    """app.py:146-148: URL lowercased before the substring check."""
+    srv, app, eng = http_server
+    _, got = _get(srv.port, "/search?q=py+org2&page=1")
+    assert all("org2.example" not in r["url"].lower()
+               for r in got["results"])
+
+
+def test_http_hybrid_mode_rejects_plain_backend(built):
+    from searchengine_ray.serve import SearchApp
+
+    class NoHybrid:
+        def search(self, q, top_k):
+            return []
+
+    with pytest.raises(ValueError):
+        SearchApp(NoHybrid(), mode="hybrid")
