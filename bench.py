@@ -120,25 +120,40 @@ def run_bm25_latency(index_dir: str) -> dict:
             "n": len(lat)}
 
 
-def run_pipelines(sf_dir: str) -> dict[str, float]:
-    """Time each driver-contract pipeline at the bench scale factor."""
+# Entries whose FIRST call owns a one-time build (embeddings job, index/
+# docstore cache fill): reported cold AND warm so one-time costs stop
+# reading as round-over-round regressions (round-2 verdict item).
+WARM_SPLIT_PREFIXES = ("hybrid_", "bm25_", "docstore_sha256", "ann_")
+
+
+def run_pipelines(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Time each driver-contract pipeline at the bench scale factor.
+    Returns (cold timings: first call per entry — comparable round over
+    round, warm timings: second call for the serving-path entries whose
+    first call pays a one-time build)."""
     from searchengine_ray.pipelines.driver_api import build_queries
     import pyarrow as pa
     import ray.data
+
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if isinstance(out, ray.data.Dataset):
+            _ = out.materialize().count()
+        elif isinstance(out, pa.Table):
+            _ = out.num_rows
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     skip = {"doc_lengths", "index_stats"}  # covered by index_build
     for name, fn in build_queries().items():
         if name in skip:
             continue
-        t0 = time.perf_counter()
-        out = fn(sf_dir)
-        if isinstance(out, ray.data.Dataset):
-            out = out.materialize()
-            _ = out.count()
-        elif isinstance(out, pa.Table):
-            _ = out.num_rows
-        timings[name] = round(time.perf_counter() - t0, 3)
-    return timings
+        timings[name] = timed(fn)
+        if name.startswith(WARM_SPLIT_PREFIXES):
+            warm[name] = timed(fn)
+    return timings, warm
 
 
 def run_explode_stage(corpus_dir: str, docs: int) -> float:
@@ -316,7 +331,7 @@ def main() -> None:
     index_dir = "/tmp/seray_bench_index"
     build = run_index_build(index_dir)
     bm25 = run_bm25_latency(index_dir)
-    queries = run_pipelines(sf_dir)
+    queries, queries_warm = run_pipelines(sf_dir)
     queries["index_build"] = build["sec"]
     total = round(time.perf_counter() - t_all, 3)
     sf = os.path.basename(os.path.normpath(sf_dir))
@@ -324,6 +339,7 @@ def main() -> None:
         "metric": "index-build throughput (docs/sec) + BM25 top-k p50 + "
                   "training-data pipeline wall times",
         "value": total, "unit": "sec", "queries": queries,
+        "queries_warm": queries_warm,
         "sf": sf, "num_cpus": num_cpus,
         "index_build": build,
         "bm25_p50_ms": bm25["p50_ms"], "bm25_p95_ms": bm25["p95_ms"],

@@ -43,17 +43,85 @@ def embed_text(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     return vec / n if n > 0 else vec
 
 
+class TextEmbedder:
+    """The formal model interface for the embedding slot (reference
+    bert_embeddings.py:61-123 shape): ``load()`` is the lazy once-per-
+    actor model load; ``encode(texts)`` returns a float64 (n, dim) matrix
+    of UNIT-normalized row vectors (the reference passes
+    normalize_embeddings=True). Implementations must be picklable BEFORE
+    load() — the heavy model state is created inside the actor, never
+    shipped through the object store."""
+
+    dim: int = EMBED_DIM
+
+    def load(self) -> None:  # once per actor; default: nothing to load
+        pass
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError
+
+
+class HashedBowModel(TextEmbedder):
+    """The sandbox's deterministic stand-in model: md5-bucketed
+    bag-of-words, L2 unit rows — reproducible in the DuckDB oracle."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return np.stack([embed_text(t, self.dim) for t in texts])
+
+
+class SentenceTransformerModel(TextEmbedder):
+    """Real-model adapter (reference bert_embeddings.py:61-80 load_model,
+    :111-123 batched normalized encode). Import-guarded: the library is
+    absent in this sandbox, so construction succeeds (picklable spec) and
+    ``load()`` raises ImportError where sentence-transformers is not
+    installed. On a real cluster: pass
+    ``embedder=SentenceTransformerModel("all-MiniLM-L6-v2", dim=384)`` to
+    ``build_doc_embeddings`` — each map_batches actor loads the model
+    once and encodes batches on its own CPUs/GPU."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2",
+                 dim: int = 384, cache_folder: str | None = None):
+        self.model_name = model_name
+        self.dim = dim
+        self.cache_folder = cache_folder
+        self._model = None
+
+    def load(self) -> None:
+        from sentence_transformers import SentenceTransformer
+        kwargs = ({"cache_folder": self.cache_folder}
+                  if self.cache_folder else {})
+        self._model = SentenceTransformer(self.model_name, **kwargs)
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return np.asarray(self._model.encode(
+            texts, show_progress_bar=False, convert_to_numpy=True,
+            normalize_embeddings=True), dtype=np.float64)
+
+
 class HashedBowEmbedder:
     """Actor-pool embedding stage (the ST2 model slot). __init__ is the
-    once-per-actor model-load point; __call__ embeds a batch."""
+    once-per-actor model-load point; __call__ embeds a batch. Any
+    :class:`TextEmbedder` plugs into the ``embedder`` slot — the default
+    is the sandbox's deterministic HashedBowModel."""
 
-    def __init__(self, dim: int = EMBED_DIM, text_col: str = "embed_text"):
-        self.dim = dim
-        self.text_col = text_col  # a real model would load weights here
+    def __init__(self, dim: int = EMBED_DIM, text_col: str = "embed_text",
+                 embedder: TextEmbedder | None = None):
+        self.embedder = embedder if embedder is not None \
+            else HashedBowModel(dim)
+        self.embedder.load()  # the once-per-actor model-load point
+        self.dim = self.embedder.dim if embedder is not None else dim
+        self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.cast(batch[self.text_col], pa.string()).to_pylist()
-        mat = np.stack([embed_text(t, self.dim) for t in texts])
+        mat = np.asarray(self.embedder.encode(texts), dtype=np.float64)
+        if mat.shape != (len(texts), self.dim):
+            raise ValueError(
+                f"embedder returned shape {mat.shape}, expected "
+                f"({len(texts)}, {self.dim})")
         out = batch.drop_columns([self.text_col])
         # float64 storage: keeps hybrid scores bit-reproducible against the
         # SQL oracle (a production index would store f32 at 2× density)
@@ -67,11 +135,18 @@ def reference_embed_text_expr(title, meta, snippet) -> str:
 
 
 def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
-                         batch_size: int = 256) -> str:
+                         batch_size: int = 256,
+                         embedder: TextEmbedder | None = None) -> str:
     """Embed every docstore row (reference generate_bert_embeddings.py
     shape: document_map → combined text → batched encode → store). Writes
     ``index_dir/embeddings/`` parquet (doc_id, embedding) and returns the
-    directory."""
+    directory.
+
+    ``embedder`` injects any :class:`TextEmbedder` (e.g.
+    ``SentenceTransformerModel("all-MiniLM-L6-v2", dim=384)`` on a real
+    cluster); default is the deterministic HashedBowModel. The unloaded
+    spec ships to each actor; the model weights load once per actor
+    inside ``HashedBowEmbedder.__init__``."""
     out_dir = os.path.join(index_dir, "embeddings")
     # idempotence: write_parquet ADDS uniquely-named files, so a re-run
     # into a dirty dir would silently duplicate embedding rows — own the
@@ -89,9 +164,12 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
         combined = pc.binary_join_element_wise(t, t, m, s, " ")
         return pa.table({"doc_id": batch["doc_id"], "embed_text": combined})
 
+    kwargs = {} if embedder is None else {
+        "fn_constructor_kwargs": {"embedder": embedder}}
     (docstore.map_batches(prep, batch_format="pyarrow")
              .map_batches(HashedBowEmbedder, concurrency=concurrency,
-                          batch_size=batch_size, batch_format="pyarrow")
+                          batch_size=batch_size, batch_format="pyarrow",
+                          **kwargs)
              .write_parquet(out_dir))
     return out_dir
 

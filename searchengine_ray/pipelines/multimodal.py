@@ -8,11 +8,14 @@ work in ``__call__`` — SURVEY.md §2.4 ST2 pattern), with small
 ``batch_size`` so batch × concurrency of multi-MB payloads fits worker
 heaps.
 
-The real decoders (PIL/ffmpeg/torchvision) are NOT in this container, so
-``decode_image``/``decode_audio`` are clearly-marked stubs raising
-NotImplementedError; the *deterministic fake* featurizer exercises the full
-Ray-side plumbing (schema, actor signature, batch sizing, output layout)
-and is what tests and the driver check.
+Decoders are import-guarded, not stubbed wholesale: ``decode_audio`` is a
+REAL stdlib ``wave`` decoder (PCM WAV works everywhere); ``decode_image``
+natively decodes binary PPM (P6) with pure numpy and delegates every other
+format to PIL when installed — where a format's library is absent it
+raises NotImplementedError with the dependency named. The *deterministic
+fake* featurizer (DecodeFeatures) remains the driver-checked path —
+SQL-reproducible at any scale; ``MediaStats`` is the real-decode
+actor-pool stage (same slot, modality-routed).
 """
 
 from __future__ import annotations
@@ -28,16 +31,70 @@ import ray.data
 FEATURE_DIM = 8
 
 
-def decode_image(blob: bytes) -> "np.ndarray":
-    """STUB — image decode requires PIL/libjpeg, absent in this environment.
-    The production stage plugs the real decoder into DecodeFeatures below
-    (same signature, same actor-pool slot)."""
-    raise NotImplementedError("image decode requires PIL; not available here")
+def _decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8, pure numpy/stdlib."""
+    # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":  # comment to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # the single whitespace byte before the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+    return raster.reshape(h, w, 3)
 
 
-def decode_audio(blob: bytes) -> "np.ndarray":
-    """STUB — audio decode requires ffmpeg/soundfile, absent here."""
-    raise NotImplementedError("audio decode requires ffmpeg; not available here")
+def decode_image(blob: bytes) -> np.ndarray:
+    """Image payload → (h, w, 3) uint8 RGB array.
+
+    Binary PPM (P6) decodes natively (pure numpy — always available);
+    every other format delegates to PIL behind an import guard and raises
+    NotImplementedError naming the missing dependency when PIL is not
+    installed (it is absent in this sandbox; the deterministic-fake
+    DecodeFeatures path keeps CI and the driver entry green)."""
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decode for non-PPM formats requires PIL (pip install "
+            "pillow); not available here")
+    import io
+    with Image.open(io.BytesIO(blob)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Audio payload → ((frames, channels) int16 PCM, sample_rate).
+
+    PCM WAV decodes with the stdlib ``wave`` module (real, everywhere);
+    compressed formats would need ffmpeg/soundfile and raise
+    NotImplementedError naming the dependency."""
+    import io
+    import wave
+    if blob[:4] != b"RIFF":
+        raise NotImplementedError(
+            "audio decode for non-WAV formats requires ffmpeg/soundfile; "
+            "not available here")
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        sw = wf.getsampwidth()
+        if sw != 2:
+            raise NotImplementedError(f"{8 * sw}-bit WAV unsupported "
+                                      "(16-bit PCM only)")
+        frames = np.frombuffer(wf.readframes(wf.getnframes()),
+                               dtype="<i2")
+        return frames.reshape(-1, wf.getnchannels()), wf.getframerate()
 
 
 def pack_blobs(ds: "ray.data.Dataset", text_col: str = "text",
@@ -90,6 +147,62 @@ class DecodeFeatures:
                                 type=pa.list_(pa.int64())),
             "feat_checksum": pa.array(feats.sum(axis=1).astype(np.int64)),
         })
+
+
+class MediaStats:
+    """Real-decode actor-pool stage (same slot/signature as
+    DecodeFeatures): routes each payload by its ``modality`` column
+    through decode_image / decode_audio and emits per-item stats —
+    images: (width, height, mean_q = round(1e4·mean(pixel))/1e4 as scaled
+    int); audio: (sample_rate, n_frames as width/height slots, rms_q).
+    Payloads whose decoder dependency is missing surface as
+    ``decode_ok=false`` with the error string — a 100 TB run must skip
+    and report, not die on, the odd undecodable blob."""
+
+    def __init__(self):
+        self._calls = 0  # once-per-actor init slot (real: model/codec load)
+
+    @staticmethod
+    def _one(blob: bytes, modality: str) -> tuple[int, int, int, bool, str]:
+        try:
+            if modality == "image":
+                arr = decode_image(blob)
+                h, w = arr.shape[0], arr.shape[1]
+                return w, h, int(round(float(arr.mean()) * 10_000)), \
+                    True, ""
+            if modality == "audio":
+                pcm, sr = decode_audio(blob)
+                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) \
+                    if pcm.size else 0.0
+                return sr, pcm.shape[0], int(round(rms * 10_000)), True, ""
+            raise NotImplementedError(f"no decoder for modality "
+                                      f"{modality!r}")
+        except NotImplementedError as e:
+            return 0, 0, 0, False, str(e)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._calls += 1
+        blobs = batch["blob"].to_pylist()
+        modalities = batch["modality"].to_pylist()
+        rows = [self._one(b or b"", m) for b, m in zip(blobs, modalities)]
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "modality": batch["modality"],
+            "dim0": pa.array([r[0] for r in rows], type=pa.int64()),
+            "dim1": pa.array([r[1] for r in rows], type=pa.int64()),
+            "stat_q": pa.array([r[2] for r in rows], type=pa.int64()),
+            "decode_ok": pa.array([r[3] for r in rows], type=pa.bool_()),
+            "decode_err": pa.array([r[4] for r in rows], type=pa.string()),
+        })
+
+
+def media_stats(ds: "ray.data.Dataset", *, concurrency: int = 2,
+                batch_size: int = 32) -> "ray.data.Dataset":
+    """Real-decode stats over a packed multimodal dataset (doc_id, blob,
+    modality columns). Small batch_size: multi-MB payloads × concurrency
+    must fit worker heaps."""
+    return ds.map_batches(MediaStats, concurrency=concurrency,
+                          batch_size=batch_size, batch_format="pyarrow")
 
 
 def multimodal_features(ds: "ray.data.Dataset", *, concurrency: int = 2,

@@ -72,7 +72,8 @@ class QueryEngine:
                  qcfg: QueryConfig = QueryConfig(), *,
                  lazy_segments: bool = False,
                  lazy_docstore: bool = False,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 query_embedder=None):
         """Huge-index modes (results identical to eager — asserted in tests;
         eager is faster for small/warm indexes):
 
@@ -93,6 +94,12 @@ class QueryEngine:
         self.qcfg = qcfg
         self.lazy_segments = lazy_segments
         self.lazy_docstore = lazy_docstore
+        # query-time model for the hybrid path: MUST be the same model the
+        # index's embeddings were built with (embeddings.TextEmbedder —
+        # e.g. SentenceTransformerModel on a real cluster). None = the
+        # default HashedBowModel semantics (embed_text).
+        self._query_embedder = query_embedder
+        self._query_embedder_loaded = False
         # doc_range=(lo, hi): this engine scores only docs with lo ≤ id < hi
         # — the range-sharded serving tier (ShardedQueryService). Posting
         # decode is BLOCK-GRANULAR via the codec's restart directory: each
@@ -663,15 +670,32 @@ class QueryEngine:
             self._emb = emb
         return self._emb is not None
 
+    def _encode_query(self, query: str) -> np.ndarray:
+        """Query vector via the injected TextEmbedder (loaded lazily,
+        once) or the default HashedBow semantics."""
+        if self._query_embedder is None:
+            from searchengine_ray.pipelines.embeddings import embed_text
+            return embed_text(query)
+        if not self._query_embedder_loaded:
+            self._query_embedder.load()
+            self._query_embedder_loaded = True
+        return np.asarray(self._query_embedder.encode([query])[0],
+                          dtype=np.float64)
+
     def vector_search(self, query: str, top_k: int) -> list[tuple[int, float]]:
         """Reference bert_embeddings.search semantics (bert_embeddings.py:
         204-225): embed the raw query, L2 distance over unit vectors,
         similarity = 1/(1+d); top-k by similarity (tie: doc_id)."""
-        from searchengine_ray.pipelines.embeddings import embed_text
         if not self._load_embeddings():
             return []
         ids, mat = self._emb
-        q = embed_text(query)
+        q = self._encode_query(query)
+        if mat.size and q.shape[0] != mat.shape[1]:
+            raise ValueError(
+                f"index embeddings have dim {mat.shape[1]} but the query "
+                f"embedder produced dim {q.shape[0]} — pass the model the "
+                f"embeddings were built with via "
+                f"QueryEngine(query_embedder=...)")
         cos = mat @ q
         d = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * cos))
         sim = 1.0 / (1.0 + d)
@@ -898,6 +922,77 @@ class FederatedQueryEngine(QueryEngine):
         return {"num_docs": self.N,
                 "num_terms": self.manifest["num_terms"],
                 "avg_doc_len": self.avgdl}
+
+
+class FederationManager:
+    """Serving-side lifecycle for incremental indexing with a BOUNDED
+    delta list: a base index plus accumulating delta indexes served as
+    one :class:`FederatedQueryEngine`, compacting automatically once more
+    than ``max_deltas`` deltas accumulate — ``merge_indexes`` (byte-
+    identical to a one-shot build, asserted in test_merge) folds
+    base+deltas into a new generation directory under ``work_dir`` and
+    serving swaps to the compacted single engine. Queries stay available
+    throughout: the pre-compaction federation serves until the swap, and
+    results are rank-identical across the boundary because the merged
+    index reproduces the federation's scores exactly.
+
+    Deltas MUST be built with ``build_index(...,
+    hot_terms_override=base_manifest['hot_terms'])`` so salted posting
+    routing matches (merge_indexes asserts this)."""
+
+    def __init__(self, base_dir: str, work_dir: str,
+                 cfg: IndexConfig = IndexConfig(),
+                 qcfg: QueryConfig = QueryConfig(), *,
+                 max_deltas: int = 4):
+        assert max_deltas >= 1
+        os.makedirs(work_dir, exist_ok=True)
+        self.cfg, self.qcfg = cfg, qcfg
+        self.work_dir = work_dir
+        self.max_deltas = max_deltas
+        self.base_dir = base_dir
+        self.delta_dirs: list[str] = []
+        self.generation = 0
+        self._engine: QueryEngine = QueryEngine(base_dir, cfg, qcfg)
+
+    @property
+    def engine(self) -> QueryEngine:
+        """The currently serving engine (federated or compacted)."""
+        return self._engine
+
+    def search(self, query: str, top_k: int | None = None) -> list[dict]:
+        return self._engine.search(query, top_k)
+
+    def search_page(self, query: str, page: int = 1, per_page: int = 15,
+                    exclude_repos: list[str] | None = None) -> dict:
+        return _paginate(self._engine.search, query, page, per_page,
+                         exclude_repos)
+
+    def stats(self) -> dict:
+        return self._engine.stats()
+
+    def add_delta(self, delta_dir: str) -> bool:
+        """Make a freshly built delta queryable immediately; compact when
+        the delta list exceeds ``max_deltas``. Returns True when this add
+        triggered a compaction."""
+        self.delta_dirs.append(delta_dir)
+        self._engine = FederatedQueryEngine(
+            [QueryEngine(d, self.cfg, self.qcfg)
+             for d in [self.base_dir, *self.delta_dirs]])
+        if len(self.delta_dirs) > self.max_deltas:
+            self._compact()
+            return True
+        return False
+
+    def _compact(self) -> None:
+        from searchengine_ray.merge import merge_indexes
+        self.generation += 1
+        out = os.path.join(self.work_dir, f"gen-{self.generation:04d}")
+        # the federation keeps serving while the merge runs; the swap to
+        # the compacted engine is a plain attribute assignment
+        merge_indexes([self.base_dir, *self.delta_dirs], out, self.cfg)
+        self.base_dir = out
+        self.delta_dirs = []
+        self._engine = QueryEngine(out, self.cfg, self.qcfg)
 
 
 def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,

@@ -171,3 +171,58 @@ def test_merge_refuses_incomplete_or_mismatched_sources(merged_setup, tmp_path):
     json.dump(mf, open(os.path.join(broken, "manifest.json"), "w"))
     with pt.raises(AssertionError, match="not complete"):
         merge_indexes([broken, src[1]], str(tmp_path / "o2"), CFG)
+
+
+def test_federation_manager_auto_compaction(tmp_path):
+    """K+1 deltas trigger compaction; serving is rank-identical
+    before/during/after the boundary (compare against a directly built
+    federation over the same dirs, and against the one-shot full build
+    after compaction)."""
+    import ray.data
+    from searchengine_ray.build import build_index
+    from searchengine_ray.merge import merge_indexes  # noqa: F401
+    from searchengine_ray.query import (FederatedQueryEngine,
+                                        FederationManager, QueryEngine)
+    from searchengine_ray.sources.corpus import generate_corpus_table
+
+    full_t = generate_corpus_table(240, seed=7, start=0)
+    slices = [full_t.slice(i * 60, 60) for i in range(4)]
+    full_dir = str(tmp_path / "full")
+    m_full = build_index(ray.data.from_arrow(full_t), full_dir, CFG)
+    hot = m_full["hot_terms"]
+    dirs = []
+    for i, sl in enumerate(slices):
+        d = str(tmp_path / f"part{i}")
+        build_index(ray.data.from_arrow(sl), d, CFG,
+                    hot_terms_override=hot)
+        dirs.append(d)
+
+    mgr = FederationManager(dirs[0], str(tmp_path / "gen"), CFG,
+                            max_deltas=2)
+    queries = ["queue71", "py org2", "parse token stream"]
+    seen = [dirs[0]]
+    for i, d in enumerate(dirs[1:], start=1):
+        compacted = mgr.add_delta(d)
+        seen.append(d)
+        assert compacted == (i == 3)  # third delta exceeds max_deltas=2
+        want_eng = (FederatedQueryEngine(
+            [QueryEngine(x, CFG) for x in seen]))
+        for q in queries:
+            got = mgr.search(q, top_k=15)
+            want = want_eng.search(q, top_k=15)
+            assert [r["doc_id"] for r in got] == \
+                [r["doc_id"] for r in want], (i, q)
+            for g, w in zip(got, want):
+                assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+    # post-compaction state: single compacted engine, no deltas, and the
+    # compacted index equals the one-shot full build bit-for-bit
+    assert mgr.generation == 1 and mgr.delta_dirs == []
+    assert mgr.engine.index_dir == mgr.base_dir
+    from searchengine_ray.query import QueryEngine as QE
+    full_eng = QE(full_dir, CFG)
+    for q in QUERIES:
+        assert mgr.search(q, top_k=20) == full_eng.search(q, top_k=20), q
+    assert mgr.stats()["num_docs"] == 240
+    # pagination rides the same engine
+    pg = mgr.search_page("py org2", page=1, per_page=5)
+    assert pg["results"] == mgr.search("py org2", top_k=15)[:5]

@@ -632,12 +632,80 @@ def test_multimodal_features(docs_ds):
         assert r["feat_checksum"] == sum(d[:FEATURE_DIM])
 
 
-def test_decode_stubs_raise():
-    from searchengine_ray.pipelines.multimodal import decode_audio, decode_image
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+def _ppm_bytes(w: int, h: int, seed: int = 0) -> tuple[bytes, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    header = f"P6\n# a comment\n{w} {h}\n255\n".encode()
+    return header + arr.tobytes(), arr
+
+
+def _wav_bytes(n: int, sr: int = 8000, channels: int = 1,
+               seed: int = 0) -> tuple[bytes, np.ndarray]:
+    import io
+    import wave
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-2 ** 15, 2 ** 15, size=(n, channels),
+                       dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue(), pcm
+
+
+def test_decode_image_ppm_and_guard():
+    """PPM decodes natively; other formats need PIL — NotImplementedError
+    naming the dependency where PIL is absent, real decode where not."""
+    from searchengine_ray.pipelines.multimodal import decode_image
+    blob, arr = _ppm_bytes(5, 3, seed=7)
+    np.testing.assert_array_equal(decode_image(blob), arr)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_decode_audio_wav_and_guard():
+    from searchengine_ray.pipelines.multimodal import decode_audio
+    blob, pcm = _wav_bytes(64, sr=16000, channels=2, seed=3)
+    got, sr = decode_audio(blob)
+    assert sr == 16000
+    np.testing.assert_array_equal(got, pcm)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_audio(b"ID3\x04 fake mp3")
+
+
+def test_media_stats_stage(ray_session):
+    """Real-decode actor-pool stage: modality routing, stats, and
+    skip-and-report (not die) on undecodable payloads."""
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import media_stats
+    img, arr = _ppm_bytes(4, 2, seed=1)
+    wav, pcm = _wav_bytes(100, sr=8000, channels=1, seed=2)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "blob": pa.array([img, wav, b"\xff\xd8 jpeg?"], type=pa.binary()),
+        "modality": pa.array(["image", "audio", "image"],
+                             type=pa.string()),
+    })
+    rows = {r["doc_id"]: r
+            for r in media_stats(ray.data.from_arrow(t)).take_all()}
+    assert rows[0]["decode_ok"] and (rows[0]["dim0"], rows[0]["dim1"]) == (4, 2)
+    assert rows[0]["stat_q"] == int(round(float(arr.mean()) * 10_000))
+    assert rows[1]["decode_ok"] and rows[1]["dim0"] == 8000
+    assert rows[1]["dim1"] == 100
+    want_rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+    assert rows[1]["stat_q"] == int(round(want_rms * 10_000))
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert not rows[2]["decode_ok"] and "PIL" in rows[2]["decode_err"]
 
 
 # ---------------------------------------------------------------------------

@@ -559,3 +559,99 @@ def test_http_hybrid_mode_rejects_plain_backend(built):
 
     with pytest.raises(ValueError):
         SearchApp(NoHybrid(), mode="hybrid")
+
+
+# ---------------------------------------------------------------------------
+# injectable embedder (reference bert_embeddings.py:61-123 model slot)
+# ---------------------------------------------------------------------------
+
+def _make_fake_model():
+    """Deterministic stand-in for a real sentence encoder: first two dims
+    carry (len mod 7, 1), L2-normalized. Defined as a LOCAL class so
+    cloudpickle ships it by value — Ray workers cannot import the test
+    module by name."""
+    from searchengine_ray.pipelines.embeddings import TextEmbedder
+
+    class FakeModel(TextEmbedder):
+        dim = 8
+        loaded = False
+
+        def load(self):
+            self.loaded = True  # the once-per-actor model-load point
+
+        def encode(self, texts):
+            m = np.zeros((len(texts), self.dim), dtype=np.float64)
+            for i, t in enumerate(texts):
+                m[i, 0] = (len(t) % 7) + 1.0
+                m[i, 1] = 1.0
+            return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    return FakeModel()
+
+
+def test_embedder_injection_swaps_model(built, tmp_path):
+    """build_doc_embeddings(embedder=...) must route every batch through
+    the injected model (loaded once per actor), and the hybrid path must
+    stay green on the resulting embeddings."""
+    import pyarrow.parquet as pq
+    from searchengine_ray.build import build_index
+    from searchengine_ray.pipelines.embeddings import (
+        build_doc_embeddings, load_doc_embeddings)
+    from searchengine_ray.query import QueryEngine
+    from searchengine_ray.sources.corpus import read_source
+    index_dir = str(tmp_path / "fake_model_index")
+    build_index(read_source(built.corpus_dir), index_dir, built.cfg,
+                salt_hot_terms=False)
+    fake = _make_fake_model()
+    build_doc_embeddings(index_dir, embedder=fake)
+    ids, mat = load_doc_embeddings(index_dir)
+    assert mat.shape == (400, fake.dim)
+    # rows are exactly the fake model's output for the reference combined
+    # text (title title meta snippet)
+    docstore = pq.read_table(f"{index_dir}/docstore",
+                             columns=["doc_id", "title", "meta", "snippet"])
+    by_id = {int(d): f"{t} {t} {m} {s}" for d, t, m, s in zip(
+        docstore["doc_id"].to_pylist(), docstore["title"].to_pylist(),
+        docstore["meta"].to_pylist(), docstore["snippet"].to_pylist())}
+    want = _make_fake_model().encode([by_id[int(i)] for i in ids])
+    np.testing.assert_allclose(mat, want, rtol=0, atol=1e-12)
+    # hybrid green under the injected embedder: the QUERY must be encoded
+    # by the same model (query_embedder slot)
+    eng = QueryEngine(index_dir, built.cfg,
+                      query_embedder=_make_fake_model())
+    # top_k = corpus size: vector top-k covers every doc, so the hybrid
+    # intersection is exactly the BM25 result set, all tagged Hybrid
+    res = eng.hybrid_search("py org2", top_k=400)
+    assert res and all(r["search_method"] == "Hybrid BM25+Embedding"
+                       for r in res)
+    # vector sims come from the injected model exactly
+    qvec = _make_fake_model().encode(["py org2"])[0]
+    sims = dict(eng.vector_search("py org2", 400))
+    emb_by_id = {int(i): v for i, v in zip(ids, mat)}
+    for doc_id, sim in list(sims.items())[:20]:
+        cos = float(emb_by_id[doc_id] @ qvec)
+        want_sim = 1.0 / (1.0 + np.sqrt(max(0.0, 2.0 - 2.0 * cos)))
+        assert sim == pytest.approx(want_sim, rel=1e-12)
+    # dim-mismatch (default 64-d query model vs 8-d index) fails LOUDLY
+    bad = QueryEngine(index_dir, built.cfg)
+    with pytest.raises(ValueError, match="dim"):
+        bad.vector_search("py org2", 5)
+
+
+def test_sentence_transformer_spec_is_picklable_and_guarded():
+    """The real-model adapter must construct + pickle WITHOUT the library
+    (the spec ships to actors unloaded); load() needs the import."""
+    import pickle
+    from searchengine_ray.pipelines.embeddings import (
+        SentenceTransformerModel)
+    spec = SentenceTransformerModel("all-MiniLM-L6-v2", dim=384)
+    spec2 = pickle.loads(pickle.dumps(spec))
+    assert spec2.model_name == "all-MiniLM-L6-v2" and spec2.dim == 384
+    try:
+        import sentence_transformers  # noqa: F401
+        has_lib = True
+    except ImportError:
+        has_lib = False
+    if not has_lib:
+        with pytest.raises(ImportError):
+            spec2.load()
