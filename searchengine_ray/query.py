@@ -191,6 +191,12 @@ class QueryEngine:
         self._postings_cache: dict[str, object] = {}
         self._df_cache: dict[tuple[int, str], int | None] = {}
         self._postings_cache_cap = 100_000
+        # boost-phase token-mask cache: (field, pattern) → packbits mask
+        # over the FULL resident field array (see _apply_boosts)
+        import collections
+        self._field_mask_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self._mask_scan_rows: dict[tuple, int] = {}
 
     def _select_range_files(self, dir_path: str, part_base: int,
                             num_parts: int | None) -> list[str]:
@@ -594,8 +600,73 @@ class QueryEngine:
             pool.shutdown(wait=False)
             self._boost_pool = None
 
+    # Token-mask cache (the cold-path multi-pattern lever): the boost
+    # phase is a DRAM-bound substring scan whose patterns repeat heavily
+    # across queries (token vocab) AND across a single query's pruning
+    # chunks. Cumulative per-(field, pattern) scan-row counters decide
+    # when caching pays: once a pattern has scanned ≥ N rows in total, its
+    # FULL-array match mask is computed once (same pc.match_substring
+    # kernel — exact by construction, asserted by the bm25/hybrid oracle
+    # entries and the equality test), stored as a packbits bitmap
+    # (N/8 bytes), and every later boost over that pattern becomes an
+    # O(candidates) bit-gather instead of an O(candidates × bytes) scan.
+    _MASK_CACHE_CAP = 4096         # ≈ N/8 bytes per entry (packbits)
+
+    def _needed_boost_patterns(self, original_tokens: list[str],
+                               original_query: str) -> set:
+        k = len(original_tokens)
+        needed = {(0, original_query), (1, original_query),
+                  (2, original_query)}
+        for t in original_tokens:
+            if k == 1 and t == original_query:
+                continue  # _boost_math_from reuses the phrase masks
+            needed.add((0, t))
+            needed.add((1, t))
+            if k > 1:
+                needed.add((2, t))
+        return needed
+
+    def _build_field_mask(self, key: tuple) -> None:
+        import pyarrow.compute as pc
+        fields = (self._title_lower, self._meta_lower, self._snippet_lower)
+        mask = pc.match_substring(fields[key[0]], key[1]).to_numpy(
+            zero_copy_only=False)
+        self._field_mask_cache[key] = np.packbits(mask)
+        if len(self._field_mask_cache) > self._MASK_CACHE_CAP:
+            self._field_mask_cache.popitem(last=False)
+
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
                       original_tokens: list[str], original_query: str) -> np.ndarray:
+        if not self.lazy_docstore and len(self._doc_ids):
+            n = len(self._doc_ids)
+            needed = self._needed_boost_patterns(original_tokens,
+                                                 original_query)
+            for key in needed:
+                if key not in self._field_mask_cache:
+                    c = self._mask_scan_rows.get(key, 0) + len(ids)
+                    if c >= n:
+                        self._build_field_mask(key)
+                        self._mask_scan_rows.pop(key, None)
+                    elif len(self._mask_scan_rows) < self._postings_cache_cap:
+                        self._mask_scan_rows[key] = c
+            if all(key in self._field_mask_cache for key in needed):
+                # fully cached: skip the field gather entirely
+                pos = np.searchsorted(self._doc_ids, ids)
+
+                def contains(fi: int, pat: str) -> np.ndarray:
+                    key = (fi, pat)
+                    packed = self._field_mask_cache[key]
+                    self._field_mask_cache.move_to_end(key)
+                    return np.unpackbits(packed, count=n).astype(bool)[pos]
+
+                return self._boost_math_from(scores, contains,
+                                             original_tokens,
+                                             original_query)
+            # partially cached: the slice path below mixes per-pattern —
+            # cached patterns gather, the rest scan the gathered slices
+            pos = np.searchsorted(self._doc_ids, ids)
+        else:
+            pos = None
         title, desc, snip = self._doc_fields_lower(ids)
         if len(ids) >= self._BOOST_PARALLEL_MIN:
             import concurrent.futures as cf
@@ -610,39 +681,70 @@ class QueryEngine:
                         self._boost_math, scores[s:e],
                         title.slice(s, e - s), desc.slice(s, e - s),
                         snip.slice(s, e - s), original_tokens,
-                        original_query)
+                        original_query,
+                        pos[s:e] if pos is not None else None)
                     for s, e in zip(bounds[:-1], bounds[1:]) if e > s]
             return np.concatenate([f.result() for f in futs])
         return self._boost_math(scores, title, desc, snip, original_tokens,
-                                original_query)
+                                original_query, pos)
 
     def _boost_math(self, scores: np.ndarray, title, desc, snip,
-                    original_tokens: list[str],
-                    original_query: str) -> np.ndarray:
-        """Reference indexer.py:405-441, vectorized via Arrow
-        match_substring kernels; multiplication order matches the oracle
-        exactly (phrase → title pct → desc pct → prox)."""
+                    original_tokens: list[str], original_query: str,
+                    pos: np.ndarray | None = None) -> np.ndarray:
+        """Per-candidate-slice variant: contains(field, pat) serves cached
+        full-array masks by bit-gather (when ``pos`` maps this slice into
+        the resident arrays) and runs the substring kernel over the
+        gathered candidate arrays otherwise."""
         import pyarrow.compute as pc
+        arrs = (title, desc, snip)
+        n = len(self._doc_ids) if pos is not None else 0
 
-        def _contains(arr, pat: str) -> np.ndarray:
-            return pc.match_substring(arr, pat).to_numpy(zero_copy_only=False)
+        def contains(fi: int, pat: str) -> np.ndarray:
+            if pos is not None:
+                packed = self._field_mask_cache.get((fi, pat))
+                if packed is not None:
+                    return np.unpackbits(packed, count=n).astype(bool)[pos]
+            return pc.match_substring(arrs[fi], pat).to_numpy(
+                zero_copy_only=False)
 
+        return self._boost_math_from(scores, contains, original_tokens,
+                                     original_query)
+
+    def _boost_math_from(self, scores: np.ndarray, contains,
+                         original_tokens: list[str],
+                         original_query: str) -> np.ndarray:
+        """Reference indexer.py:405-441 boost chain over any
+        ``contains(field_idx, pattern) -> bool[n]`` provider (0=title,
+        1=desc, 2=snippet); multiplication order matches the oracle
+        exactly (phrase → title pct → desc pct → prox)."""
         out = scores.copy()
-        in_title = _contains(title, original_query)
-        in_desc = _contains(desc, original_query)
-        in_snip = _contains(snip, original_query)
+        in_title = contains(0, original_query)
+        in_desc = contains(1, original_query)
+        in_snip = contains(2, original_query)
         out = np.where(in_title, out * 1.8,
                        np.where(in_desc, out * 1.5,
                                 np.where(in_snip, out * 1.3, out)))
         if original_tokens:
             k = len(original_tokens)
-            t_hits = np.zeros(len(scores), dtype=np.int64)
-            d_hits = np.zeros(len(scores), dtype=np.int64)
-            all_in_snip = np.ones(len(scores), dtype=bool)
-            for tkn in original_tokens:
-                t_hits += _contains(title, tkn)
-                d_hits += _contains(desc, tkn)
-                all_in_snip &= _contains(snip, tkn)
+            # Pass-count pruning (exact, measured p95 lever — the boost
+            # substring scan is DRAM-bound, so fewer passes = less wall):
+            #   - the all-tokens-in-snippet boost only exists for k > 1
+            #     (reference indexer.py:437-439), so skip those passes at
+            #     k == 1 instead of computing-and-discarding them;
+            #   - a single token equal to the query string scans the same
+            #     pattern the phrase pass just did — reuse those masks.
+            if k == 1 and original_tokens[0] == original_query:
+                t_hits = in_title.astype(np.int64)
+                d_hits = in_desc.astype(np.int64)
+            else:
+                t_hits = np.zeros(len(scores), dtype=np.int64)
+                d_hits = np.zeros(len(scores), dtype=np.int64)
+                all_in_snip = np.ones(len(scores), dtype=bool)
+                for tkn in original_tokens:
+                    t_hits += contains(0, tkn)
+                    d_hits += contains(1, tkn)
+                    if k > 1:
+                        all_in_snip &= contains(2, tkn)
             t_pct = t_hits / k
             d_pct = d_hits / k
             out = np.where(t_pct > 0, out * (1.0 + t_pct * 2.0), out)
@@ -879,6 +981,9 @@ class FederatedQueryEngine(QueryEngine):
             setattr(self, attr, pc.take(combined, take))
         self._postings_cache = {}
         self._postings_cache_cap = 100_000
+        import collections
+        self._field_mask_cache = collections.OrderedDict()
+        self._mask_scan_rows = {}
 
     def term_df(self, term: str) -> int | None:
         dfs = [d for d in (e.term_df(term) for e in self.engines)

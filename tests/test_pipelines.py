@@ -751,6 +751,37 @@ def test_boost_pruning_equivalent(built):
                [(r["doc_id"], r["score"]) for r in full], q
 
 
+def test_boost_mask_cache_equivalent(built, monkeypatch):
+    """The cross-query token-mask cache (full-array scan + packbits +
+    bit-gather) must be BIT-identical to the per-candidate slice scan for
+    every query, cold and warm, and must actually be exercised."""
+    from searchengine_ray.query import QueryEngine
+    cached = QueryEngine(built.index_dir, built.cfg)
+    plain = QueryEngine(built.index_dir, built.cfg)
+    # force the mask path on one engine (counters pre-hot: every pattern
+    # immediately crosses the build threshold) and off the other
+    # (counters pinned far below it)
+    class _Hot(dict):
+        def get(self, k, default=0):
+            return 10 ** 12
+
+    class _Cold(dict):
+        def get(self, k, default=0):
+            return -10 ** 12
+
+    cached._mask_scan_rows = _Hot()
+    plain._mask_scan_rows = _Cold()
+    queries = ["queue71", "py org2", "parse token stream", "rust engine",
+               "src/module_96/file_25.py", "hashMap codec"]
+    for q in queries:
+        want = plain.search(q, top_k=2000)
+        assert cached.search(q, top_k=2000) == want, (q, "cold")
+        assert cached.search(q, top_k=2000) == want, (q, "warm")
+    # plain never cached; cached did (for queries with candidates)
+    assert not plain._field_mask_cache
+    assert cached._field_mask_cache
+
+
 def test_train_centroids_offset_ids(ray_session):
     """Sampling must work for ANY id scheme (the smallest-ids sample, not
     a 0-based prefix filter): offset ids train fine, empty input raises."""
