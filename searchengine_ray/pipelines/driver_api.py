@@ -1007,6 +1007,30 @@ FROM ranked WHERE rn <= {k}
     return "".join(parts)
 
 
+def sql_media_decode() -> str:
+    """Closed-form twin of multimodal.media_decode_stats: the synthesized
+    payload CONTENT is a pure function of doc_id (multimodal.py
+    _synth_audio_samples/_synth_ppm), so the REAL-decoded integer
+    aggregates (sum of squared PCM samples / sum of pixel bytes — int64
+    end-to-end, no float) restate exactly as series sums."""
+    from searchengine_ray.pipelines.multimodal import (SYNTH_AUDIO_FRAMES,
+                                                       SYNTH_IMG_H,
+                                                       SYNTH_IMG_W)
+    n_px = SYNTH_IMG_W * SYNTH_IMG_H * 3
+    return (
+        "SELECT doc_id, 'audio' AS modality, "
+        f"{SYNTH_AUDIO_FRAMES}::BIGINT AS n_units, "
+        "(SELECT sum(((( doc_id*31 + i*7 ) % 65536) - 32768) * "
+        "(((doc_id*31 + i*7) % 65536) - 32768)) "
+        f"FROM range({SYNTH_AUDIO_FRAMES}) t(i))::BIGINT AS value_sum "
+        "FROM documents "
+        "UNION ALL "
+        f"SELECT doc_id, 'image', {n_px}::BIGINT, "
+        f"(SELECT sum((doc_id + j) % 256) FROM range({n_px}) t(j))::BIGINT "
+        "FROM documents"
+    )
+
+
 def sql_multimodal() -> str:
     checksum = " + ".join(
         f"('0x' || substr(sha256(text), {2 * j + 1}, 2))::BIGINT" for j in range(8))
@@ -1061,6 +1085,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
+        "multimodal_decode": lambda sf: multimodal.media_decode_stats(
+            _docs(sf, ["doc_id"])),
         "classify_blogs": lambda sf: classify.classify(
             _docs(sf, ["doc_id", "text", "lang", "source"])),
         "events_windowed_agg": lambda sf: events.windowed_agg(
@@ -1118,6 +1144,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk(ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
+        "multimodal_decode": sql_media_decode(),
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
         "events_sessionize": events.sql_sessionize(),

@@ -214,6 +214,104 @@ def multimodal_features(ds: "ray.data.Dataset", *, concurrency: int = 2,
                               batch_size=batch_size, batch_format="pyarrow")
 
 
+# --- deterministic real-container synthesis + decode (oracle-checkable) ---
+# Payload CONTENT is a closed-form function of doc_id, so the decoded
+# integer aggregates have an exact SQL twin; the CONTAINERS are real WAV/
+# PPM bytes, so the decode path exercised is the production one.
+SYNTH_AUDIO_FRAMES = 64
+SYNTH_AUDIO_RATE = 8000
+SYNTH_IMG_W, SYNTH_IMG_H = 5, 3  # 45 pixel bytes (odd count — see tests)
+
+
+def _synth_audio_samples(doc_id: int) -> np.ndarray:
+    i = np.arange(SYNTH_AUDIO_FRAMES, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 65536 - 32768).astype(np.int16)
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(SYNTH_AUDIO_RATE)
+        wf.writeframes(_synth_audio_samples(doc_id).tobytes())
+    return buf.getvalue()
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    j = np.arange(SYNTH_IMG_W * SYNTH_IMG_H * 3, dtype=np.int64)
+    raster = ((doc_id + j) % 256).astype(np.uint8)
+    return (f"P6\n{SYNTH_IMG_W} {SYNTH_IMG_H}\n255\n".encode()
+            + raster.tobytes())
+
+
+def synth_media(ds: "ray.data.Dataset",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Two payload rows per input row (one WAV, one PPM), content a
+    closed-form function of doc_id. Columns: doc_id, blob, modality."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_pylist()
+        blobs, modality, out_ids = [], [], []
+        for d in ids:
+            blobs.append(_synth_wav(int(d)))
+            modality.append("audio")
+            out_ids.append(d)
+            blobs.append(_synth_ppm(int(d)))
+            modality.append("image")
+            out_ids.append(d)
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "blob": pa.array(blobs, type=pa.binary()),
+            "modality": pa.array(modality, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class DecodeIntStats:
+    """Actor-pool REAL-decode stage with integer-exact output (the
+    oracle-checkable twin of MediaStats): audio rows decode through the
+    stdlib wave reader and emit sum(sample²); image rows decode through
+    the PPM parser and emit sum(pixel bytes). All arithmetic is int64 —
+    no float anywhere, so the SQL twin matches bit-for-bit."""
+
+    def __init__(self):
+        pass  # once-per-actor decoder/codec init slot
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_units, value_sum = [], []
+        for blob, mod in zip(batch["blob"].to_pylist(),
+                             batch["modality"].to_pylist()):
+            if mod == "audio":
+                pcm, _sr = decode_audio(blob)
+                s = pcm.astype(np.int64)
+                n_units.append(int(pcm.shape[0]))
+                value_sum.append(int((s * s).sum()))
+            else:
+                arr = decode_image(blob)
+                n_units.append(int(arr.size))
+                value_sum.append(int(arr.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "modality": batch["modality"],
+            "n_units": pa.array(n_units, type=pa.int64()),
+            "value_sum": pa.array(value_sum, type=pa.int64()),
+        })
+
+
+def media_decode_stats(ds: "ray.data.Dataset", *, concurrency: int = 2,
+                       batch_size: int = 64,
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    """synth → real decode → integer aggregates. Exercises the production
+    decode path (real WAV/PPM containers through decode_audio /
+    decode_image) with an EXACT closed-form SQL oracle."""
+    return synth_media(ds, id_col).map_batches(
+        DecodeIntStats, concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")
+
+
 def feature_summary(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Flat, SQL-comparable projection of multimodal_features (drops the
     list column): doc_id, blob_len, blob_sha256, feat_checksum."""

@@ -905,3 +905,35 @@ def test_minhash_m31_family_finds_planted_dupes(docs_ds):
     assert got.get((3, 10)) == 64
     assert got.get((7, 25)) == 64
     assert got.get((5, 40), 0) >= 32
+
+
+def test_media_decode_stats_real_roundtrip(ray_session):
+    """media_decode_stats must decode REAL WAV/PPM containers (not trust
+    the synthesizer): aggregates equal direct numpy on the closed-form
+    content, and the payloads parse with independent stdlib readers."""
+    import io
+    import wave
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (
+        SYNTH_AUDIO_FRAMES, SYNTH_IMG_H, SYNTH_IMG_W,
+        _synth_audio_samples, _synth_ppm, _synth_wav, media_decode_stats)
+    ids = [0, 7, 123456]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    rows = {(r["doc_id"], r["modality"]): r
+            for r in media_decode_stats(
+                ray.data.from_arrow(t)).take_all()}
+    n_px = SYNTH_IMG_W * SYNTH_IMG_H * 3
+    for d in ids:
+        s = _synth_audio_samples(d).astype(np.int64)
+        a = rows[(d, "audio")]
+        assert a["n_units"] == SYNTH_AUDIO_FRAMES
+        assert a["value_sum"] == int((s * s).sum())
+        j = np.arange(n_px, dtype=np.int64)
+        img = rows[(d, "image")]
+        assert img["n_units"] == n_px
+        assert img["value_sum"] == int(((d + j) % 256).sum())
+    # container sanity via an independent reader
+    with wave.open(io.BytesIO(_synth_wav(5)), "rb") as wf:
+        assert wf.getnframes() == SYNTH_AUDIO_FRAMES
+        assert wf.getframerate() == 8000
+    assert _synth_ppm(5)[:2] == b"P6"
