@@ -136,7 +136,8 @@ def reference_embed_text_expr(title, meta, snippet) -> str:
 
 def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
                          batch_size: int = 256,
-                         embedder: TextEmbedder | None = None) -> str:
+                         embedder: TextEmbedder | None = None,
+                         force: bool = False) -> str:
     """Embed every docstore row (reference generate_bert_embeddings.py
     shape: document_map → combined text → batched encode → store). Writes
     ``index_dir/embeddings/`` parquet (doc_id, embedding) and returns the
@@ -146,16 +147,37 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
     ``SentenceTransformerModel("all-MiniLM-L6-v2", dim=384)`` on a real
     cluster); default is the deterministic HashedBowModel. The unloaded
     spec ships to each actor; the model weights load once per actor
-    inside ``HashedBowEmbedder.__init__``."""
+    inside ``HashedBowEmbedder.__init__``.
+
+    Resumable at artifact granularity: a completed build writes a
+    lineage marker (row count + embedder fingerprint); a re-run with the
+    same corpus and embedder is a no-op, while a changed docstore or a
+    different model triggers a clean rebuild (``force=True`` overrides).
+    """
+    import json
     out_dir = os.path.join(index_dir, "embeddings")
+    marker = os.path.join(out_dir, "_EMBED_MANIFEST.json")
+    docstore = ray.data.read_parquet(
+        os.path.join(index_dir, "docstore"),
+        columns=["doc_id", "title", "meta", "snippet"])
+    n_docs = docstore.count()  # parquet metadata, no scan
+    emb = embedder if embedder is not None else HashedBowModel()
+    fingerprint = f"{type(emb).__module__}.{type(emb).__qualname__}" \
+                  f":dim={emb.dim}"
+    if not force and os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                m = json.load(f)
+            if (m.get("num_docs") == n_docs
+                    and m.get("embedder") == fingerprint):
+                return out_dir  # complete and current — skip
+        except (OSError, ValueError):
+            pass  # unreadable marker → rebuild
     # idempotence: write_parquet ADDS uniquely-named files, so a re-run
     # into a dirty dir would silently duplicate embedding rows — own the
     # directory instead
     import shutil
     shutil.rmtree(out_dir, ignore_errors=True)
-    docstore = ray.data.read_parquet(
-        os.path.join(index_dir, "docstore"),
-        columns=["doc_id", "title", "meta", "snippet"])
 
     def prep(batch: pa.Table) -> pa.Table:
         t = pc.cast(batch["title"], pa.string())
@@ -171,6 +193,11 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
                           batch_size=batch_size, batch_format="pyarrow",
                           **kwargs)
              .write_parquet(out_dir))
+    # marker LAST (atomic tmp→rename): its presence proves completeness
+    tmp = f"{marker}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"num_docs": n_docs, "embedder": fingerprint}, f)
+    os.replace(tmp, marker)
     return out_dir
 
 

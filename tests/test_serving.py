@@ -655,3 +655,33 @@ def test_sentence_transformer_spec_is_picklable_and_guarded():
     if not has_lib:
         with pytest.raises(ImportError):
             spec2.load()
+
+
+def test_build_doc_embeddings_resumable(built, tmp_path):
+    """A completed embeddings build is a no-op on re-run (marker lineage);
+    a different embedder or force=True rebuilds."""
+    import os
+    from searchengine_ray.build import build_index
+    from searchengine_ray.pipelines.embeddings import build_doc_embeddings
+    from searchengine_ray.sources.corpus import read_source
+    index_dir = str(tmp_path / "emb_resume_index")
+    build_index(read_source(built.corpus_dir), index_dir, built.cfg,
+                salt_hot_terms=False)
+    out = build_doc_embeddings(index_dir)
+    files = sorted(os.listdir(out))
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    assert "_EMBED_MANIFEST.json" in files
+    # no-op re-run: same files, untouched
+    build_doc_embeddings(index_dir)
+    assert sorted(os.listdir(out)) == files
+    assert all(os.path.getmtime(os.path.join(out, f)) == m
+               for f, m in mtimes.items())
+    # different embedder fingerprint → rebuild
+    fake = _make_fake_model()
+    build_doc_embeddings(index_dir, embedder=fake)
+    import json as _json
+    with open(os.path.join(out, "_EMBED_MANIFEST.json")) as f:
+        m = _json.load(f)
+    assert "FakeModel" in m["embedder"]
+    # force → rebuild even when current
+    build_doc_embeddings(index_dir, embedder=fake, force=True)
