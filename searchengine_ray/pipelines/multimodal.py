@@ -214,6 +214,130 @@ def multimodal_features(ds: "ray.data.Dataset", *, concurrency: int = 2,
                               batch_size=batch_size, batch_format="pyarrow")
 
 
+def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) → (out_h, out_w, c) — pure-numpy
+    index gather (the PIL-free path; a real deployment swaps PIL/OpenCV
+    into the same stage slot)."""
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+class ResizeImages:
+    """Actor-pool resize stage: decode → nearest-neighbor resize →
+    re-emit raw RGB bytes + dims. Undecodable payloads skip-and-report
+    (decode_ok=false), like MediaStats."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rgb, ok, err = [], [], []
+        for blob in batch["blob"].to_pylist():
+            try:
+                arr = resize_image(decode_image(blob or b""),
+                                   self.out_w, self.out_h)
+                out_rgb.append(arr.tobytes())
+                ok.append(True)
+                err.append("")
+            except NotImplementedError as e:
+                out_rgb.append(b"")
+                ok.append(False)
+                err.append(str(e))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "rgb": pa.array(out_rgb, type=pa.binary()),
+            "width": pa.array([self.out_w] * len(batch), type=pa.int64()),
+            "height": pa.array([self.out_h] * len(batch), type=pa.int64()),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+            "decode_err": pa.array(err, type=pa.string()),
+        })
+
+
+def resize_images(ds: "ray.data.Dataset", out_w: int = 32, out_h: int = 32,
+                  *, concurrency: int = 2,
+                  batch_size: int = 32) -> "ray.data.Dataset":
+    return ds.map_batches(ResizeImages, fn_constructor_args=(out_w, out_h),
+                          concurrency=concurrency, batch_size=batch_size,
+                          batch_format="pyarrow")
+
+
+# --- trivial multi-frame container + frame sampling ------------------------
+# A "video" here is the simplest possible real container: a header
+# b"MJPG"-style magic + frame count, then n concatenated PPM frames. The
+# production analogue (ffmpeg keyframe extraction) slots into the same
+# actor-pool stage; the sampling/plumbing logic (stride selection, per-
+# frame decode, output layout) is exactly what it would be there.
+_VIDEO_MAGIC = b"SRAYV1"
+
+
+def pack_video(frames: list[bytes]) -> bytes:
+    import struct
+    parts = [_VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        parts.append(struct.pack("<I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def iter_video_frames(blob: bytes):
+    import struct
+    if blob[:6] != _VIDEO_MAGIC:
+        raise NotImplementedError(
+            "video decode for real containers requires ffmpeg; not "
+            "available here (SRAYV1 concatenated-PPM container only)")
+    n = struct.unpack("<I", blob[6:10])[0]
+    pos = 10
+    for _ in range(n):
+        ln = struct.unpack("<I", blob[pos:pos + 4])[0]
+        pos += 4
+        yield blob[pos:pos + ln]
+        pos += ln
+
+
+class SampleFrames:
+    """Actor-pool frame-sampling stage: every ``stride``-th frame (always
+    including frame 0) decodes through decode_image; one output ROW per
+    sampled frame (doc_id, frame_idx, width, height, pixel_sum) — the
+    flat layout a downstream feature/embedding stage consumes."""
+
+    def __init__(self, stride: int = 4):
+        assert stride >= 1
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ws, hs, sums = [], [], [], [], []
+        for doc_id, blob in zip(batch["doc_id"].to_pylist(),
+                                batch["blob"].to_pylist()):
+            for i, frame in enumerate(iter_video_frames(blob or b"")):
+                if i % self.stride:
+                    continue
+                arr = decode_image(frame)
+                ids.append(doc_id)
+                fidx.append(i)
+                ws.append(arr.shape[1])
+                hs.append(arr.shape[0])
+                sums.append(int(arr.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+        })
+
+
+def sample_frames(ds: "ray.data.Dataset", stride: int = 4, *,
+                  concurrency: int = 2,
+                  batch_size: int = 16) -> "ray.data.Dataset":
+    """Frame-sample a packed video dataset (doc_id, blob). Small
+    batch_size: a batch holds whole multi-frame payloads."""
+    return ds.map_batches(SampleFrames, fn_constructor_args=(stride,),
+                          concurrency=concurrency, batch_size=batch_size,
+                          batch_format="pyarrow")
+
+
 # --- deterministic real-container synthesis + decode (oracle-checkable) ---
 # Payload CONTENT is a closed-form function of doc_id, so the decoded
 # integer aggregates have an exact SQL twin; the CONTAINERS are real WAV/

@@ -937,3 +937,54 @@ def test_media_decode_stats_real_roundtrip(ray_session):
         assert wf.getnframes() == SYNTH_AUDIO_FRAMES
         assert wf.getframerate() == 8000
     assert _synth_ppm(5)[:2] == b"P6"
+
+
+def test_resize_images_stage(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (ResizeImages,
+                                                       resize_image,
+                                                       resize_images)
+    blob, arr = _ppm_bytes(10, 6, seed=4)
+    t = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "blob": pa.array([blob, b"\xff\xd8 jpeg"], type=pa.binary()),
+    })
+    rows = {r["doc_id"]: r
+            for r in resize_images(ray.data.from_arrow(t), 4, 3).take_all()}
+    want = resize_image(arr, 4, 3)
+    assert rows[0]["decode_ok"]
+    got = np.frombuffer(rows[0]["rgb"], dtype=np.uint8).reshape(3, 4, 3)
+    np.testing.assert_array_equal(got, want)
+    assert (rows[0]["width"], rows[0]["height"]) == (4, 3)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert not rows[1]["decode_ok"]
+    # pure-function sanity: nearest-neighbor keeps corner pixels
+    np.testing.assert_array_equal(want[0, 0], arr[0, 0])
+
+
+def test_sample_frames_stage(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (pack_video,
+                                                       sample_frames)
+    frames, arrs = [], []
+    for i in range(10):
+        b, a = _ppm_bytes(3, 2, seed=100 + i)
+        frames.append(b)
+        arrs.append(a)
+    t = pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "blob": pa.array([pack_video(frames)], type=pa.binary()),
+    })
+    rows = sorted(sample_frames(ray.data.from_arrow(t), stride=4).take_all(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 4, 8]
+    for r in rows:
+        assert (r["width"], r["height"]) == (3, 2)
+        assert r["pixel_sum"] == int(arrs[r["frame_idx"]]
+                                     .astype(np.int64).sum())
+    # non-container blob raises the guarded error
+    from searchengine_ray.pipelines.multimodal import iter_video_frames
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        list(iter_video_frames(b"\x00\x00 not a video"))

@@ -685,3 +685,32 @@ def test_build_doc_embeddings_resumable(built, tmp_path):
     assert "FakeModel" in m["embedder"]
     # force → rebuild even when current
     build_doc_embeddings(index_dir, embedder=fake, force=True)
+
+
+def test_http_app_over_pool_and_sharded_backends(built):
+    """SearchApp is backend-agnostic: over QueryService (actor pool with
+    result LRU) and ShardedQueryService it must produce the same /search
+    payload as over the in-process engine."""
+    from searchengine_ray.query import (QueryEngine, QueryService,
+                                        ShardedQueryService)
+    from searchengine_ray.serve import SearchApp
+    eng = QueryEngine(built.index_dir, built.cfg)
+    base = SearchApp(eng, results_per_page=5)
+    pool = QueryService(built.index_dir, built.cfg, num_actors=1,
+                        cache_size=8)
+    sharded = ShardedQueryService(built.index_dir, built.cfg, num_shards=2)
+    try:
+        for q in ("queue71", "py org2"):
+            want = base.search(q, page=1)
+            assert SearchApp(pool, results_per_page=5).search(q, 1) == want
+            assert SearchApp(sharded,
+                             results_per_page=5).search(q, 1) == want
+        # the LRU must not be corrupted by the handler's source tag
+        # (handler mutates copies): two hits give identical payloads
+        app = SearchApp(pool, results_per_page=5)
+        first = app.search("queue71", 1)
+        assert app.search("queue71", 1) == first
+        assert pool.cache_hits >= 1
+    finally:
+        pool.shutdown()
+        sharded.shutdown()
