@@ -1103,6 +1103,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: events.streaming_windowed_agg_salted(
                 _events(sf, ["event_id", "event_type", "ts", "value"]),
                 shard_events=2048),
+        "events_asof_join": lambda sf: events.asof_join_prior(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"])),
+        "events_range_join": lambda sf: events.value_range_join(
+            _events(sf, ["event_id", "value"])),
         "events_props_extract": lambda sf: events.props_extract(
             _events(sf, ["event_id", "props"])),
         "events_value_quantiles": lambda sf: events.value_quantiles(
@@ -1150,6 +1154,8 @@ def build_oracles() -> dict[str, str]:
         "events_sessionize": events.sql_sessionize(),
         # the salted variant is output-identical → same oracle
         "events_sessionize_salted": events.sql_sessionize(),
+        "events_asof_join": events.sql_asof_join_prior(),
+        "events_range_join": events.sql_value_range_join(),
         "events_streaming_window": events.sql_streaming_windowed_agg(),
         # output-identical by construction → same oracle
         "events_streaming_window_salted": events.sql_streaming_windowed_agg(),

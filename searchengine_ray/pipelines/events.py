@@ -599,3 +599,161 @@ def sql_props_extract() -> str:
     return ("SELECT event_id, CASE WHEN regexp_extract(props, '\"k\": (\\d+)', 1) = '' "
             "THEN -1 ELSE regexp_extract(props, '\"k\": (\\d+)', 1)::BIGINT END "
             "AS props_k FROM events")
+
+
+# ---------------------------------------------------------------------------
+# custom joins the Dataset API lacks: as-of join + range join
+# ---------------------------------------------------------------------------
+
+def asof_join_prior(ds: "ray.data.Dataset", left_type: str = "purchase",
+                    right_type: str = "view") -> "ray.data.Dataset":
+    """AS-OF JOIN (inner): for every ``left_type`` event, the most recent
+    STRICTLY-PRIOR ``right_type`` event of the same user — "which view
+    preceded this purchase". Deterministic prior order is (ts, event_id)
+    lexicographic (event_id breaks ts ties; ids are unique), so results
+    are engine-independent.
+
+    Ray-Data-first plan (there is no join primitive): ONE coarse shuffle
+    keyed by hash(user_id) — the same partitioning assumption as
+    sessionize (a user's events fit in one partition; salt by time-shard
+    at 10^12 rows). Inside a partition, ALL users resolve in one
+    vectorized pass: rows sorted by (user, ts, event_id); a running
+    maximum over right-row positions gives each row the latest prior
+    right index; a per-user segment start invalidates carries across user
+    boundaries. No per-user Python, no per-row loops.
+
+    Columns: event_id, user_id, prior_event_id, gap_us (all int64).
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        keep = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_user_part(uid, NUM_EVENT_PARTITIONS)),
+            "user_id": pa.array(uid),
+            "ts": pc.cast(pc.cast(b["ts"], pa.int64()), pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "is_left": pc.equal(pc.cast(b["event_type"], pa.string()),
+                                left_type),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        is_left = group["is_left"].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "prior_event_id": pa.array([], type=pa.int64()),
+            "gap_us": pa.array([], type=pa.int64()),
+        })
+        if uid.size == 0:
+            return empty
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_left = (uid[order], ts[order], eid[order],
+                                 is_left[order])
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        # position of each row's user-run start
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        # latest right-row position at a strictly earlier sort position;
+        # a carry from a previous user lands < user_start → no match
+        right_pos = np.where(~is_left, idx, -1)
+        prior = np.concatenate(
+            [[-1], np.maximum.accumulate(right_pos)[:-1]])
+        ok = is_left & (prior >= user_start)
+        pi = prior[ok]
+        return pa.table({
+            "event_id": pa.array(eid[ok]),
+            "user_id": pa.array(uid[ok]),
+            "prior_event_id": pa.array(eid[pi]),
+            "gap_us": pa.array(ts[ok] - ts[pi]),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+
+
+def sql_asof_join_prior(left_type: str = "purchase",
+                        right_type: str = "view") -> str:
+    return f"""
+WITH e AS (SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+                  epoch_us(ts) AS ts_us, event_type FROM events),
+l AS (SELECT * FROM e WHERE event_type = '{left_type}'),
+r AS (SELECT * FROM e WHERE event_type = '{right_type}'),
+j AS (
+  SELECT l.event_id, l.user_id, r.event_id AS prior_event_id,
+         l.ts_us - r.ts_us AS gap_us,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND (r.ts_us < l.ts_us
+        OR (r.ts_us = l.ts_us AND r.event_id < l.event_id)))
+SELECT event_id, user_id, prior_event_id, gap_us FROM j WHERE rn = 1
+"""
+
+
+# Deterministic irregular value buckets for the range join — quadratic
+# boundaries over the testdata's value domain [0, 500). Float literals
+# repr-roundtrip exactly into DuckDB, so containment decisions are
+# bit-identical across engines.
+RANGE_BUCKETS: list[tuple[int, float, float]] = [
+    (j, 7.7 * j * j, 7.7 * (j + 1) * (j + 1)) for j in range(9)
+]
+
+
+def value_range_join(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """RANGE JOIN (inner) of events against the small irregular interval
+    table ``RANGE_BUCKETS`` (bucket_id, lo, hi): each event joins the
+    bucket with lo ≤ value < hi.
+
+    Ray-Data-first plan: the interval table is the BROADCAST SMALL SIDE —
+    intervals are sorted, non-overlapping constants captured in the task
+    closure (ray.put-equivalent for kB-scale constants), and each batch
+    resolves containment with ONE vectorized ``np.searchsorted`` over the
+    boundary array — never a shuffle, never a per-row loop. This is the
+    house pattern for any small-side join at 100 TB (dimension tables,
+    config ranges): broadcast + per-batch binary search.
+
+    Columns: event_id, bucket_id (int64), lo_c, hi_c (scaled-int
+    boundaries ×100, exact in both engines).
+    """
+    los = np.array([b[1] for b in RANGE_BUCKETS], dtype=np.float64)
+    his = np.array([b[2] for b in RANGE_BUCKETS], dtype=np.float64)
+    assert (los[1:] >= his[:-1] - 1e-12).all(), "intervals must not overlap"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch["value"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        # bucket candidate: rightmost lo ≤ value
+        j = np.searchsorted(los, v, side="right") - 1
+        ok = (j >= 0) & (v < his[np.clip(j, 0, len(his) - 1)])
+        j = j[ok]
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64())
+            .filter(pa.array(ok)),
+            "bucket_id": pa.array(j.astype(np.int64)),
+            "lo_c": pa.array(np.round(los[j] * 100).astype(np.int64)),
+            "hi_c": pa.array(np.round(his[j] * 100).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_value_range_join() -> str:
+    # ::DOUBLE — bare decimal literals parse as DECIMAL and overflow on
+    # the ×100 scale; doubles also match numpy's comparisons bit-for-bit
+    rows = ", ".join(f"({j}, {lo!r}::DOUBLE, {hi!r}::DOUBLE)"
+                     for j, lo, hi in RANGE_BUCKETS)
+    return f"""
+WITH buckets(bucket_id, lo, hi) AS (VALUES {rows})
+SELECT e.event_id::BIGINT AS event_id, b.bucket_id::BIGINT AS bucket_id,
+       round(b.lo * 100)::BIGINT AS lo_c, round(b.hi * 100)::BIGINT AS hi_c
+FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+"""

@@ -714,3 +714,60 @@ def test_http_app_over_pool_and_sharded_backends(built):
     finally:
         pool.shutdown()
         sharded.shutdown()
+
+
+def test_asof_join_prior_matches_bruteforce(events_ds):
+    from searchengine_ray.pipelines.events import asof_join_prior
+    got = {r["event_id"]: (r["prior_event_id"], r["gap_us"])
+           for r in asof_join_prior(events_ds).take_all()}
+    df = events_df()
+    us = df["ts"].values.astype("datetime64[us]").astype("int64")
+    rows = sorted(zip(df["user_id"], us, df["event_id"], df["event_type"]))
+    want = {}
+    last_view: dict = {}
+    for uid, ts, eid, et in rows:
+        if et == "view":
+            last_view[uid] = (eid, ts)
+        elif et == "purchase" and uid in last_view:
+            peid, pts = last_view[uid]
+            want[eid] = (peid, ts - pts)
+    assert got == want and want  # non-trivial on the testdata
+
+
+def test_asof_join_ts_ties_are_deterministic(ray_session):
+    """Synthetic ts ties (absent in testdata — ts is monotone in
+    event_id there): at equal ts, only right rows with SMALLER event_id
+    are prior, and the largest such event_id wins."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import asof_join_prior
+    ts0 = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([9, 9, 9, 9, 9], type=pa.int64()),
+        "ts": pa.array([ts0, ts0, ts0, ts0, ts0 + 5],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(
+            ["view", "purchase", "view", "purchase", "purchase"],
+            type=pa.string()),
+    })
+    got = {r["event_id"]: (r["prior_event_id"], r["gap_us"])
+           for r in asof_join_prior(ray.data.from_arrow(t)).take_all()}
+    # purchase 2: only view 1 is prior (view 3 has larger id at equal ts)
+    # purchase 4: views 1 and 3 prior → 3 wins; purchase 5: 3, gap 5
+    assert got == {2: (1, 0), 4: (3, 0), 5: (3, 5)}
+
+
+def test_value_range_join_matches_bruteforce(events_ds):
+    from searchengine_ray.pipelines.events import (RANGE_BUCKETS,
+                                                   value_range_join)
+    got = {r["event_id"]: (r["bucket_id"], r["lo_c"], r["hi_c"])
+           for r in value_range_join(events_ds).take_all()}
+    df = events_df()
+    want = {}
+    for eid, v in zip(df["event_id"], df["value"]):
+        for j, lo, hi in RANGE_BUCKETS:
+            if lo <= v < hi:
+                want[int(eid)] = (j, round(lo * 100), round(hi * 100))
+                break
+    assert got == want and want
