@@ -446,3 +446,137 @@ def fingerprint(ds: "ray.data.Dataset", k: int = 5, window: int = 4) -> "ray.dat
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling + grouped top-k (training-data curation staples)
+# ---------------------------------------------------------------------------
+
+# Per-language sampling quotas (the per-stratum rate table a real corpus
+# curation run would tune; broadcast small side — travels in the task
+# closure). Thresholds are EXACT uint32 integers so keep-decisions are
+# bit-identical in Ray and SQL.
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "zh": 0.25, "es": 0.25,
+                                  "de": 0.125, "fr": 0.125}
+_SAMPLE_DEFAULT = 0.0625
+
+
+def _sample_threshold(rate: float) -> int:
+    return int(rate * (1 << 32))
+
+
+def stratified_sample(ds: "ray.data.Dataset",
+                      rates: dict[str, float] | None = None,
+                      group_col: str = "lang") -> "ray.data.Dataset":
+    """Deterministic per-stratum sampling: keep a row iff the top 32 bits
+    of md5(doc_id) fall under its stratum's threshold. No RNG, no state,
+    no shuffle — every worker makes the same decision, re-runs are
+    idempotent (exactly what a resumable 100 TB curation pass needs), and
+    the SQL twin reproduces it bit-for-bit. md5 is the cross-engine-
+    stable hash (DuckDB md5()); swap a vectorized splitmix for it on a
+    real cluster if the per-row digest shows up in profiles.
+
+    Columns: doc_id (int64), grp (string)."""
+    rates = SAMPLE_RATES if rates is None else rates
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        grp = pc.cast(batch[group_col], pa.string()).to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.int64, count=len(ids))
+        thr = np.fromiter(
+            (_sample_threshold(rates.get(g, _SAMPLE_DEFAULT)) for g in grp),
+            dtype=np.int64, count=len(grp))
+        keep = h < thr
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "grp": pa.array([g for g, k in zip(grp, keep) if k],
+                            type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_stratified_sample(rates: dict[str, float] | None = None,
+                          group_col: str = "lang") -> str:
+    rates = SAMPLE_RATES if rates is None else rates
+    cases = " ".join(
+        f"WHEN '{g}' THEN {_sample_threshold(r)}" for g, r in rates.items())
+    return (
+        f"SELECT doc_id, {group_col} AS grp FROM documents "
+        f"WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < "
+        f"(CASE {group_col} {cases} "
+        f"ELSE {_sample_threshold(_SAMPLE_DEFAULT)} END)"
+    )
+
+
+def top_docs_per_group(ds: "ray.data.Dataset", k: int = 3,
+                       group_col: str = "source") -> "ray.data.Dataset":
+    """Grouped top-k (curation staple: best documents per source/domain):
+    rank docs within each group by (n_distinct whitespace tokens DESC,
+    doc_id ASC) and keep the top ``k``.
+
+    Pre-aggregation pattern: each batch emits only its per-group top-k
+    partials (≤ groups×k rows leave every batch — the shuffle moves
+    partials, never the corpus), then a small groupby(group) reduce picks
+    the global top-k. Columns: grp, doc_id, n_distinct, rank (int64).
+    """
+    def _topk(grp: np.ndarray, ids: np.ndarray, nd: np.ndarray,
+              emit_rank: bool) -> pa.Table:
+        order = np.lexsort((ids, -nd, grp))
+        grp, ids, nd = grp[order], ids[order], nd[order]
+        new_g = np.empty(grp.size, dtype=bool)
+        if grp.size:
+            new_g[0] = True
+            new_g[1:] = grp[1:] != grp[:-1]
+        # rank within group = position since group start
+        pos = np.arange(grp.size) - \
+            np.arange(grp.size)[new_g][np.cumsum(new_g) - 1] \
+            if grp.size else np.empty(0, dtype=np.int64)
+        keep = pos < k
+        cols = {
+            "grp": pa.array(grp[keep], type=pa.string()),
+            "doc_id": pa.array(ids[keep]),
+            "n_distinct": pa.array(nd[keep]),
+        }
+        if emit_rank:
+            cols["rank"] = pa.array((pos[keep] + 1).astype(np.int64))
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, n_distinct, _ = ws_quality_stats(batch["text"])
+        grp = np.asarray(pc.cast(batch[group_col], pa.string()).to_pylist())
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return _topk(grp, ids, n_distinct, emit_rank=False)
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        grp = np.asarray(group["grp"].to_pylist())
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nd = group["n_distinct"].to_numpy(zero_copy_only=False)
+        return _topk(grp, ids, nd, emit_rank=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp").map_groups(reduce_group,
+                                         batch_format="pyarrow"))
+
+
+def sql_top_docs_per_group(k: int = 3, group_col: str = "source") -> str:
+    nd = ("len(list_distinct(list_filter("
+          "regexp_split_to_array(text, '\\s+'), x -> x != '')))")
+    return f"""
+WITH scored AS (
+  SELECT {group_col} AS grp, doc_id, {nd}::BIGINT AS n_distinct
+  FROM documents),
+ranked AS (
+  SELECT grp, doc_id, n_distinct,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_distinct DESC, doc_id) AS rank
+  FROM scored)
+SELECT grp, doc_id, n_distinct, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {k}
+"""

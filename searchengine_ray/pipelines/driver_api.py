@@ -1087,6 +1087,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
+        "stratified_sample": lambda sf: analysis.stratified_sample(
+            _docs(sf, ["doc_id", "lang"])),
+        "top_docs_per_source": lambda sf: analysis.top_docs_per_group(
+            _docs(sf, ["doc_id", "text", "source"])),
         "classify_blogs": lambda sf: classify.classify(
             _docs(sf, ["doc_id", "text", "lang", "source"])),
         "events_windowed_agg": lambda sf: events.windowed_agg(
@@ -1104,6 +1108,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 _events(sf, ["event_id", "event_type", "ts", "value"]),
                 shard_events=2048),
         "events_asof_join": lambda sf: events.asof_join_prior(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"])),
+        "events_asof_join_salted": lambda sf: events.asof_join_prior_salted(
             _events(sf, ["event_id", "user_id", "ts", "event_type"])),
         "events_range_join": lambda sf: events.value_range_join(
             _events(sf, ["event_id", "value"])),
@@ -1149,12 +1155,16 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
+        "stratified_sample": analysis.sql_stratified_sample(),
+        "top_docs_per_source": analysis.sql_top_docs_per_group(),
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),
         "events_sessionize": events.sql_sessionize(),
         # the salted variant is output-identical → same oracle
         "events_sessionize_salted": events.sql_sessionize(),
         "events_asof_join": events.sql_asof_join_prior(),
+        # output-identical by construction → same oracle
+        "events_asof_join_salted": events.sql_asof_join_prior(),
         "events_range_join": events.sql_value_range_join(),
         "events_streaming_window": events.sql_streaming_windowed_agg(),
         # output-identical by construction → same oracle

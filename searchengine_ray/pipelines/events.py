@@ -757,3 +757,152 @@ SELECT e.event_id::BIGINT AS event_id, b.bucket_id::BIGINT AS bucket_id,
        round(b.lo * 100)::BIGINT AS lo_c, round(b.hi * 100)::BIGINT AS hi_c
 FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
 """
+
+
+def asof_join_prior_salted(ds: "ray.data.Dataset",
+                           left_type: str = "purchase",
+                           right_type: str = "view",
+                           shard_us: int = 86_400_000_000
+                           ) -> "ray.data.Dataset":
+    """Skew-safe twin of ``asof_join_prior`` — the 10^12-row path.
+
+    The plain operator co-locates a user's entire history; here the wide
+    shuffle keys on (user, time-shard) so no unit of work exceeds a
+    user-day. Stage 1 resolves every left event whose prior right event
+    lies in the SAME shard and emits two tiny side outputs per (user,
+    shard) run: the run's LAST right event (one row) and the run's
+    UNRESOLVED left events (those whose prior lies in an earlier shard).
+    Stage 2 is a small per-user shuffle over those side rows only —
+    lefts sort BEFORE rights within a shard, so the same vectorized
+    running-max pass matches each pending left to the latest earlier
+    shard's last right. Output is IDENTICAL to asof_join_prior()
+    (asserted in tests; same driver oracle).
+    """
+    def add_shard(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        keep = pc.is_in(et, value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(b["ts"], pa.int64()), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        shard = ts // shard_us
+        with np.errstate(over="ignore"):
+            key = (uid.astype(np.uint64) * _MIX
+                   + shard.astype(np.uint64)) * _MIX
+        return pa.table({
+            "part": pa.array((key % np.uint64(NUM_EVENT_PARTITIONS))
+                             .astype(np.int32)),
+            "user_id": pa.array(uid),
+            "shard": pa.array(shard),
+            "ts": pa.array(ts),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "is_left": pc.equal(pc.cast(b["event_type"], pa.string()),
+                                left_type),
+        })
+
+    def _rows(eids, uids, prior_eids, gaps, kinds, shards, tss):
+        return pa.table({
+            "event_id": pa.array(eids, type=pa.int64()),
+            "user_id": pa.array(uids, type=pa.int64()),
+            "prior_event_id": pa.array(prior_eids, type=pa.int64()),
+            "gap_us": pa.array(gaps, type=pa.int64()),
+            # kind 2 = resolved match, 0 = pending left, 1 = last-right
+            "kind": pa.array(kinds, type=pa.int64()),
+            "shard": pa.array(shards, type=pa.int64()),
+            "ts": pa.array(tss, type=pa.int64()),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        shard = group["shard"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        is_left = group["is_left"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return _rows([], [], [], [], [], [], [])
+        order = np.lexsort((eid, ts, shard, uid))
+        uid, shard, ts, eid, is_left = (uid[order], shard[order],
+                                        ts[order], eid[order],
+                                        is_left[order])
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (uid[1:] != uid[:-1]) | (shard[1:] != shard[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_start = idx[new_run][run_id]
+        right_pos = np.where(~is_left, idx, -1)
+        prior = np.concatenate(
+            [[-1], np.maximum.accumulate(right_pos)[:-1]])
+        matched = is_left & (prior >= run_start)
+        pending = is_left & ~matched
+        pi = prior[matched]
+        k = int(run_id[-1]) + 1
+        last_r = np.full(k, -1, dtype=np.int64)
+        ir = np.nonzero(~is_left)[0]
+        np.maximum.at(last_r, run_id[ir], ir)
+        has_r = last_r >= 0
+        lr = last_r[has_r]
+        nm, np_, nr = int(matched.sum()), int(pending.sum()), int(lr.size)
+        z = np.zeros
+        i64 = np.int64
+        return pa.concat_tables([
+            _rows(eid[matched], uid[matched], eid[pi], ts[matched] - ts[pi],
+                  np.full(nm, 2, dtype=i64), shard[matched], ts[matched]),
+            _rows(eid[pending], uid[pending], np.full(np_, -1, dtype=i64),
+                  z(np_, dtype=i64), z(np_, dtype=i64), shard[pending],
+                  ts[pending]),
+            _rows(eid[lr], uid[lr], np.full(nr, -1, dtype=i64),
+                  z(nr, dtype=i64), np.ones(nr, dtype=i64), shard[lr],
+                  ts[lr]),
+        ])
+
+    stage1 = (ds.map_batches(add_shard, batch_format="pyarrow")
+                .groupby("part").map_groups(per_part,
+                                            batch_format="pyarrow"))
+
+    def add_upart(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "upart", pa.array(_user_part(uid, NUM_EVENT_PARTITIONS)))
+
+    def merge_part(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        resolved = group.filter(pa.array(kind == 2)).select(
+            ["event_id", "user_id", "prior_event_id", "gap_us"])
+        side = group.filter(pa.array(kind != 2))
+        uid = side["user_id"].to_numpy(zero_copy_only=False)
+        shard = side["shard"].to_numpy(zero_copy_only=False)
+        ts = side["ts"].to_numpy(zero_copy_only=False)
+        eid = side["event_id"].to_numpy(zero_copy_only=False)
+        kk = side["kind"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return resolved
+        # lefts (kind 0) sort BEFORE rights (kind 1) within a shard, so a
+        # pending left sees only rights from strictly earlier shards
+        order = np.lexsort((eid, kk, shard, uid))
+        uid, shard, ts, eid, kk = (uid[order], shard[order], ts[order],
+                                   eid[order], kk[order])
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        right_pos = np.where(kk == 1, idx, -1)
+        prior = np.concatenate(
+            [[-1], np.maximum.accumulate(right_pos)[:-1]])
+        ok = (kk == 0) & (prior >= user_start)
+        pi = prior[ok]
+        late = pa.table({
+            "event_id": pa.array(eid[ok]),
+            "user_id": pa.array(uid[ok]),
+            "prior_event_id": pa.array(eid[pi]),
+            "gap_us": pa.array(ts[ok] - ts[pi]),
+        })
+        return pa.concat_tables([resolved, late])
+
+    return (stage1.map_batches(add_upart, batch_format="pyarrow")
+                  .groupby("upart").map_groups(merge_part,
+                                               batch_format="pyarrow"))

@@ -988,3 +988,63 @@ def test_sample_frames_stage(ray_session):
     from searchengine_ray.pipelines.multimodal import iter_video_frames
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         list(iter_video_frames(b"\x00\x00 not a video"))
+
+
+def test_stratified_sample_deterministic_and_rates(ray_session):
+    import hashlib
+    import ray.data
+    from searchengine_ray.pipelines.analysis import (SAMPLE_RATES,
+                                                     _sample_threshold,
+                                                     stratified_sample)
+    rng = np.random.default_rng(5)
+    langs = ["en", "zh", "de", "xx"]  # xx → default rate
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array([langs[i] for i in
+                          rng.integers(0, 4, size=n)], type=pa.string()),
+    })
+    got = {r["doc_id"]: r["grp"]
+           for r in stratified_sample(
+               ray.data.from_arrow(t)).take_all()}
+    # exact per-row expectation
+    want = {}
+    for d, g in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+        h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[:4], "big")
+        thr = _sample_threshold(SAMPLE_RATES.get(g, 0.0625))
+        if h < thr:
+            want[d] = g
+    assert got == want
+    # determinism: second run identical
+    got2 = {r["doc_id"]: r["grp"]
+            for r in stratified_sample(ray.data.from_arrow(t)).take_all()}
+    assert got2 == got
+    # rates land near nominal (md5 uniformity)
+    by_lang = {g: sum(1 for x in got.values() if x == g) for g in langs}
+    n_by = {g: t["lang"].to_pylist().count(g) for g in langs}
+    assert abs(by_lang["en"] / n_by["en"] - 0.5) < 0.06
+    assert abs(by_lang["xx"] / n_by["xx"] - 0.0625) < 0.04
+
+
+def test_top_docs_per_group_matches_bruteforce(docs_ds):
+    import ray.data
+    from searchengine_ray.pipelines.analysis import top_docs_per_group
+    t = docs_table()
+    # synth a group col: 3 groups by doc_id mod 3
+    grouped = t.append_column(
+        "source", pa.array([f"g{i % 3}" for i in
+                            range(len(t))], type=pa.string()))
+    got = sorted((r["grp"], r["rank"], r["doc_id"], r["n_distinct"])
+                 for r in top_docs_per_group(
+                     ray.data.from_arrow(grouped), k=2).take_all())
+    want = {}
+    for d, txt, g in zip(grouped["doc_id"].to_pylist(),
+                         grouped["text"].to_pylist(),
+                         grouped["source"].to_pylist()):
+        nd = len(set(x for x in txt.split() if x))
+        want.setdefault(g, []).append((-nd, d))
+    rows = []
+    for g, lst in want.items():
+        for rank, (nnd, d) in enumerate(sorted(lst)[:2], start=1):
+            rows.append((g, rank, d, -nnd))
+    assert got == sorted(rows)

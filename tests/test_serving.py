@@ -771,3 +771,17 @@ def test_value_range_join_matches_bruteforce(events_ds):
                 want[int(eid)] = (j, round(lo * 100), round(hi * 100))
                 break
     assert got == want and want
+
+
+def test_asof_join_salted_identical(events_ds):
+    """The (user, time-shard)-salted as-of join must be output-identical
+    to the plain one — tiny shards force MANY cross-shard priors."""
+    from searchengine_ray.pipelines.events import (asof_join_prior,
+                                                   asof_join_prior_salted)
+    plain = sorted((r["event_id"], r["prior_event_id"], r["gap_us"])
+                   for r in asof_join_prior(events_ds).take_all())
+    # 1-hour shards: most priors live in an earlier shard (stage-2 path)
+    salted = sorted((r["event_id"], r["prior_event_id"], r["gap_us"])
+                    for r in asof_join_prior_salted(
+                        events_ds, shard_us=3_600_000_000).take_all())
+    assert salted == plain and plain
