@@ -580,3 +580,70 @@ ranked AS (
 SELECT grp, doc_id, n_distinct, rank::BIGINT AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+PACK_PARTITIONS = 32
+
+
+def pack_token_budget(ds: "ray.data.Dataset", capacity: int = 2048,
+                      num_parts: int = PACK_PARTITIONS
+                      ) -> "ray.data.Dataset":
+    """Sequence packing for training shards: assign each document to a
+    token-budget bin of ~``capacity`` whitespace tokens (the example-
+    packing step before tokenize-and-concat in an LLM data pipeline).
+
+    Deterministic, fully parallel packing discipline: documents shard by
+    ``doc_id % num_parts``; within a shard, docs pack in doc_id order and
+    ``bin_id = (running token count BEFORE the doc) // capacity`` —
+    boundary docs overflow their bin by less than one document (they are
+    split/truncated downstream), which is what makes the assignment a
+    pure prefix-sum: one vectorized pass per shard, an exact SQL window
+    twin, and no sequential first-fit state. Global bin key =
+    (part, bin_id).
+
+    Columns: doc_id, part, bin_id, n_tokens (all int64).
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        n_ws, _, _, _ = ws_quality_stats(batch["text"])
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((ids % num_parts).astype(np.int64)),
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_ws),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        part = group["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, nt, part = ids[order], nt[order], part[order]
+        before = np.concatenate([[0], np.cumsum(nt)[:-1]])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "part": pa.array(part),
+            "bin_id": pa.array(before // capacity),
+            "n_tokens": pa.array(nt),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pyarrow"))
+
+
+def sql_pack_token_budget(capacity: int = 2048,
+                          num_parts: int = PACK_PARTITIONS) -> str:
+    nt = ("len(list_filter(regexp_split_to_array(text, '\\s+'), "
+          "x -> x != ''))")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {num_parts} AS part, {nt}::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, part,
+       ((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+        // {capacity})::BIGINT AS bin_id,
+       n_tokens
+FROM toks
+"""

@@ -1087,6 +1087,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
+        "pack_token_budget": lambda sf: analysis.pack_token_budget(
+            _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
             _docs(sf, ["doc_id", "lang"])),
         "top_docs_per_source": lambda sf: analysis.top_docs_per_group(
@@ -1155,6 +1157,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
+        "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
         "top_docs_per_source": analysis.sql_top_docs_per_group(),
         "classify_blogs": classify.sql_classify(),

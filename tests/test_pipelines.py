@@ -1048,3 +1048,29 @@ def test_top_docs_per_group_matches_bruteforce(docs_ds):
         for rank, (nnd, d) in enumerate(sorted(lst)[:2], start=1):
             rows.append((g, rank, d, -nnd))
     assert got == sorted(rows)
+
+
+def test_pack_token_budget_matches_bruteforce(docs_ds):
+    import ray.data
+    from searchengine_ray.pipelines.analysis import pack_token_budget
+    cap, parts = 64, 4
+    got = {r["doc_id"]: (r["part"], r["bin_id"], r["n_tokens"])
+           for r in pack_token_budget(docs_ds, capacity=cap,
+                                      num_parts=parts).take_all()}
+    t = docs_table()
+    per_part: dict = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        per_part.setdefault(d % parts, []).append(
+            (d, len([x for x in txt.split() if x])))
+    want = {}
+    for p, rows in per_part.items():
+        run = 0
+        for d, nt in sorted(rows):
+            want[d] = (p, run // cap, nt)
+            run += nt
+    assert got == want
+    # every bin (except possibly each part's last) reaches capacity once
+    # its boundary doc lands: bins are contiguous per part
+    for p in per_part:
+        dist = sorted({b for pp, b, _ in got.values() if pp == p})
+        assert dist == list(range(dist[0], dist[-1] + 1))
