@@ -112,3 +112,25 @@ WHERE n_ws >= {min_ws_tokens}
   AND (n_stop * 1000000) // greatest(n_ws, 1) <= {max_stop_ratio_u}
   AND (n_dist * 1000000) // greatest(n_ws, 1) >= {min_distinct_ratio_u}
 """
+
+
+def curate_to_dir(ds: "ray.data.Dataset", out_dir: str, *,
+                  num_parts: int = NUM_CURATE_PARTITIONS,
+                  **curate_kwargs) -> dict[int, int]:
+    """Curate and persist as RESUMABLE partitioned parquet: curated rows
+    hash-partition by doc_id into ``num_parts`` files through the
+    generic ``state.partitioned_write`` sink — a restarted run prunes
+    finished partitions before the shuffle and rewrites only the rest.
+    Returns {partition: rows}."""
+    from searchengine_ray.state.partitioned_write import write_partitioned
+    curated = curate(ds, **curate_kwargs)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "wpart", pa.array((ids % num_parts).astype(np.int64)))
+
+    return write_partitioned(
+        curated.map_batches(add_part, batch_format="pyarrow"),
+        out_dir, "wpart")

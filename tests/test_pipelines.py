@@ -1074,3 +1074,56 @@ def test_pack_token_budget_matches_bruteforce(docs_ds):
     for p in per_part:
         dist = sorted({b for pp, b, _ in got.values() if pp == p})
         assert dist == list(range(dist[0], dist[-1] + 1))
+
+
+def test_partitioned_write_resume(ray_session, tmp_path):
+    """The generic resumable sink: finished partitions are pruned before
+    the shuffle on re-run (files untouched), missing/removed partitions
+    are rewritten, and read-back equals the full dataset."""
+    import os
+    import time
+    import ray.data
+    from searchengine_ray.state.partitioned_write import (read_partitioned,
+                                                          write_partitioned)
+    out = str(tmp_path / "pw")
+    n = 500
+    t = pa.table({
+        "wpart": pa.array([i % 7 for i in range(n)], type=pa.int64()),
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)]),
+    })
+    m1 = write_partitioned(ray.data.from_arrow(t), out, "wpart")
+    assert sorted(m1) == list(range(7)) and sum(m1.values()) == n
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in os.listdir(out) if f.endswith(".parquet")}
+    # simulate a crashed run: drop two partitions' files
+    for p in (2, 5):
+        os.remove(os.path.join(out, f"part-{p:05d}.parquet"))
+    time.sleep(0.02)
+    m2 = write_partitioned(ray.data.from_arrow(t), out, "wpart")
+    assert m2 == m1
+    for f, old in mtimes.items():
+        p = int(f.split("-")[1].split(".")[0])
+        now = os.path.getmtime(os.path.join(out, f))
+        if p in (2, 5):
+            assert now > old          # rewritten
+        else:
+            assert now == old         # pruned before the shuffle
+    back = read_partitioned(out).take_all()
+    assert sorted((r["doc_id"], r["text"]) for r in back) == \
+        [(i, f"doc {i}") for i in range(n)]
+
+
+def test_curate_to_dir_roundtrip(docs_ds, tmp_path):
+    from searchengine_ray.pipelines.curate import curate, curate_to_dir
+    from searchengine_ray.state.partitioned_write import read_partitioned
+    out = str(tmp_path / "curated")
+    manifest = curate_to_dir(docs_ds, out, num_parts=5)
+    want = sorted((r["doc_id"], r["text"])
+                  for r in curate(docs_ds).take_all())
+    got = sorted((r["doc_id"], r["text"])
+                 for r in read_partitioned(out).take_all())
+    assert got == want
+    assert sum(manifest.values()) == len(want)
+    # no-op resume: identical manifest
+    assert curate_to_dir(docs_ds, out, num_parts=5) == manifest

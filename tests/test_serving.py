@@ -785,3 +785,19 @@ def test_asof_join_salted_identical(events_ds):
                     for r in asof_join_prior_salted(
                         events_ds, shard_us=3_600_000_000).take_all())
     assert salted == plain and plain
+
+
+def test_http_concurrent_requests(http_server):
+    """The threaded HTTP server over a shared engine must answer
+    concurrent mixed requests correctly (read-only engine state; cache
+    structures are GIL-atomic) — responses equal the serial ones."""
+    import concurrent.futures as cf
+    srv, app, eng = http_server
+    paths = ["/search?q=py+org2&page=1", "/api/search?q=queue71&limit=3",
+             "/health", "/search?q=queue71&page=1"] * 6
+    serial = [_get(srv.port, p) for p in paths[:4]]
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda p: _get(srv.port, p), paths))
+    for i, (status, payload) in enumerate(results):
+        assert status == 200
+        assert (status, payload) == serial[i % 4]
