@@ -801,3 +801,45 @@ def test_http_concurrent_requests(http_server):
     for i, (status, payload) in enumerate(results):
         assert status == 200
         assert (status, payload) == serial[i % 4]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(0, 4),            # user
+              st.integers(0, 50),           # ts (dense → many collisions)
+              st.sampled_from(["view", "purchase", "click"])),
+    min_size=0, max_size=60))
+def test_asof_join_property(ray_session, rows):
+    """Random event logs with heavy ts collisions: plain AND salted
+    as-of join both equal the sequential brute force."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (asof_join_prior,
+                                                   asof_join_prior_salted)
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    want = {}
+    last: dict = {}
+    for uid, ts, eid, et in sorted(
+            (r[0], r[1], i, r[2]) for i, r in enumerate(rows)):
+        if et == "view":
+            last[uid] = (eid, ts)
+        elif et == "purchase" and uid in last:
+            want[eid] = (last[uid][0], ts - last[uid][1])
+    ds = ray.data.from_arrow(t)
+    got = {r["event_id"]: (r["prior_event_id"], r["gap_us"])
+           for r in asof_join_prior(ds).take_all()}
+    assert got == want
+    got_s = {r["event_id"]: (r["prior_event_id"], r["gap_us"])
+             for r in asof_join_prior_salted(ds, shard_us=16).take_all()}
+    assert got_s == want
