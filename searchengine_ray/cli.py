@@ -112,7 +112,8 @@ def cmd_serve(args) -> int:
     from searchengine_ray.query import QueryEngine
     from searchengine_ray.serve import SearchApp, SearchHTTPServer
     cfg = IndexConfig(num_partitions=args.partitions,
-                      num_length_partitions=max(2, args.partitions // 8))
+                      num_length_partitions=max(2, args.partitions // 8),
+                      stemmer=args.stemmer)
     eng = QueryEngine(args.index, cfg)
     app = SearchApp(eng, mode="hybrid" if args.hybrid else "bm25",
                     results_per_page=args.per_page)
@@ -188,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--per-page", type=int, default=15)
+    sv.add_argument("--stemmer", choices=["none", "porter"], default="none")
     sv.add_argument("--hybrid", action="store_true")
     sv.set_defaults(fn=cmd_serve)
 

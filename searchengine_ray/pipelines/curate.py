@@ -133,4 +133,4 @@ def curate_to_dir(ds: "ray.data.Dataset", out_dir: str, *,
 
     return write_partitioned(
         curated.map_batches(add_part, batch_format="pyarrow"),
-        out_dir, "wpart")
+        out_dir, "wpart", scheme=f"doc_id%{num_parts}")

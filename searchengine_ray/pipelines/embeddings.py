@@ -154,22 +154,36 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
     same corpus and embedder is a no-op, while a changed docstore or a
     different model triggers a clean rebuild (``force=True`` overrides).
     """
+    import hashlib
     import json
     out_dir = os.path.join(index_dir, "embeddings")
     marker = os.path.join(out_dir, "_EMBED_MANIFEST.json")
+    docstore_dir = os.path.join(index_dir, "docstore")
     docstore = ray.data.read_parquet(
-        os.path.join(index_dir, "docstore"),
-        columns=["doc_id", "title", "meta", "snippet"])
+        docstore_dir, columns=["doc_id", "title", "meta", "snippet"])
     n_docs = docstore.count()  # parquet metadata, no scan
     emb = embedder if embedder is not None else HashedBowModel()
-    fingerprint = f"{type(emb).__module__}.{type(emb).__qualname__}" \
-                  f":dim={emb.dim}"
+    # model identity = class + its picklable constructor-ish state (so a
+    # different model_name of the SAME adapter class rebuilds too)
+    params = {k: v for k, v in sorted(vars(emb).items())
+              if not k.startswith("_")
+              and isinstance(v, (str, int, float, bool, type(None)))}
+    fingerprint = (f"{type(emb).__module__}.{type(emb).__qualname__}"
+                   f":{json.dumps(params, sort_keys=True)}")
+    # corpus identity = digest over the docstore FILE SET (name, size,
+    # mtime) — a re-written corpus with the same doc count still rebuilds
+    h = hashlib.sha256()
+    for fn in sorted(os.listdir(docstore_dir)):
+        st = os.stat(os.path.join(docstore_dir, fn))
+        h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    corpus_digest = h.hexdigest()
     if not force and os.path.exists(marker):
         try:
             with open(marker) as f:
                 m = json.load(f)
             if (m.get("num_docs") == n_docs
-                    and m.get("embedder") == fingerprint):
+                    and m.get("embedder") == fingerprint
+                    and m.get("corpus_digest") == corpus_digest):
                 return out_dir  # complete and current — skip
         except (OSError, ValueError):
             pass  # unreadable marker → rebuild
@@ -196,7 +210,8 @@ def build_doc_embeddings(index_dir: str, *, concurrency: int = 2,
     # marker LAST (atomic tmp→rename): its presence proves completeness
     tmp = f"{marker}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({"num_docs": n_docs, "embedder": fingerprint}, f)
+        json.dump({"num_docs": n_docs, "embedder": fingerprint,
+                   "corpus_digest": corpus_digest}, f)
     os.replace(tmp, marker)
     return out_dir
 

@@ -75,6 +75,23 @@ def decode_image(blob: bytes) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+def _decode_error_types() -> tuple:
+    """Exception classes a CORRUPT (not just unsupported) payload can
+    raise out of the decoders: header parse failures (ValueError,
+    struct.error, IndexError), truncated rasters (ValueError from
+    frombuffer/reshape), wave container errors (wave.Error, EOFError),
+    and file-ish IO errors. The skip-and-report stages catch exactly
+    these — a genuine code bug (TypeError, AttributeError, ...) still
+    propagates."""
+    import struct
+    import wave
+    return (NotImplementedError, ValueError, IndexError, EOFError,
+            OSError, struct.error, wave.Error)
+
+
+_DECODE_ERRORS = _decode_error_types()
+
+
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     """Audio payload → ((frames, channels) int16 PCM, sample_rate).
 
@@ -177,8 +194,8 @@ class MediaStats:
                 return sr, pcm.shape[0], int(round(rms * 10_000)), True, ""
             raise NotImplementedError(f"no decoder for modality "
                                       f"{modality!r}")
-        except NotImplementedError as e:
-            return 0, 0, 0, False, str(e)
+        except _DECODE_ERRORS as e:
+            return 0, 0, 0, False, f"{type(e).__name__}: {e}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self._calls += 1
@@ -241,10 +258,10 @@ class ResizeImages:
                 out_rgb.append(arr.tobytes())
                 ok.append(True)
                 err.append("")
-            except NotImplementedError as e:
+            except _DECODE_ERRORS as e:
                 out_rgb.append(b"")
                 ok.append(False)
-                err.append(str(e))
+                err.append(f"{type(e).__name__}: {e}")
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
             "rgb": pa.array(out_rgb, type=pa.binary()),
@@ -310,15 +327,22 @@ class SampleFrames:
         ids, fidx, ws, hs, sums = [], [], [], [], []
         for doc_id, blob in zip(batch["doc_id"].to_pylist(),
                                 batch["blob"].to_pylist()):
-            for i, frame in enumerate(iter_video_frames(blob or b"")):
-                if i % self.stride:
-                    continue
-                arr = decode_image(frame)
-                ids.append(doc_id)
-                fidx.append(i)
-                ws.append(arr.shape[1])
-                hs.append(arr.shape[0])
-                sums.append(int(arr.astype(np.int64).sum()))
+            mark = len(ids)
+            try:
+                for i, frame in enumerate(iter_video_frames(blob or b"")):
+                    if i % self.stride:
+                        continue
+                    arr = decode_image(frame)
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    ws.append(arr.shape[1])
+                    hs.append(arr.shape[0])
+                    sums.append(int(arr.astype(np.int64).sum()))
+            except _DECODE_ERRORS:
+                # undecodable container/frame: drop the DOC's partial
+                # frames — a 100 TB run must not die on one bad blob
+                del ids[mark:], fidx[mark:], ws[mark:], hs[mark:], \
+                    sums[mark:]
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "frame_idx": pa.array(fidx, type=pa.int64()),

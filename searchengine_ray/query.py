@@ -194,9 +194,14 @@ class QueryEngine:
         # boost-phase token-mask cache: (field, pattern) → packbits mask
         # over the FULL resident field array (see _apply_boosts)
         import collections
+        import threading
         self._field_mask_cache: "collections.OrderedDict" = \
             collections.OrderedDict()
         self._mask_scan_rows: dict[tuple, int] = {}
+        # guards cache get/insert/evict sequences: the threaded HTTP
+        # server shares one engine, and a check-then-use across an
+        # eviction would otherwise KeyError
+        self._mask_lock = threading.Lock()
 
     def _select_range_files(self, dir_path: str, part_base: int,
                             num_parts: int | None) -> list[str]:
@@ -626,14 +631,35 @@ class QueryEngine:
                 needed.add((2, t))
         return needed
 
-    def _build_field_mask(self, key: tuple) -> None:
+    @staticmethod
+    def _gather_bits(packed: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """bool[pos] from a packbits bitmap WITHOUT unpacking the full
+        array — O(candidates) work and allocation, as advertised."""
+        return ((packed[pos >> 3] >> (7 - (pos & 7))) & 1).astype(bool)
+
+    def _peek_mask(self, key: tuple):
+        with self._mask_lock:
+            packed = self._field_mask_cache.get(key)
+            if packed is not None:
+                self._field_mask_cache.move_to_end(key)
+            return packed
+
+    def _mask_for(self, key: tuple) -> np.ndarray:
+        """Cached full-array mask for (field, pattern) — builds (outside
+        the lock; scans are idempotent) and inserts on miss."""
+        packed = self._peek_mask(key)
+        if packed is not None:
+            return packed
         import pyarrow.compute as pc
         fields = (self._title_lower, self._meta_lower, self._snippet_lower)
         mask = pc.match_substring(fields[key[0]], key[1]).to_numpy(
             zero_copy_only=False)
-        self._field_mask_cache[key] = np.packbits(mask)
-        if len(self._field_mask_cache) > self._MASK_CACHE_CAP:
-            self._field_mask_cache.popitem(last=False)
+        packed = np.packbits(mask)
+        with self._mask_lock:
+            self._field_mask_cache[key] = packed
+            if len(self._field_mask_cache) > self._MASK_CACHE_CAP:
+                self._field_mask_cache.popitem(last=False)
+        return packed
 
     def _apply_boosts(self, ids: np.ndarray, scores: np.ndarray,
                       original_tokens: list[str], original_query: str) -> np.ndarray:
@@ -641,23 +667,32 @@ class QueryEngine:
             n = len(self._doc_ids)
             needed = self._needed_boost_patterns(original_tokens,
                                                  original_query)
+            all_cached = True
             for key in needed:
-                if key not in self._field_mask_cache:
-                    c = self._mask_scan_rows.get(key, 0) + len(ids)
-                    if c >= n:
-                        self._build_field_mask(key)
-                        self._mask_scan_rows.pop(key, None)
-                    elif len(self._mask_scan_rows) < self._postings_cache_cap:
-                        self._mask_scan_rows[key] = c
-            if all(key in self._field_mask_cache for key in needed):
+                with self._mask_lock:
+                    cached = key in self._field_mask_cache
+                    if not cached:
+                        c = self._mask_scan_rows.get(key, 0) + len(ids)
+                        build = c >= n
+                        if build:
+                            self._mask_scan_rows.pop(key, None)
+                        elif (len(self._mask_scan_rows)
+                                < self._postings_cache_cap):
+                            self._mask_scan_rows[key] = c
+                if not cached:
+                    if build:
+                        self._mask_for(key)
+                    else:
+                        all_cached = False
+            if all_cached:
                 # fully cached: skip the field gather entirely
                 pos = np.searchsorted(self._doc_ids, ids)
 
                 def contains(fi: int, pat: str) -> np.ndarray:
-                    key = (fi, pat)
-                    packed = self._field_mask_cache[key]
-                    self._field_mask_cache.move_to_end(key)
-                    return np.unpackbits(packed, count=n).astype(bool)[pos]
+                    # _mask_for rebuilds if a concurrent insert evicted
+                    # this key between the check above and here
+                    return self._gather_bits(self._mask_for((fi, pat)),
+                                             pos)
 
                 return self._boost_math_from(scores, contains,
                                              original_tokens,
@@ -697,13 +732,12 @@ class QueryEngine:
         gathered candidate arrays otherwise."""
         import pyarrow.compute as pc
         arrs = (title, desc, snip)
-        n = len(self._doc_ids) if pos is not None else 0
 
         def contains(fi: int, pat: str) -> np.ndarray:
             if pos is not None:
-                packed = self._field_mask_cache.get((fi, pat))
+                packed = self._peek_mask((fi, pat))
                 if packed is not None:
-                    return np.unpackbits(packed, count=n).astype(bool)[pos]
+                    return self._gather_bits(packed, pos)
             return pc.match_substring(arrs[fi], pat).to_numpy(
                 zero_copy_only=False)
 
@@ -982,8 +1016,10 @@ class FederatedQueryEngine(QueryEngine):
         self._postings_cache = {}
         self._postings_cache_cap = 100_000
         import collections
+        import threading
         self._field_mask_cache = collections.OrderedDict()
         self._mask_scan_rows = {}
+        self._mask_lock = threading.Lock()
 
     def term_df(self, term: str) -> int | None:
         dfs = [d for d in (e.term_df(term) for e in self.engines)
@@ -1057,7 +1093,11 @@ class FederationManager:
         self.base_dir = base_dir
         self.delta_dirs: list[str] = []
         self.generation = 0
-        self._engine: QueryEngine = QueryEngine(base_dir, cfg, qcfg)
+        # child engines are immutable readers — reused across add_delta
+        # calls so each add loads ONLY the new delta's resident state
+        self._children: list[QueryEngine] = [QueryEngine(base_dir, cfg,
+                                                         qcfg)]
+        self._engine: QueryEngine = self._children[0]
 
     @property
     def engine(self) -> QueryEngine:
@@ -1080,9 +1120,8 @@ class FederationManager:
         the delta list exceeds ``max_deltas``. Returns True when this add
         triggered a compaction."""
         self.delta_dirs.append(delta_dir)
-        self._engine = FederatedQueryEngine(
-            [QueryEngine(d, self.cfg, self.qcfg)
-             for d in [self.base_dir, *self.delta_dirs]])
+        self._children.append(QueryEngine(delta_dir, self.cfg, self.qcfg))
+        self._engine = FederatedQueryEngine(list(self._children))
         if len(self.delta_dirs) > self.max_deltas:
             self._compact()
             return True
@@ -1097,7 +1136,10 @@ class FederationManager:
         merge_indexes([self.base_dir, *self.delta_dirs], out, self.cfg)
         self.base_dir = out
         self.delta_dirs = []
-        self._engine = QueryEngine(out, self.cfg, self.qcfg)
+        for c in self._children:
+            c.close()
+        self._children = [QueryEngine(out, self.cfg, self.qcfg)]
+        self._engine = self._children[0]
 
 
 def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,

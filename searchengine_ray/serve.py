@@ -35,7 +35,6 @@ the repo has no template surface; the handler DATA is reference-exact):
 from __future__ import annotations
 
 import json
-import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -90,21 +89,23 @@ class SearchApp:
         return out
 
     def search(self, query: str, page: int = 1) -> dict:
-        """``/search`` payload (app.py:111-194)."""
-        per_page = self.results_per_page
-        page = int(page)
+        """``/search`` payload (app.py:111-194). The over-fetch ×3 /
+        domain-filter / slice core is THE shared ``query._paginate``
+        implementation (one copy — search_page and HTTP cannot diverge);
+        this layer adds the source tag and the pagination envelope."""
         if not query:
             return {"query": "", "results": [], "total_results": 0,
                     "pagination": None, "search_source": self.search_source}
-        fetched = self._filter_tag(
-            self._search_fn(query, top_k=per_page * 3))
-        total = len(fetched)
-        start = (page - 1) * per_page
-        total_pages = math.ceil(total / per_page) if total > 0 else 0
+        from searchengine_ray.query import _paginate
+        base = _paginate(self._search_fn, query, page,
+                         self.results_per_page, self.excluded_domains)
+        page = base["page"]          # clamped to ≥ 1 by _paginate
+        total_pages = base["total_pages"]
         return {
             "query": query,
-            "results": fetched[start:start + per_page],
-            "total_results": total,
+            "results": [dict(r, source=self.search_source)
+                        for r in base["results"]],
+            "total_results": base["total_results"],
             "pagination": {
                 "current_page": page,
                 "total_pages": total_pages,
@@ -171,15 +172,22 @@ class SearchHTTPServer:
                     u = urlparse(self.path)
                     q = parse_qs(u.query)
                     first = {k: v[0] for k, v in q.items()}
+                    def _int(val, default):
+                        # Flask's `type=int` silently falls back on a
+                        # malformed value (app.py:118,204) — match that
+                        try:
+                            return int(val)
+                        except (TypeError, ValueError):
+                            return default
+
                     if u.path == "/search":
                         self._json(200, outer.app.search(
                             first.get("q", ""),
-                            int(first.get("page", 1))))
+                            _int(first.get("page"), 1)))
                     elif u.path == "/api/search":
-                        lim = first.get("limit")
+                        lim = _int(first.get("limit"), None)
                         self._json(200, outer.app.api_search(
-                            first.get("q", ""),
-                            None if lim is None else int(lim)))
+                            first.get("q", ""), lim))
                     elif u.path in ("/health", "/api/health"):
                         code, payload = outer.app.health()
                         self._json(code, payload)

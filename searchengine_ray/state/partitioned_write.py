@@ -27,34 +27,46 @@ import ray.data
 MANIFEST_NAME = "_PARTS.json"
 
 
-def _load_manifest(out_dir: str) -> dict[int, int]:
+def _load_manifest(out_dir: str) -> tuple[str | None, dict[int, int]]:
     path = os.path.join(out_dir, MANIFEST_NAME)
     if not os.path.exists(path):
-        return {}
+        return None, {}
     try:
         with open(path) as f:
             raw = json.load(f)
     except (OSError, ValueError):
-        return {}
+        return None, {}
     done = {}
-    for k, rows in raw.items():
+    for k, rows in raw.get("parts", {}).items():
         # trust an entry only if its file is still on disk
         if os.path.exists(os.path.join(out_dir, f"part-{int(k):05d}.parquet")):
             done[int(k)] = int(rows)
-    return done
+    return raw.get("scheme"), done
 
 
 def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
-                      part_col: str) -> dict[int, int]:
+                      part_col: str,
+                      scheme: str | None = None) -> dict[int, int]:
     """Write ``ds`` as one parquet file per distinct ``part_col`` value.
 
     Returns {partition: rows}. Finished partitions (recorded in
     ``_PARTS.json`` with their file present) are PRUNED from the input
     before the shuffle — the resume path costs one filtered scan, not a
     rewrite. Output rows drop the partition column (it is in the file
-    name)."""
+    name).
+
+    ``scheme`` names how the caller computed ``part_col`` (e.g.
+    ``"doc_id%64"``). A resume against a directory written with a
+    DIFFERENT scheme is refused loudly — pruning rows against stale
+    partition ids would silently produce a wrong dataset."""
     os.makedirs(out_dir, exist_ok=True)
-    done = _load_manifest(out_dir)
+    prev_scheme, done = _load_manifest(out_dir)
+    if done and prev_scheme != scheme:
+        raise ValueError(
+            f"{out_dir} was written with partition scheme "
+            f"{prev_scheme!r}; this run uses {scheme!r} — resume would "
+            f"mix partitionings. Use a fresh directory or the original "
+            f"scheme.")
     if done:
         done_arr = pa.array(sorted(done), type=pa.int64())
         ds = ds.map_batches(
@@ -81,7 +93,9 @@ def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
     path = os.path.join(out_dir, MANIFEST_NAME)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump({str(k): v for k, v in sorted(done.items())}, f)
+        json.dump({"scheme": scheme,
+                   "parts": {str(k): v for k, v in sorted(done.items())}},
+                  f)
     os.replace(tmp, path)
     return done
 
@@ -89,7 +103,7 @@ def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
 def read_partitioned(out_dir: str) -> "ray.data.Dataset":
     """Read back a write_partitioned directory (manifest-listed files
     only — orphan tmp files from a crashed run are ignored)."""
-    done = _load_manifest(out_dir)
+    _, done = _load_manifest(out_dir)
     files = [os.path.join(out_dir, f"part-{p:05d}.parquet")
              for p in sorted(done)]
     return ray.data.read_parquet(files)

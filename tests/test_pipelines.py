@@ -1127,3 +1127,53 @@ def test_curate_to_dir_roundtrip(docs_ds, tmp_path):
     assert sum(manifest.values()) == len(want)
     # no-op resume: identical manifest
     assert curate_to_dir(docs_ds, out, num_parts=5) == manifest
+
+
+def test_partitioned_write_scheme_mismatch_refused(ray_session, tmp_path):
+    import ray.data
+    from searchengine_ray.state.partitioned_write import write_partitioned
+    out = str(tmp_path / "pw2")
+    t = pa.table({"wpart": pa.array([0, 1], type=pa.int64()),
+                  "doc_id": pa.array([1, 2], type=pa.int64())})
+    write_partitioned(ray.data.from_arrow(t), out, "wpart", scheme="mod7")
+    with pytest.raises(ValueError, match="scheme"):
+        write_partitioned(ray.data.from_arrow(t), out, "wpart",
+                          scheme="mod5")
+
+
+def test_media_stages_survive_corrupt_payloads(ray_session):
+    """Corrupt (not just unsupported) payloads must skip-and-report, not
+    kill the stage: truncated PPM, bogus RIFF, truncated video."""
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (media_stats,
+                                                       pack_video,
+                                                       resize_images,
+                                                       sample_frames)
+    good_img, _ = _ppm_bytes(3, 2, seed=9)
+    good_wav, _ = _wav_bytes(16, seed=9)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "blob": pa.array([b"P6", b"RIFF\x00bogus", good_img, good_wav],
+                         type=pa.binary()),
+        "modality": pa.array(["image", "audio", "image", "audio"],
+                             type=pa.string()),
+    })
+    rows = {r["doc_id"]: r
+            for r in media_stats(ray.data.from_arrow(t)).take_all()}
+    assert not rows[0]["decode_ok"] and rows[0]["decode_err"]
+    assert not rows[1]["decode_ok"]
+    assert rows[2]["decode_ok"] and rows[3]["decode_ok"]
+    rz = {r["doc_id"]: r for r in resize_images(
+        ray.data.from_arrow(t.select(["doc_id", "blob"])), 2, 2).take_all()}
+    assert not rz[0]["decode_ok"] and rz[2]["decode_ok"]
+    # video: one good container, one truncated, one garbage — only the
+    # good doc emits frames
+    frames = [_ppm_bytes(2, 2, seed=i)[0] for i in range(4)]
+    vid = pack_video(frames)
+    vt = pa.table({
+        "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+        "blob": pa.array([vid, vid[:20], b"nope"], type=pa.binary()),
+    })
+    out = sample_frames(ray.data.from_arrow(vt), stride=2).take_all()
+    assert {r["doc_id"] for r in out} == {10}
+    assert sorted(r["frame_idx"] for r in out) == [0, 2]

@@ -843,3 +843,48 @@ def test_asof_join_property(ray_session, rows):
     got_s = {r["event_id"]: (r["prior_event_id"], r["gap_us"])
              for r in asof_join_prior_salted(ds, shard_us=16).take_all()}
     assert got_s == want
+
+
+def test_http_page_clamp_and_malformed_params(http_server):
+    """page ≤ 0 clamps to 1; malformed page/limit fall back like Flask's
+    type=int (app.py:118,204) instead of 500."""
+    srv, app, eng = http_server
+    _, p1 = _get(srv.port, "/search?q=py+org2&page=1")
+    for bad in ("-1", "0", "abc"):
+        status, got = _get(srv.port, f"/search?q=py+org2&page={bad}")
+        assert status == 200
+        assert got == p1, bad
+    status, got = _get(srv.port, "/api/search?q=queue71&limit=zzz")
+    assert status == 200 and got["total"] == len(got["results"])
+
+
+def test_embeddings_rebuild_on_corpus_or_model_change(built, tmp_path):
+    """Resume lineage must catch a re-written corpus with the SAME doc
+    count and a same-class model with different params."""
+    import os
+    import time
+    from searchengine_ray.build import build_index
+    from searchengine_ray.pipelines.embeddings import (HashedBowModel,
+                                                       build_doc_embeddings)
+    from searchengine_ray.sources.corpus import read_source
+    index_dir = str(tmp_path / "emb_lineage_index")
+    build_index(read_source(built.corpus_dir), index_dir, built.cfg,
+                salt_hot_terms=False)
+    out = build_doc_embeddings(index_dir)
+    m0 = os.path.getmtime(os.path.join(out, "_EMBED_MANIFEST.json"))
+    # same-class model, different dim → rebuild
+    time.sleep(0.02)
+    build_doc_embeddings(index_dir, embedder=HashedBowModel(dim=32))
+    m1 = os.path.getmtime(os.path.join(out, "_EMBED_MANIFEST.json"))
+    assert m1 > m0
+    # touch a docstore file (same count, new mtime) → rebuild
+    ds_files = os.listdir(os.path.join(index_dir, "docstore"))
+    os.utime(os.path.join(index_dir, "docstore", ds_files[0]))
+    time.sleep(0.02)
+    build_doc_embeddings(index_dir, embedder=HashedBowModel(dim=32))
+    m2 = os.path.getmtime(os.path.join(out, "_EMBED_MANIFEST.json"))
+    assert m2 > m1
+    # unchanged → no-op
+    build_doc_embeddings(index_dir, embedder=HashedBowModel(dim=32))
+    assert os.path.getmtime(
+        os.path.join(out, "_EMBED_MANIFEST.json")) == m2
