@@ -1007,6 +1007,35 @@ FROM ranked WHERE rn <= {k}
     return "".join(parts)
 
 
+def q_doc_embedding_join(sf_dir: str):
+    """Generic distributed hash equi-join (pipelines/join.py): documents
+    ⋈ embeddings on doc_id = vec_id; payload = lang + the first
+    embedding coordinate (round 6 — float32→float64 is exact, so both
+    engines round the same double)."""
+    from searchengine_ray.pipelines.join import equi_join
+    from searchengine_ray.pipelines.similarity import _emb_matrix
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, "embedding")
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "e0_r": pa.array(np.round(m[:, 0], 6)
+                             if m.size else np.empty(0)),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    embs = _embs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return equi_join(docs, embs, "doc_id", "vec_id", ["lang"], ["e0_r"])
+
+
+def sql_doc_embedding_join() -> str:
+    return (
+        "SELECT d.doc_id AS key, d.lang, "
+        "round(CAST(list_extract(e.embedding, 1) AS DOUBLE), 6) AS e0_r "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    )
+
+
 def sql_media_decode() -> str:
     """Closed-form twin of multimodal.media_decode_stats: the synthesized
     payload CONTENT is a pure function of doc_id (multimodal.py
@@ -1087,6 +1116,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
+        "doc_embedding_join": q_doc_embedding_join,
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
             _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
@@ -1157,6 +1187,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
+        "doc_embedding_join": sql_doc_embedding_join(),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
         "top_docs_per_source": analysis.sql_top_docs_per_group(),

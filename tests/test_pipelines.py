@@ -1177,3 +1177,30 @@ def test_media_stages_survive_corrupt_payloads(ray_session):
     out = sample_frames(ray.data.from_arrow(vt), stride=2).take_all()
     assert {r["doc_id"] for r in out} == {10}
     assert sorted(r["frame_idx"] for r in out) == [0, 2]
+
+
+def test_equi_join_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.join import equi_join
+    rng = np.random.default_rng(13)
+    lk = rng.integers(0, 40, size=200)
+    rk = rng.integers(0, 40, size=120)
+    l = pa.table({"k": pa.array(lk, type=pa.int64()),
+                  "lv": pa.array([f"L{i}" for i in range(200)]),
+                  "ln": pa.array(rng.integers(0, 9, size=200),
+                                 type=pa.int64())})
+    r = pa.table({"kk": pa.array(rk, type=pa.int64()),
+                  "rv": pa.array(rng.standard_normal(120))})
+    got = sorted((row["key"], row["lv"], row["ln"], row["rv"])
+                 for row in equi_join(
+                     ray.data.from_arrow(l), ray.data.from_arrow(r),
+                     "k", "kk", ["lv", "ln"], ["rv"]).take_all())
+    want = sorted(
+        (int(k), lv, int(ln), float(rv))
+        for k, lv, ln in zip(lk, l["lv"].to_pylist(), l["ln"].to_pylist())
+        for kk, rv in zip(rk, r["rv"].to_pylist()) if k == kk)
+    assert got == want and want
+    # column-collision guard
+    with pytest.raises(AssertionError, match="collision"):
+        equi_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                  "k", "kk", ["lv"], ["lv"])
