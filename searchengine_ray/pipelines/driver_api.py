@@ -34,8 +34,8 @@ from searchengine_ray.functions.tokenizer import (
     sql_filtered_tokens_expr,
     sql_tokens_expr,
 )
-from searchengine_ray.pipelines import (analysis, classify, curate, dedup,
-                                        events, graph, multimodal,
+from searchengine_ray.pipelines import (analysis, classify, curate, decontam,
+                                        dedup, events, graph, multimodal,
                                         similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
@@ -1036,6 +1036,110 @@ def sql_doc_embedding_join() -> str:
     )
 
 
+def _join_sides(sf_dir: str):
+    """Sides for the left/semi/anti entries: the right side keeps only
+    EVEN vec_ids, so every mode is exercised non-trivially at every SF
+    (left has real unmatched rows, anti/semi are both non-empty)."""
+    from searchengine_ray.pipelines.similarity import _emb_matrix
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, "embedding")
+        vid = pc.cast(batch["vec_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "vec_id": pa.array(vid),
+            "e0_r": pa.array(np.round(m[:, 0], 6)
+                             if m.size else np.empty(0)),
+        })
+        return t.filter(pa.array(vid % 2 == 0))
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    embs = _embs(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return docs, embs
+
+
+def q_doc_embedding_left_join(sf_dir: str):
+    """LEFT variant of the generic hash join; the driver entry coalesces
+    the unmatched-side null to −1.0 on BOTH engines (the hash compare's
+    null convention is out of our hands; tests assert the operator's own
+    typed-null semantics directly)."""
+    from searchengine_ray.pipelines.join import equi_join
+    docs, embs = _join_sides(sf_dir)
+    joined = equi_join(docs, embs, "doc_id", "vec_id", ["lang"], ["e0_r"],
+                       how="left")
+
+    def fix(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("e0_r"), "e0_r",
+                            pc.fill_null(b["e0_r"], -1.0))
+
+    return joined.map_batches(fix, batch_format="pyarrow")
+
+
+def sql_doc_embedding_left_join() -> str:
+    return (
+        "SELECT d.doc_id AS key, d.lang, "
+        "coalesce(round(CAST(list_extract(e.embedding, 1) AS DOUBLE), 6), "
+        "-1.0) AS e0_r "
+        "FROM documents d LEFT JOIN "
+        "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) e "
+        "ON d.doc_id = e.vec_id"
+    )
+
+
+def q_doc_embedding_anti_join(sf_dir: str):
+    """ANTI variant: documents with NO embedding row (the missing-
+    dimension audit a curation pipeline runs before hybrid serving)."""
+    from searchengine_ray.pipelines.join import equi_join
+    docs, embs = _join_sides(sf_dir)
+    return equi_join(docs, embs, "doc_id", "vec_id", ["lang"], ["e0_r"],
+                     how="anti")
+
+
+def sql_doc_embedding_anti_join() -> str:
+    return (
+        "SELECT d.doc_id AS key, d.lang FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM embeddings e "
+        "WHERE e.vec_id = d.doc_id AND e.vec_id % 2 = 0)"
+    )
+
+
+def q_doc_embedding_semi_join(sf_dir: str):
+    """SEMI variant: documents having ≥1 embedding row, emitted once."""
+    from searchengine_ray.pipelines.join import equi_join
+    docs, embs = _join_sides(sf_dir)
+    return equi_join(docs, embs, "doc_id", "vec_id", ["lang"], ["e0_r"],
+                     how="semi")
+
+
+def sql_doc_embedding_semi_join() -> str:
+    return (
+        "SELECT d.doc_id AS key, d.lang FROM documents d "
+        "WHERE EXISTS (SELECT 1 FROM embeddings e "
+        "WHERE e.vec_id = d.doc_id AND e.vec_id % 2 = 0)"
+    )
+
+
+DECONTAM_BENCH_MOD = 37  # bench side = doc_id % 37 == 0 (deterministic)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination over a deterministic train/bench split
+    of the documents table (bench = doc_id % 37 == 0)."""
+    docs = _docs(sf_dir)
+
+    def split(keep_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            m = (ids % DECONTAM_BENCH_MOD) == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return fn
+
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    return decontam.decontaminate(train, bench)
+
+
 def sql_media_decode() -> str:
     """Closed-form twin of multimodal.media_decode_stats: the synthesized
     payload CONTENT is a pure function of doc_id (multimodal.py
@@ -1117,6 +1221,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
         "doc_embedding_join": q_doc_embedding_join,
+        "doc_embedding_left_join": q_doc_embedding_left_join,
+        "doc_embedding_anti_join": q_doc_embedding_anti_join,
+        "doc_embedding_semi_join": q_doc_embedding_semi_join,
+        "decontaminate": q_decontaminate,
+        "top_ngrams": lambda sf: analysis.top_ngrams(_docs(sf, ["text"])),
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
             _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
@@ -1149,6 +1258,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_id", "props"])),
         "events_value_quantiles": lambda sf: events.value_quantiles(
             _events(sf, ["event_type", "user_id", "value"])),
+        "events_rolling_window": lambda sf: events.rolling_user_window(
+            _events(sf, ["event_id", "user_id", "ts", "value"])),
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
         "docstore_sha256": q_docstore_sha,
@@ -1188,6 +1299,12 @@ def build_oracles() -> dict[str, str]:
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
         "doc_embedding_join": sql_doc_embedding_join(),
+        "doc_embedding_left_join": sql_doc_embedding_left_join(),
+        "doc_embedding_anti_join": sql_doc_embedding_anti_join(),
+        "doc_embedding_semi_join": sql_doc_embedding_semi_join(),
+        "decontaminate": decontam.sql_decontaminate(
+            bench_mod=DECONTAM_BENCH_MOD),
+        "top_ngrams": analysis.sql_top_ngrams(),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
         "top_docs_per_source": analysis.sql_top_docs_per_group(),
@@ -1205,6 +1322,7 @@ def build_oracles() -> dict[str, str]:
         "events_streaming_window_salted": events.sql_streaming_windowed_agg(),
         "events_props_extract": events.sql_props_extract(),
         "events_value_quantiles": events.sql_value_quantiles(),
+        "events_rolling_window": events.sql_rolling_user_window(),
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),
         "docstore_sha256": sql_docstore_sha(),

@@ -906,3 +906,81 @@ def asof_join_prior_salted(ds: "ray.data.Dataset",
     return (stage1.map_batches(add_upart, batch_format="pyarrow")
                   .groupby("upart").map_groups(merge_part,
                                                batch_format="pyarrow"))
+
+
+def rolling_user_window(ds: "ray.data.Dataset",
+                        k: int = 5) -> "ray.data.Dataset":
+    """Per-user rolling ROWS-window aggregate — for each event, the
+    count and Σ value over the ``k`` most recent events of that user
+    (current + k−1 preceding, ordered by (ts, event_id); SQL
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``). The feature-
+    engineering staple ("user's spend over their last 5 actions").
+
+    Columns: event_id, user_id, roll_n, roll_sum_c (Σ round(value·100)
+    over the window — integer end-to-end, so window sums are exact and
+    order-insensitive across engines).
+
+    ONE coarse hash(user) shuffle (the house pattern: a user's rows
+    co-locate; partitions hold many users). Inside a partition ALL
+    users resolve in one lexsort + prefix-sum pass: rolling sum =
+    cumsum[i] − cumsum[lo−1] with lo clamped to the user's run start —
+    no per-user or per-row Python. Skew: a hot user's rows land in one
+    partition; bound upstream by salting (ts-shard) as in
+    ``asof_join_prior_salted`` if a single user exceeds a worker.
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array(_user_part(uid, NUM_EVENT_PARTITIONS)),
+            "user_id": pa.array(uid),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "vc": pa.array(np.round(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0)
+                .astype(np.int64)),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "user_id": z,
+                             "roll_n": z, "roll_sum_c": z})
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        vc = group["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, vc = uid[order], eid[order], vc[order]
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        lo = np.maximum(idx - (k - 1), user_start)
+        cs = np.cumsum(vc)
+        prev = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "roll_n": pa.array(idx - lo + 1),
+            "roll_sum_c": pa.array(cs - prev),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("part").map_groups(per_part,
+                                          batch_format="pyarrow"))
+
+
+def sql_rolling_user_window(k: int = 5) -> str:
+    """Exact twin of rolling_user_window: integer window sums over
+    round(value·100) — order-insensitive, no float in the window math."""
+    return f"""
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       CAST(sum(round(value * 100)::BIGINT) OVER w AS BIGINT) AS roll_sum_c
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+"""

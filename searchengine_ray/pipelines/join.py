@@ -36,14 +36,24 @@ def _key_part(key: np.ndarray, num_parts: int) -> np.ndarray:
 def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
-              num_parts: int = NUM_JOIN_PARTITIONS) -> "ray.data.Dataset":
-    """INNER equi-join on int64 keys.
+              num_parts: int = NUM_JOIN_PARTITIONS,
+              how: str = "inner") -> "ray.data.Dataset":
+    """Distributed equi-join on int64 keys; ``how`` ∈ inner / left /
+    semi / anti.
 
-    Output columns: ``key`` (int64) + ``left_cols`` + ``right_cols``
-    (caller guarantees the names don't collide). Many-to-many keys
-    expand to the full cross product of their rows, ordered
-    deterministically (left row order × right row order within key).
+    inner — key + left_cols + right_cols; many-to-many keys expand to
+        the full cross product of their rows, ordered deterministically
+        (left row order × right row order within key).
+    left  — inner plus unmatched left rows with typed-null right cols.
+    semi  — left rows (key + left_cols) having ≥1 right match, each
+        emitted ONCE (no expansion — the "has an embedding?" filter).
+    anti  — left rows with NO right match (the "missing dimension
+        row" audit). semi/anti never materialize the cross product.
+
+    All four modes share the single tag→union→hash-shuffle→vectorized
+    sort-merge plan; the mode only changes the per-partition emit.
     """
+    assert how in ("inner", "left", "semi", "anti"), how
     overlap = set(left_cols) & set(right_cols)
     assert not overlap, f"column name collision: {sorted(overlap)}"
 
@@ -82,6 +92,19 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"r_{c}"] = batch[c]
         return pa.table(out)
 
+    with_right = how in ("inner", "left")
+
+    def left_only_rows(group: pa.Table, lidx: np.ndarray,
+                       null_right: bool) -> pa.Table:
+        lt = pa.array(lidx)
+        cols = {"key": pc.take(group["key"], lt)}
+        for c in left_cols:
+            cols[c] = pc.take(group[f"l_{c}"], lt)
+        if null_right:
+            for c in right_cols:
+                cols[c] = pa.nulls(len(lidx), type=r_type(c))
+        return pa.table(cols)
+
     def merge(group: pa.Table) -> pa.Table:
         side = group["side"].to_numpy(zero_copy_only=False)
         key = group["key"].to_numpy(zero_copy_only=False)
@@ -90,9 +113,15 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         empty = pa.table(
             {"key": pa.array([], type=pa.int64()),
              **{c: pa.array([], type=l_type(c)) for c in left_cols},
-             **{c: pa.array([], type=r_type(c)) for c in right_cols}})
-        if li.size == 0 or ri.size == 0:
+             **({c: pa.array([], type=r_type(c)) for c in right_cols}
+                if with_right else {})})
+        if li.size == 0:
             return empty
+        if ri.size == 0:
+            if how == "inner" or how == "semi":
+                return empty
+            # left: every left row with null right cols; anti: every row
+            return left_only_rows(group, li, null_right=(how == "left"))
         # deterministic: stable sort both sides by key, keep row order
         lo = li[np.argsort(key[li], kind="stable")]
         ro = ri[np.argsort(key[ri], kind="stable")]
@@ -101,8 +130,14 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         ends = np.searchsorted(rk, lk, side="right")
         counts = ends - starts
         hit = counts > 0
+        if how == "semi":
+            return left_only_rows(group, lo[hit], null_right=False)
+        if how == "anti":
+            return left_only_rows(group, lo[~hit], null_right=False)
+        miss_lo = lo[~hit]
         if not hit.any():
-            return empty
+            return (left_only_rows(group, miss_lo, null_right=True)
+                    if how == "left" else empty)
         lo, starts, counts = lo[hit], starts[hit], counts[hit]
         # many-to-many expansion: left row i repeats counts[i] times,
         # right indices are each run's consecutive positions
@@ -117,7 +152,11 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             cols[c] = pc.take(group[f"l_{c}"], lt)
         for c in right_cols:
             cols[c] = pc.take(group[f"r_{c}"], rt)
-        return pa.table(cols)
+        matched = pa.table(cols)
+        if how == "left" and miss_lo.size:
+            return pa.concat_tables(
+                [matched, left_only_rows(group, miss_lo, null_right=True)])
+        return matched
 
     unioned = (left.map_batches(tag_left, batch_format="pyarrow")
                .union(right.map_batches(tag_right,

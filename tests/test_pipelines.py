@@ -1204,3 +1204,129 @@ def test_equi_join_matches_bruteforce(ray_session):
     with pytest.raises(AssertionError, match="collision"):
         equi_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
                   "k", "kk", ["lv"], ["lv"])
+
+
+def test_equi_join_left_semi_anti(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.join import equi_join
+    rng = np.random.default_rng(17)
+    lk = rng.integers(0, 30, size=150)
+    rk = rng.integers(15, 45, size=80)  # partial overlap: unmatched both ways
+    l = pa.table({"k": pa.array(lk, type=pa.int64()),
+                  "lv": pa.array([f"L{i}" for i in range(150)])})
+    r = pa.table({"kk": pa.array(rk, type=pa.int64()),
+                  "rv": pa.array(rng.standard_normal(80))})
+    rset = set(int(x) for x in rk)
+
+    def run(how):
+        return equi_join(ray.data.from_arrow(l), ray.data.from_arrow(r),
+                         "k", "kk", ["lv"], ["rv"], how=how).take_all()
+
+    # semi: each matched left row once
+    semi = sorted((row["key"], row["lv"]) for row in run("semi"))
+    want_semi = sorted((int(k), lv) for k, lv in
+                       zip(lk, l["lv"].to_pylist()) if int(k) in rset)
+    assert semi == want_semi and semi
+    # anti: each unmatched left row once
+    anti = sorted((row["key"], row["lv"]) for row in run("anti"))
+    want_anti = sorted((int(k), lv) for k, lv in
+                       zip(lk, l["lv"].to_pylist()) if int(k) not in rset)
+    assert anti == want_anti and anti
+    assert len(semi) + len(anti) == 150
+    # left: inner expansion + unmatched rows carrying typed NULL rv
+    left = run("left")
+    matched = sorted((row["key"], row["lv"], row["rv"])
+                     for row in left if row["rv"] is not None)
+    want_inner = sorted(
+        (int(k), lv, float(rv)) for k, lv in zip(lk, l["lv"].to_pylist())
+        for kk, rv in zip(rk, r["rv"].to_pylist()) if int(k) == int(kk))
+    assert matched == want_inner and matched
+    unmatched = sorted((row["key"], row["lv"])
+                       for row in left if row["rv"] is None)
+    assert unmatched == want_anti
+
+
+def test_rolling_user_window_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.events import rolling_user_window
+    rng = np.random.default_rng(5)
+    n, k = 400, 5
+    uid = rng.integers(0, 12, size=n)
+    ts = rng.integers(0, 10_000, size=n)  # collisions likely → tie-break
+    val = np.round(rng.uniform(0, 200, size=n), 2)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid, type=pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]"), type=pa.timestamp("us")),
+        "value": pa.array(val),
+    })
+    got = {row["event_id"]: (row["roll_n"], row["roll_sum_c"])
+           for row in rolling_user_window(
+               ray.data.from_arrow(t), k=k).take_all()}
+    vc = np.round(val * 100).astype(np.int64)
+    want = {}
+    for u in np.unique(uid):
+        rows = sorted(np.nonzero(uid == u)[0], key=lambda i: (ts[i], i))
+        for pos, i in enumerate(rows):
+            w = rows[max(0, pos - k + 1): pos + 1]
+            want[i] = (len(w), int(sum(vc[j] for j in w)))
+    assert got == want and len(got) == n
+
+
+def test_top_ngrams_matches_counter(ray_session):
+    import collections
+
+    import ray.data
+    from searchengine_ray.functions.tokenizer import tokenize
+    from searchengine_ray.pipelines.analysis import top_ngrams
+    rng = np.random.default_rng(9)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    k = 7
+    got = [(r["shingle"], r["cnt"]) for r in
+           top_ngrams(ray.data.from_arrow(t), n=2, k=k).take_all()]
+    c = collections.Counter()
+    for txt in texts:
+        toks = tokenize(txt)
+        c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+def test_decontaminate_plants_and_bounds(ray_session):
+    import ray.data
+    from searchengine_ray.functions.tokenizer import tokenize
+    from searchengine_ray.pipelines.decontam import decontaminate
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    bench_texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(5)]
+    clean = [" ".join(rng.choice([f"z{i}" for i in range(50)], size=20))
+             for _ in range(6)]
+    # planted: doc 100 IS bench doc 0; doc 101 is half bench / half clean
+    planted_full = bench_texts[0]
+    planted_half = " ".join(bench_texts[1].split()[:10]) + " " + clean[0]
+    train_texts = clean + [planted_full, planted_half]
+    train = pa.table({
+        "doc_id": pa.array(np.arange(94, 94 + len(train_texts),
+                                     dtype=np.int64)),
+        "text": pa.array(train_texts)})
+    bench = pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(bench_texts)})
+    out = {r["doc_id"]: r for r in decontaminate(
+        ray.data.from_arrow(train), ray.data.from_arrow(bench),
+        n=3, tau_u=500_000).take_all()}
+    full_id, half_id = 94 + len(clean), 94 + len(clean) + 1
+    assert out[full_id]["contam_u"] == 1_000_000  # exact copy: 100%
+    assert out[full_id]["flagged"] == 1
+    assert 0 < out[half_id]["n_hit"] < out[half_id]["n_shingles"]
+    for i in range(94, 94 + len(clean)):  # clean docs: zero overlap
+        assert out[i]["n_hit"] == 0 and out[i]["flagged"] == 0
+    # n_shingles matches the tokenizer identity per doc
+    for i, txt in enumerate(train_texts):
+        toks = tokenize(txt)
+        n_sh = len({" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)})
+        assert out[94 + i]["n_shingles"] == n_sh
