@@ -762,3 +762,78 @@ sh AS (
 SELECT shingle, count(*)::BIGINT AS cnt FROM sh
 GROUP BY shingle ORDER BY cnt DESC, shingle LIMIT {k}
 """
+
+
+RARITY_SCALE = 1_000_000
+
+
+def doc_rarity(ds: "ray.data.Dataset",
+               cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+    """Corpus-statistics document scoring — the two-phase
+    broadcast-stats pattern every "score docs against a corpus-level
+    model" pipeline uses (KenLM-perplexity slots here the same way):
+
+      Phase 1 (small wide): ``term_df`` aggregates per-term document
+      frequency (partial-aggregated shuffle, output bounded by the
+      VOCABULARY, ≪ corpus) + the dataset row count; the df table is
+      broadcast once via ``ray.put``.
+      Phase 2 (streaming): one map_batches pass scores every doc —
+      per-token scaled inverse df (``N·10^6 // df``, integer), per-doc
+      mean via ``np.add.at`` on an int64 accumulator. No second
+      shuffle; the corpus rides through once.
+
+    All arithmetic is integer (exact vs the SQL twin). Docs whose
+    filtered token list is empty are absent (match the twin's join).
+    Columns: doc_id, n_tok, rarity_u (= Σ(N·10^6//df) // n_tok).
+    For a vocabulary too large to broadcast, fall back to
+    ``pipelines.join.equi_join`` on a term-hash key.
+    """
+    import ray
+
+    n_docs = ds.count()
+    dft = pa.concat_tables(
+        [pa.table(b) for b in
+         term_df(ds, cfg).iter_batches(batch_format="pyarrow")])
+    ref = ray.put((dft["term"].combine_chunks(),
+                   dft["df"].to_numpy(zero_copy_only=False)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms, dfs = ray.get(ref)
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        ids = pc.cast(batch["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(di) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_tok": z, "rarity_u": z})
+        idx = pc.index_in(toks, value_set=terms) \
+            .to_numpy(zero_copy_only=False)
+        rar_tok = (n_docs * RARITY_SCALE) // dfs[idx.astype(np.int64)]
+        sums = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(sums, di, rar_tok)
+        cnts = np.bincount(di, minlength=len(batch)).astype(np.int64)
+        keep = cnts > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_tok": pa.array(cnts[keep]),
+            "rarity_u": pa.array(sums[keep] // cnts[keep]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_doc_rarity(cfg: IndexConfig = IndexConfig()) -> str:
+    """Exact twin of doc_rarity: df and N computed in-query, per-token
+    integer inverse-df, per-doc integer mean."""
+    from searchengine_ray.functions.tokenizer import sql_filtered_tokens_expr
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return f"""
+WITH toklists AS (SELECT doc_id, {toks} AS L FROM documents),
+tok AS (SELECT doc_id, unnest(L) AS term FROM toklists),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM tok GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT t.doc_id, count(*)::BIGINT AS n_tok,
+       CAST(sum((SELECT n FROM n) * {RARITY_SCALE} // d.df)
+            // count(*) AS BIGINT) AS rarity_u
+FROM tok t JOIN df d USING (term) GROUP BY t.doc_id
+"""

@@ -1226,6 +1226,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_semi_join": q_doc_embedding_semi_join,
         "decontaminate": q_decontaminate,
         "top_ngrams": lambda sf: analysis.top_ngrams(_docs(sf, ["text"])),
+        "doc_rarity": lambda sf: analysis.doc_rarity(_docs(sf), CFG),
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
             _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
@@ -1305,6 +1306,7 @@ def build_oracles() -> dict[str, str]:
         "decontaminate": decontam.sql_decontaminate(
             bench_mod=DECONTAM_BENCH_MOD),
         "top_ngrams": analysis.sql_top_ngrams(),
+        "doc_rarity": analysis.sql_doc_rarity(CFG),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
         "top_docs_per_source": analysis.sql_top_docs_per_group(),

@@ -1330,3 +1330,31 @@ def test_decontaminate_plants_and_bounds(ray_session):
         toks = tokenize(txt)
         n_sh = len({" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)})
         assert out[94 + i]["n_shingles"] == n_sh
+
+
+def test_doc_rarity_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import RARITY_SCALE, doc_rarity
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 15)))
+             for _ in range(80)]
+    t = pa.table({"doc_id": pa.array(np.arange(80, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    cfg = IndexConfig()
+    got = {r["doc_id"]: (r["n_tok"], r["rarity_u"]) for r in
+           doc_rarity(ray.data.from_arrow(t), cfg).take_all()}
+    tok_lists = [filter_tokens(tokenize(x), cfg) for x in texts]
+    df = collections.Counter()
+    for toks in tok_lists:
+        df.update(set(toks))
+    want = {}
+    for i, toks in enumerate(tok_lists):
+        if toks:
+            s = sum(80 * RARITY_SCALE // df[tk] for tk in toks)
+            want[i] = (len(toks), s // len(toks))
+    assert got == want and want
