@@ -1119,6 +1119,57 @@ def sql_doc_embedding_semi_join() -> str:
     )
 
 
+def q_events_user_join_salted(sf_dir: str):
+    """Skew-safe fact⋈dimension enrichment: every event joined to its
+    user's corpus-wide totals. The user keys are HOT by construction
+    (few users, many events each) — detect_hot_keys finds them and
+    equi_join_salted spreads each hot user's events across salts while
+    replicating the one dimension row per salt. Output identical to the
+    unsalted join (same SQL oracle)."""
+    from searchengine_ray.pipelines.join import (detect_hot_keys,
+                                                 equi_join_salted)
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vc = np.round(b["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        u, inv = np.unique(uid, return_inverse=True)
+        s = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s, inv, vc)
+        return pa.table({"user_id": pa.array(u), "s": pa.array(s),
+                         "n": pa.array(np.bincount(inv)
+                                       .astype(np.int64))})
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "uid": pc.cast(b["user_id"], pa.int64()),
+            "total_c": pc.cast(b["sum(s)"], pa.int64()),
+            "n_events": pc.cast(b["sum(n)"], pa.int64()),
+        })
+
+    dim = (ev.map_batches(partial, batch_format="pyarrow")
+             .groupby("user_id").sum(["s", "n"])
+             .map_batches(fin, batch_format="pyarrow"))
+    left = _events(sf_dir, ["event_id", "user_id"])
+    hot = detect_hot_keys(left, "user_id", threshold=32)
+    return equi_join_salted(left, dim, "user_id", "uid",
+                            ["event_id"], ["total_c", "n_events"],
+                            hot_keys=hot, replicate=8)
+
+
+def sql_events_user_join_salted() -> str:
+    return (
+        "WITH d AS (SELECT user_id, "
+        "CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS total_c, "
+        "count(*)::BIGINT AS n_events FROM events GROUP BY user_id) "
+        "SELECT e.user_id::BIGINT AS key, e.event_id::BIGINT AS event_id, "
+        "d.total_c, d.n_events FROM events e JOIN d USING (user_id)"
+    )
+
+
 DECONTAM_BENCH_MOD = 37  # bench side = doc_id % 37 == 0 (deterministic)
 
 
@@ -1225,6 +1276,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_anti_join": q_doc_embedding_anti_join,
         "doc_embedding_semi_join": q_doc_embedding_semi_join,
         "decontaminate": q_decontaminate,
+        "events_user_join_salted": q_events_user_join_salted,
         "top_ngrams": lambda sf: analysis.top_ngrams(_docs(sf, ["text"])),
         "doc_rarity": lambda sf: analysis.doc_rarity(_docs(sf), CFG),
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
@@ -1305,6 +1357,7 @@ def build_oracles() -> dict[str, str]:
         "doc_embedding_semi_join": sql_doc_embedding_semi_join(),
         "decontaminate": decontam.sql_decontaminate(
             bench_mod=DECONTAM_BENCH_MOD),
+        "events_user_join_salted": sql_events_user_join_salted(),
         "top_ngrams": analysis.sql_top_ngrams(),
         "doc_rarity": analysis.sql_doc_rarity(CFG),
         "pack_token_budget": analysis.sql_pack_token_budget(),

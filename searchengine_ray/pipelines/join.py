@@ -10,9 +10,11 @@ a ``np.repeat`` over run lengths — no per-row or per-key Python. The
 broadcast small-side variant (no shuffle at all) lives in
 ``events.value_range_join``; this operator is the both-sides-big path.
 
-Skew: a hot key's rows land in one partition — bound upstream (salt the
-key or pre-aggregate) exactly as for any hash shuffle; the coarse
-partition count spreads distinct keys evenly.
+Skew: a hot key's rows land in one partition under the plain operator;
+``detect_hot_keys`` + ``equi_join_salted`` handle it explicitly (hot
+left rows spread across R salts, hot right rows replicate per salt —
+output row-identical, asserted in tests). The coarse partition count
+spreads distinct keys evenly either way.
 """
 
 from __future__ import annotations
@@ -33,66 +35,18 @@ def _key_part(key: np.ndarray, num_parts: int) -> np.ndarray:
                 % np.uint64(num_parts)).astype(np.int32)
 
 
-def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
-              left_key: str, right_key: str,
-              left_cols: list[str], right_cols: list[str],
-              num_parts: int = NUM_JOIN_PARTITIONS,
-              how: str = "inner") -> "ray.data.Dataset":
-    """Distributed equi-join on int64 keys; ``how`` ∈ inner / left /
-    semi / anti.
 
-    inner — key + left_cols + right_cols; many-to-many keys expand to
-        the full cross product of their rows, ordered deterministically
-        (left row order × right row order within key).
-    left  — inner plus unmatched left rows with typed-null right cols.
-    semi  — left rows (key + left_cols) having ≥1 right match, each
-        emitted ONCE (no expansion — the "has an embedding?" filter).
-    anti  — left rows with NO right match (the "missing dimension
-        row" audit). semi/anti never materialize the cross product.
-
-    All four modes share the single tag→union→hash-shuffle→vectorized
-    sort-merge plan; the mode only changes the per-partition emit.
-    """
-    assert how in ("inner", "left", "semi", "anti"), how
-    overlap = set(left_cols) & set(right_cols)
-    assert not overlap, f"column name collision: {sorted(overlap)}"
-
-    # Build each side with the FULL output schema (other side's payload
-    # columns as typed nulls) so the union has one schema.
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+def _merge_fn(l_schema: pa.Schema, r_schema: pa.Schema,
+              left_cols: list[str], right_cols: list[str], how: str):
+    """Per-partition vectorized sort-merge shared by the plain and
+    salted joins (the salted variant only changes the partition key)."""
+    with_right = how in ("inner", "left")
 
     def l_type(c):
         return l_schema.field(c).type
 
     def r_type(c):
         return r_schema.field(c).type
-
-    def tag_left(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[left_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        out = {"part": pa.array(_key_part(k, num_parts)),
-               "key": pa.array(k),
-               "side": pa.array(np.zeros(len(batch), dtype=np.int64))}
-        for c in left_cols:
-            out[f"l_{c}"] = batch[c]
-        for c in right_cols:
-            out[f"r_{c}"] = pa.nulls(len(batch), type=r_type(c))
-        return pa.table(out)
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[right_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        out = {"part": pa.array(_key_part(k, num_parts)),
-               "key": pa.array(k),
-               "side": pa.array(np.ones(len(batch), dtype=np.int64))}
-        for c in left_cols:
-            out[f"l_{c}"] = pa.nulls(len(batch), type=l_type(c))
-        for c in right_cols:
-            out[f"r_{c}"] = batch[c]
-        return pa.table(out)
-
-    with_right = how in ("inner", "left")
 
     def left_only_rows(group: pa.Table, lidx: np.ndarray,
                        null_right: bool) -> pa.Table:
@@ -158,8 +112,193 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 [matched, left_only_rows(group, miss_lo, null_right=True)])
         return matched
 
+    return merge
+
+
+def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              num_parts: int = NUM_JOIN_PARTITIONS,
+              how: str = "inner") -> "ray.data.Dataset":
+    """Distributed equi-join on int64 keys; ``how`` ∈ inner / left /
+    semi / anti.
+
+    inner — key + left_cols + right_cols; many-to-many keys expand to
+        the full cross product of their rows, ordered deterministically
+        (left row order × right row order within key).
+    left  — inner plus unmatched left rows with typed-null right cols.
+    semi  — left rows (key + left_cols) having ≥1 right match, each
+        emitted ONCE (no expansion — the "has an embedding?" filter).
+    anti  — left rows with NO right match (the "missing dimension
+        row" audit). semi/anti never materialize the cross product.
+
+    All four modes share the single tag→union→hash-shuffle→vectorized
+    sort-merge plan; the mode only changes the per-partition emit.
+    """
+    assert how in ("inner", "left", "semi", "anti"), how
+    overlap = set(left_cols) & set(right_cols)
+    assert not overlap, f"column name collision: {sorted(overlap)}"
+
+    # Build each side with the FULL output schema (other side's payload
+    # columns as typed nulls) so the union has one schema.
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+
+    def l_type(c):
+        return l_schema.field(c).type
+
+    def r_type(c):
+        return r_schema.field(c).type
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[left_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out = {"part": pa.array(_key_part(k, num_parts)),
+               "key": pa.array(k),
+               "side": pa.array(np.zeros(len(batch), dtype=np.int64))}
+        for c in left_cols:
+            out[f"l_{c}"] = batch[c]
+        for c in right_cols:
+            out[f"r_{c}"] = pa.nulls(len(batch), type=r_type(c))
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[right_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out = {"part": pa.array(_key_part(k, num_parts)),
+               "key": pa.array(k),
+               "side": pa.array(np.ones(len(batch), dtype=np.int64))}
+        for c in left_cols:
+            out[f"l_{c}"] = pa.nulls(len(batch), type=l_type(c))
+        for c in right_cols:
+            out[f"r_{c}"] = batch[c]
+        return pa.table(out)
+
     unioned = (left.map_batches(tag_left, batch_format="pyarrow")
                .union(right.map_batches(tag_right,
                                         batch_format="pyarrow")))
-    return unioned.groupby("part").map_groups(merge,
-                                              batch_format="pyarrow")
+    return unioned.groupby("part").map_groups(
+        _merge_fn(l_schema, r_schema, left_cols, right_cols, how),
+        batch_format="pyarrow")
+
+
+def detect_hot_keys(ds: "ray.data.Dataset", key_col: str,
+                    threshold: int) -> np.ndarray:
+    """Keys whose row count ≥ ``threshold`` — the bounded hot set for
+    ``equi_join(..., hot_keys=...)``. Per-batch partial counts (the
+    shuffle moves ≤ distinct-keys-per-batch rows), tiny groupby sum,
+    then a driver fetch bounded by the number of HOT keys (few by
+    definition — a key is hot because rows concentrate on it)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    tot = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("key").sum("cnt"))
+
+    def filt(b: pa.Table) -> pa.Table:
+        c = b["sum(cnt)"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": b.filter(pa.array(c >= threshold))["key"]})
+
+    hot = []
+    for b in tot.map_batches(filt, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        hot.append(b["key"].to_numpy(zero_copy_only=False))
+    return np.sort(np.concatenate(hot)) if hot else \
+        np.empty(0, dtype=np.int64)
+
+
+def equi_join_salted(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     left_key: str, right_key: str,
+                     left_cols: list[str], right_cols: list[str],
+                     hot_keys: np.ndarray,
+                     replicate: int = 8,
+                     num_parts: int = NUM_JOIN_PARTITIONS,
+                     how: str = "inner") -> "ray.data.Dataset":
+    """Skew-safe ``equi_join``: rows of the ``hot_keys`` set no longer
+    all land in one partition.
+
+    Left rows with a hot key spread uniformly across ``replicate``
+    salts (each row to exactly ONE salt — any assignment yields the
+    same output, so the salt needs no cross-run determinism); right
+    rows with a hot key REPLICATE to every salt, so every (key, salt)
+    partition still holds the key's full right side. Non-hot keys ride
+    salt 0 unreplicated. Output is row-identical to the unsalted join
+    (asserted in tests); the cost is |hot right rows| × replicate extra
+    shuffled rows — small when hot keys are few and the hot side is the
+    LEFT (the fact-table-joins-dimension shape this targets).
+
+    The per-partition merge is the unsalted operator's: partitions are
+    keyed by mix(key, salt) instead of mix(key).
+    """
+    assert how in ("inner", "left", "semi", "anti"), how
+    # anti/semi/left correctness under salting needs every left row to
+    # see the key's FULL right side — guaranteed, since right hot rows
+    # replicate to all salts and non-hot rows share salt 0.
+    hot = np.sort(np.asarray(hot_keys, dtype=np.int64))
+    R = max(int(replicate), 1)
+
+    def salted_part(key: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mixed = (key.astype(np.uint64) * _MIX) ^ \
+                (salt.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            return (mixed % np.uint64(num_parts)).astype(np.int32)
+
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[left_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if hot.size:
+            pos = np.searchsorted(hot, k)
+            is_hot = (pos < hot.size) & (hot[np.minimum(pos, hot.size - 1)]
+                                         == k)
+        else:
+            is_hot = np.zeros(len(k), dtype=bool)
+        salt = np.where(is_hot,
+                        np.arange(len(k), dtype=np.int64) % R, 0)
+        out = {"part": pa.array(salted_part(k, salt)),
+               "key": pa.array(k),
+               "side": pa.array(np.zeros(len(k), dtype=np.int64))}
+        for c in left_cols:
+            out[f"l_{c}"] = batch[c]
+        for c in right_cols:
+            out[f"r_{c}"] = pa.nulls(len(k), type=r_schema.field(c).type)
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[right_key], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if hot.size:
+            pos = np.searchsorted(hot, k)
+            is_hot = (pos < hot.size) & (hot[np.minimum(pos, hot.size - 1)]
+                                         == k)
+        else:
+            is_hot = np.zeros(len(k), dtype=bool)
+        reps = np.where(is_hot, R, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k), dtype=np.int64), reps)
+        # salt sequence 0..reps-1 within each replicated run
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        salt = np.arange(int(reps.sum()), dtype=np.int64) - \
+            np.repeat(offs, reps)
+        kk = k[idx]
+        ai = pa.array(idx)
+        out = {"part": pa.array(salted_part(kk, salt)),
+               "key": pa.array(kk),
+               "side": pa.array(np.ones(len(kk), dtype=np.int64))}
+        for c in left_cols:
+            out[f"l_{c}"] = pa.nulls(len(kk), type=l_schema.field(c).type)
+        for c in right_cols:
+            out[f"r_{c}"] = pc.take(batch[c], ai)
+        return pa.table(out)
+
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow")
+               .union(right.map_batches(tag_right,
+                                        batch_format="pyarrow")))
+    return unioned.groupby("part").map_groups(
+        _merge_fn(l_schema, r_schema, left_cols, right_cols, how),
+        batch_format="pyarrow")

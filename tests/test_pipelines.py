@@ -1358,3 +1358,38 @@ def test_doc_rarity_matches_bruteforce(ray_session):
             s = sum(80 * RARITY_SCALE // df[tk] for tk in toks)
             want[i] = (len(toks), s // len(toks))
     assert got == want and want
+
+
+def test_equi_join_salted_identical_all_modes(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.join import (detect_hot_keys, equi_join,
+                                                 equi_join_salted)
+    rng = np.random.default_rng(29)
+    # skewed: key 7 carries half the left side; keys 0..19 uniform rest
+    lk = np.concatenate([np.full(300, 7), rng.integers(0, 20, size=300)])
+    rng.shuffle(lk)
+    rk = rng.integers(0, 25, size=60)  # some keys matchless both ways
+    l = pa.table({"k": pa.array(lk, type=pa.int64()),
+                  "lv": pa.array([f"L{i}" for i in range(600)])})
+    r = pa.table({"kk": pa.array(rk, type=pa.int64()),
+                  "rv": pa.array(rng.standard_normal(60))})
+    lds, rds = ray.data.from_arrow(l), ray.data.from_arrow(r)
+    hot = detect_hot_keys(lds, "k", threshold=100)
+    assert 7 in set(hot.tolist())
+
+    def canon(rows):
+        return sorted(tuple(row[c] for c in sorted(row)) for row in rows)
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = canon(equi_join(lds, rds, "k", "kk", ["lv"], ["rv"],
+                                how=how).take_all())
+        salted = canon(equi_join_salted(
+            lds, rds, "k", "kk", ["lv"], ["rv"],
+            hot_keys=hot, replicate=4, how=how).take_all())
+        assert salted == plain and plain, how
+    # empty hot set degrades to the plain join
+    nohot = canon(equi_join_salted(
+        lds, rds, "k", "kk", ["lv"], ["rv"],
+        hot_keys=np.empty(0, dtype=np.int64)).take_all())
+    assert nohot == canon(equi_join(lds, rds, "k", "kk",
+                                    ["lv"], ["rv"]).take_all())
