@@ -698,55 +698,6 @@ def top_ngrams(ds: "ray.data.Dataset", n: int = 2, k: int = 20,
                  .limit(k))
 
 
-def top_ngrams(ds: "ray.data.Dataset", n: int = 2, k: int = 20,
-               text_col: str = "text") -> "ray.data.Dataset":
-    """Global heavy hitters: the ``k`` most frequent word-``n``-grams
-    corpus-wide (ALL occurrences, not distinct-per-doc) — the
-    corpus-analysis staple behind boilerplate detection and vocab
-    inspection.
-
-    Exact (not sketched) via the pre-aggregation pattern: each batch
-    emits its LOCAL (shingle, count) partials — one Arrow hash-aggregate
-    per batch, so the shuffle moves ≤ distinct-shingles-per-batch rows,
-    never the token stream — then a groupby(shingle) sum and a global
-    sort by (cnt DESC, shingle ASC) with limit(k). The final sort's
-    input is one row per DISTINCT corpus shingle (bounded by vocab^n,
-    typically ≪ corpus); ties at the k boundary are deterministic via
-    the shingle tie-break. Columns: shingle, cnt (int64).
-    """
-    from searchengine_ray.functions.arrow_tokenize import tokenize_column
-
-    empty = pa.table({"shingle": pa.array([], type=pa.string()),
-                      "cnt": pa.array([], type=pa.int64())})
-
-    def count_batch(batch: pa.Table) -> pa.Table:
-        di, toks = tokenize_column(batch[text_col], None, apply_filter=False)
-        if len(di) < n:
-            return empty
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
-            else toks
-        m = len(di) - n + 1
-        parts = [toks.slice(j, m) for j in range(n)]
-        sh = pc.binary_join_element_wise(*parts, " ")
-        same_doc = di[:m] == di[n - 1:]
-        sh = pc.filter(sh, pa.array(same_doc))
-        g = pa.table({"shingle": sh}).group_by(
-            "shingle", use_threads=False).aggregate([("shingle", "count")])
-        return pa.table({"shingle": g["shingle"],
-                         "cnt": pc.cast(g["shingle_count"], pa.int64())})
-
-    total = (ds.map_batches(count_batch, batch_format="pyarrow")
-               .groupby("shingle").sum("cnt"))
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"shingle": b["shingle"],
-                         "cnt": pc.cast(b["sum(cnt)"], pa.int64())})
-
-    return (total.map_batches(rename, batch_format="pyarrow")
-                 .sort(["cnt", "shingle"], descending=[True, False])
-                 .limit(k))
-
-
 def sql_top_ngrams(n: int = 2, k: int = 20) -> str:
     """Exact twin of top_ngrams: every n-gram occurrence unnested, counted,
     top-k by (cnt DESC, shingle ASC)."""

@@ -34,9 +34,9 @@ from searchengine_ray.functions.tokenizer import (
     sql_filtered_tokens_expr,
     sql_tokens_expr,
 )
-from searchengine_ray.pipelines import (analysis, classify, curate, decontam,
-                                        dedup, events, graph, multimodal,
-                                        similarity)
+from searchengine_ray.pipelines import (analysis, chunking, classify, curate,
+                                        decontam, dedup, events, graph,
+                                        multimodal, similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -1278,6 +1278,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "events_user_join_salted": q_events_user_join_salted,
         "top_ngrams": lambda sf: analysis.top_ngrams(_docs(sf, ["text"])),
+        "chunk_docs": lambda sf: chunking.chunk_docs(_docs(sf)),
+        "dup_spans": lambda sf: chunking.dup_spans(_docs(sf)),
         "doc_rarity": lambda sf: analysis.doc_rarity(_docs(sf), CFG),
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
             _docs(sf, ["doc_id", "text"])),
@@ -1359,6 +1361,8 @@ def build_oracles() -> dict[str, str]:
             bench_mod=DECONTAM_BENCH_MOD),
         "events_user_join_salted": sql_events_user_join_salted(),
         "top_ngrams": analysis.sql_top_ngrams(),
+        "chunk_docs": chunking.sql_chunk_docs(),
+        "dup_spans": chunking.sql_dup_spans(),
         "doc_rarity": analysis.sql_doc_rarity(CFG),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),

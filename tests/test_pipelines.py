@@ -1393,3 +1393,82 @@ def test_equi_join_salted_identical_all_modes(ray_session):
         hot_keys=np.empty(0, dtype=np.int64)).take_all())
     assert nohot == canon(equi_join(lds, rds, "k", "kk",
                                     ["lv"], ["rv"]).take_all())
+
+
+def test_chunk_docs_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.chunking import chunk_docs
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{i}" for i in range(9)] + ["ünïcode", "汉字词"]
+    texts = [" ".join(rng.choice(vocab, size=int(m)))
+             for m in rng.integers(0, 40, size=60)]
+    texts += ["", "   ", "one", "  a  b "]  # empty / whitespace edge cases
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    W, S = 7, 5
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"],
+         r["chunk_text"])
+        for r in chunk_docs(ray.data.from_arrow(t), window=W,
+                            stride=S).take_all())
+    want = []
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        for c, st in enumerate(range(0, len(toks), S)):
+            seg = toks[st:st + W]
+            want.append((i, c, st, len(seg), " ".join(seg)))
+    assert got == sorted(want) and len(got) > len(texts)
+
+
+def test_dup_spans_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.chunking import dup_spans
+    rng = np.random.default_rng(37)
+    W = 4
+    vocab = [f"w{i}" for i in range(40)]
+    shared = list(rng.choice(vocab, size=9))   # planted cross-doc span
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(30)]
+    texts[3] = " ".join(texts[3].split()[:5] + shared
+                        + texts[3].split()[5:10])
+    texts[17] = " ".join(shared + texts[17].split()[:8])
+    # within-doc-only repeat: must NOT qualify (needs >= 2 distinct docs)
+    solo = list(rng.choice(vocab, size=W))
+    texts.append(" ".join(solo + ["x9", "y9"] + solo))
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dup_spans(ray.data.from_arrow(t), window=W).take_all())
+    # brute force
+    import collections
+    docs_of = collections.defaultdict(set)
+    wins = []
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        for s in range(max(len(toks) - W + 1, 0)):
+            g = " ".join(toks[s:s + W])
+            docs_of[g].add(i)
+            wins.append((i, s, g))
+    want = []
+    per_doc = collections.defaultdict(list)
+    for i, s, g in wins:
+        if len(docs_of[g]) >= 2:
+            per_doc[i].append(s)
+    for i, starts in per_doc.items():
+        starts.sort()
+        span = [starts[0], starts[0]]
+        cnt = 1
+        for s in starts[1:]:
+            if s - span[1] <= W:
+                span[1] = s
+                cnt += 1
+            else:
+                want.append((i, span[0], span[1] + W, cnt))
+                span = [s, s]
+                cnt = 1
+        want.append((i, span[0], span[1] + W, cnt))
+    assert got == sorted(want)
+    # planted span present in both carrier docs; solo-repeat doc absent
+    dup_docs = {d for d, *_ in got}
+    assert 3 in dup_docs and 17 in dup_docs
+    assert len(texts) - 1 not in dup_docs
