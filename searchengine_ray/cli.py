@@ -151,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--no-salt", action="store_true")
-    b.add_argument("--stemmer", choices=["none", "porter"], default="none")
+    b.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -159,7 +159,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("--top-k", type=int, default=20)
-    q.add_argument("--stemmer", choices=["none", "porter"], default="none")
+    q.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
     q.add_argument("--partitions", type=int, default=32)
     q.add_argument("--page", type=int, default=None)
     q.add_argument("--per-page", type=int, default=15)
@@ -189,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--per-page", type=int, default=15)
-    sv.add_argument("--stemmer", choices=["none", "porter"], default="none")
+    sv.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
     sv.add_argument("--hybrid", action="store_true")
     sv.set_defaults(fn=cmd_serve)
 

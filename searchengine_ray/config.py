@@ -42,9 +42,9 @@ class IndexConfig:
     max_token_length: int = 20
     stopwords: frozenset[str] = DEFAULT_STOPWORDS
     # Pluggable tokenizer variant: "none" = the reference's fallback chain
-    # (round-1 conformance semantics); "porter" = classic Porter stemming
-    # applied to every token before the length/stopword filters — the
-    # reference's PRIMARY branch when NLTK is present
+    # (round-1 conformance semantics); "porter" = the published Porter
+    # algorithm; "nltk" = NLTK_EXTENSIONS-mode Porter — term-space parity
+    # with the reference's PRIMARY branch when NLTK is present
     # (utils/text_processing.py:62-74). Index and queries must use the
     # same value (recorded in the manifest; mismatches refuse loudly).
     stemmer: str = "none"

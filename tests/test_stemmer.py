@@ -140,3 +140,129 @@ def test_stem_array_matches_scalar():
     out = stem_array(pa.array(toks, type=pa.string())).to_pylist()
     assert out == [porter_stem(t) for t in toks]
     assert stem_array(pa.array([], type=pa.string())).to_pylist() == []
+
+
+# ---------------------------------------------------------------------------
+# NLTK_EXTENSIONS mode
+# ---------------------------------------------------------------------------
+
+# Vectors derived from NLTK's documented extension rules (nltk/stem/
+# porter.py NLTK_EXTENSIONS commentary) — each pins a specific deviation.
+NLTK_VECTORS = {
+    # irregular-forms pool
+    "skies": "sky", "sky": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "news": "news", "innings": "inning",
+    "inning": "inning", "outings": "outing", "cannings": "canning",
+    "howe": "howe", "proceed": "proceed", "exceed": "exceed",
+    "succeed": "succeed",
+    # step 1a: 4-letter ies -> ie (longer words keep the paper rule)
+    "dies": "die", "ties": "tie", "flies": "fli", "ponies": "poni",
+    # step 1b: ied -> ie / i
+    "died": "die", "spied": "spi", "studied": "studi",
+    # step 1c: consonant-before-y condition
+    "happy": "happi", "cry": "cri", "enjoy": "enjoy", "say": "say",
+    "by": "by",
+    # step 2: bli->ble / fulli->ful / alli-first-and-rerun
+    "possibly": "possibl", "carefully": "care", "formally": "formal",
+    "operationally": "oper",
+    # 2-letter *o extension
+    "using": "use",
+    # shared with the paper on common morphology (regression guard)
+    "caresses": "caress", "cats": "cat", "feed": "feed",
+    "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+    "sing": "sing", "conflated": "conflat", "hopping": "hop",
+    "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "failing": "fail", "filing": "file", "happiness": "happi",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "generalization": "gener", "oscillators": "oscil",
+    "connection": "connect", "connections": "connect",
+    "connected": "connect", "connecting": "connect",
+}
+
+
+def test_nltk_vectors():
+    from searchengine_ray.functions.stemmer import nltk_porter_stem
+    bad = {w: (nltk_porter_stem(w), want)
+           for w, want in NLTK_VECTORS.items()
+           if nltk_porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_nltk_vs_paper_divergences():
+    """The documented deviations actually diverge (guards against the two
+    implementations silently collapsing into one)."""
+    from searchengine_ray.functions.stemmer import nltk_porter_stem
+    for word, paper, nltk in [
+        ("dies", "di", "die"), ("died", "di", "die"),
+        ("skies", "ski", "sky"), ("news", "new", "news"),
+        ("dying", "dy", "die"), ("innings", "in", "inning"),
+        ("enjoy", "enjoi", "enjoy"), ("using", "us", "use"),
+        ("carefully", "carefulli", "care"),
+        ("possibly", "possibli", "possibl"),
+        ("exceed", "exce", "exceed"),
+    ]:
+        assert porter_stem(word) == paper, (word, porter_stem(word))
+        assert nltk_porter_stem(word) == nltk, (word, nltk_porter_stem(word))
+
+
+def test_nltk_stem_array_and_tokenize():
+    from searchengine_ray.functions.stemmer import nltk_porter_stem
+    from searchengine_ray.functions.tokenizer import tokenize
+    toks = ["running", "skies", "dies", "carefully", "is", ""]
+    out = stem_array(pa.array(toks, type=pa.string()),
+                     "nltk").to_pylist()
+    assert out == [nltk_porter_stem(t) for t in toks]
+    # tokenize() routes the nltk stemmer through the same raw-token chain
+    assert tokenize("Dying skies; carefully enjoying!", "nltk") == \
+        ["die", "sky", "care", "enjoy"]
+
+
+def test_nltk_index_end_to_end(ray_session, tmp_path):
+    """nltk-stemmed index is rank-identical to the in-process oracle under
+    the same config, collapses morphology, and records its mode."""
+    import ray.data
+    import pytest
+    from conftest import oracle_docs
+    from searchengine_ray.build import build_index
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.oracle import build_oracle_index, oracle_search
+    from searchengine_ray.query import QueryEngine
+
+    docs = [
+        ("r0", "dying.txt", "stars dying slowly in darkening skies"),
+        ("r0", "died.txt", "the star died while others survived"),
+        ("r1", "enjoy.txt", "enjoying carefully prepared meals daily"),
+        ("r2", "unrelated.txt", "zebra quantum waffle theory"),
+        # filler rows keep df("die")=2 below N/2 so idf stays positive
+        ("r2", "filler1.txt", "gamma delta epsilon omicron"),
+        ("r2", "filler2.txt", "lambda sigma upsilon omega"),
+    ]
+    t = pa.table({
+        "repo": pa.array([d[0] for d in docs]),
+        "path": pa.array([d[1] for d in docs]),
+        "commit": pa.array(["0" * 40] * len(docs)),
+        "lang": pa.array(["txt"] * len(docs)),
+        "content": pa.array([d[2] for d in docs]),
+    })
+    cfg = IndexConfig(num_partitions=4, num_length_partitions=2,
+                      stemmer="nltk")
+    idx = str(tmp_path / "nltk_index")
+    m = build_index(ray.data.from_arrow(t), idx, cfg, salt_hot_terms=False)
+    assert m["stemmer"] == "nltk" and m["num_docs"] == len(docs)
+    eng = QueryEngine(idx, cfg)
+    oracle = build_oracle_index(oracle_docs(t), cfg)
+    for q in ("dying", "died", "sky", "enjoyment", "careful stars"):
+        got = eng.search(q, top_k=10)
+        want = oracle_search(oracle, q, top_k=10)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert g["score"] == pytest.approx(w["score"], abs=1e-12)
+    # pool morphology collapses: 'dying' (pool->die) finds the 'died' doc
+    hits = {r["title"] for r in eng.search("dying", top_k=10)}
+    assert {"dying.txt", "died.txt"} <= hits
+    # 'sky' pool-collapses with 'skies'
+    assert {r["title"] for r in eng.search("sky", top_k=10)} == {"dying.txt"}
+    with pytest.raises(ValueError, match="stemmer"):
+        QueryEngine(idx, IndexConfig(num_partitions=4,
+                                     num_length_partitions=2,
+                                     stemmer="porter"))
