@@ -649,6 +649,126 @@ FROM toks
 """
 
 
+# Per-source token budgets for mixture construction (the mixing-weights
+# table a real pretraining run tunes; small side — travels in the task
+# closure). Values are EXACT integers so keep-decisions are bit-identical
+# in Ray and SQL.
+MIXTURE_BUDGETS: dict[str, int] = {"src0": 4000, "src1": 2500,
+                                   "src2": 2500, "src3": 1000}
+_MIXTURE_DEFAULT = 500
+MIXTURE_PARTITIONS = 8
+
+
+def mixture_sample(ds: "ray.data.Dataset",
+                   budgets: dict[str, int] | None = None,
+                   source_col: str = "source",
+                   num_parts: int = MIXTURE_PARTITIONS
+                   ) -> "ray.data.Dataset":
+    """Data-mixture construction: fill each source's TOKEN budget with a
+    deterministic pseudo-random subset of its documents — the mixing step
+    that turns per-domain weights (e.g. "40% web, 25% code") into an
+    actual document selection for a pretraining run.
+
+    Within a source, documents are ordered by (md5_32(doc_id), doc_id) —
+    the same cross-engine-stable hash order as stratified_sample, so the
+    "random" subset is reproducible anywhere — and a document is kept iff
+    the cumulative whitespace-token count BEFORE it in that order is
+    under the source's budget (the boundary document overflows by less
+    than one document, same prefix-sum discipline as pack_token_budget —
+    that is what keeps the pass vectorized and the SQL twin a pure
+    window).
+
+    Plan: ONE coarse hash(source) shuffle (each partition holds whole
+    sources); inside a partition every source resolves in one lexsort +
+    run-boundary-reset prefix sum — no per-source Python. Scale note: a
+    source's prefix sum is computed in one task here (fine up to ~10^8
+    docs/source); beyond that, split each source into ordered sub-blocks,
+    scan per-block sums, and offset — identical output.
+
+    Columns: doc_id, source, n_tokens, cum_before (all int64 except
+    source).
+    """
+    from searchengine_ray.functions.hashing import hash64_array
+
+    budgets = MIXTURE_BUDGETS if budgets is None else budgets
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import hashlib
+        n_ws, _, _, _ = ws_quality_stats(batch["text"])
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        src = pc.cast(batch[source_col], pa.string())
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "part": pa.array((hash64_array(src)
+                              % np.uint64(num_parts)).astype(np.int64)),
+            "doc_id": pa.array(ids),
+            "source": src,
+            "n_tokens": pa.array(n_ws),
+            "h": pa.array(h),
+        })
+
+    def per_part(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        nt = group["n_tokens"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        src = group["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        dic = src.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dic.dictionary.to_pylist()
+        order = np.lexsort((ids, h, codes))
+        ids, nt, h, codes = ids[order], nt[order], h[order], codes[order]
+        # per-source prefix sum via run-boundary reset of the global cumsum
+        before = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        new_run = np.empty(len(codes), dtype=bool)
+        if len(codes):
+            new_run[0] = True
+            new_run[1:] = codes[1:] != codes[:-1]
+        run_id = np.cumsum(new_run) - 1 if len(codes) else new_run
+        cum_before = before - before[new_run][run_id] if len(codes) \
+            else before
+        bud = np.fromiter((budgets.get(u, _MIXTURE_DEFAULT) for u in uniq),
+                          dtype=np.int64, count=len(uniq))
+        keep = cum_before < bud[codes]
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "source": pa.array([uniq[c] for c in codes[keep]],
+                               type=pa.string()),
+            "n_tokens": pa.array(nt[keep]),
+            "cum_before": pa.array(cum_before[keep]),
+        })
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+
+
+def sql_mixture_sample(budgets: dict[str, int] | None = None,
+                       source_col: str = "source") -> str:
+    """Exact twin of mixture_sample: md5-order window prefix sum per
+    source, QUALIFY under the budget CASE."""
+    budgets = MIXTURE_BUDGETS if budgets is None else budgets
+    nt = ("len(list_filter(regexp_split_to_array(text, '\\s+'), "
+          "x -> x != ''))")
+    cases = " ".join(f"WHEN '{s}' THEN {b}" for s, b in budgets.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {source_col} AS source, {nt}::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, source, n_tokens,
+       (sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING)
+        - n_tokens)::BIGINT AS cum_before
+FROM toks
+QUALIFY cum_before < (CASE source {cases} ELSE {_MIXTURE_DEFAULT} END)
+"""
+
+
 def top_ngrams(ds: "ray.data.Dataset", n: int = 2, k: int = 20,
                text_col: str = "text") -> "ray.data.Dataset":
     """Global heavy hitters: the ``k`` most frequent word-``n``-grams

@@ -1285,6 +1285,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
             _docs(sf, ["doc_id", "lang"])),
+        "mixture_sample": lambda sf: analysis.mixture_sample(
+            _docs(sf, ["doc_id", "text", "source"])),
         "top_docs_per_source": lambda sf: analysis.top_docs_per_group(
             _docs(sf, ["doc_id", "text", "source"])),
         "classify_blogs": lambda sf: classify.classify(
@@ -1366,6 +1368,7 @@ def build_oracles() -> dict[str, str]:
         "doc_rarity": analysis.sql_doc_rarity(CFG),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
+        "mixture_sample": analysis.sql_mixture_sample(),
         "top_docs_per_source": analysis.sql_top_docs_per_group(),
         "classify_blogs": classify.sql_classify(),
         "events_windowed_agg": events.sql_windowed_agg(),

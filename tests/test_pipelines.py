@@ -1472,3 +1472,51 @@ def test_dup_spans_matches_bruteforce(ray_session):
     dup_docs = {d for d, *_ in got}
     assert 3 in dup_docs and 17 in dup_docs
     assert len(texts) - 1 not in dup_docs
+
+
+def test_mixture_sample_matches_bruteforce(ray_session):
+    import hashlib
+    import ray.data
+    from searchengine_ray.pipelines.analysis import mixture_sample
+    rng = np.random.default_rng(41)
+    srcs = [f"s{i}" for i in range(5)]
+    texts = [" ".join(rng.choice([f"w{j}" for j in range(30)],
+                                 size=int(m)))
+             for m in rng.integers(1, 60, size=200)]
+    texts += ["", "   "]  # zero-token docs: never consume budget
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "source": pa.array([srcs[i % len(srcs)]
+                            for i in range(len(texts))]),
+        "text": pa.array(texts),
+    })
+    budgets = {"s0": 300, "s1": 150, "s2": 80}  # s3/s4 hit the default
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_before"])
+        for r in mixture_sample(ray.data.from_arrow(t),
+                                budgets=budgets).take_all())
+    # brute force: md5-order prefix sum per source
+    rows = []
+    for i, txt in enumerate(texts):
+        h = int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:4], "big")
+        rows.append((srcs[i % len(srcs)], h, i, len(txt.split())))
+    want = []
+    for s in srcs:
+        cum = 0
+        for src, h, i, nt in sorted(r for r in rows if r[0] == s):
+            bud = budgets.get(s, 500)
+            if cum < bud:
+                want.append((i, s, nt, cum))
+            cum += nt
+    assert got == sorted(want)
+    # budgets actually bind: every source kept strictly fewer docs than
+    # it has, and each source's kept token mass is within one doc of its
+    # budget
+    per_src = {}
+    for i, s, nt, cb in got:
+        per_src.setdefault(s, []).append((cb, nt))
+    for s, picked in per_src.items():
+        bud = budgets.get(s, 500)
+        assert max(cb for cb, _ in picked) < bud
+        assert sum(nt for _, nt in picked) + 0 >= bud - 60  # filled
