@@ -30,9 +30,11 @@ import ray.data
 
 from searchengine_ray.config import IndexConfig, QueryConfig
 from searchengine_ray.functions.tokenizer import (
+    filter_tokens,
     prepare_query,
     sql_filtered_tokens_expr,
     sql_tokens_expr,
+    tokenize,
 )
 from searchengine_ray.pipelines import (analysis, chunking, classify, curate,
                                         decontam, dedup, events, graph,
@@ -58,6 +60,16 @@ BM25_QUERIES = {
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
+
+# Boolean (set-retrieval) driver queries: (query, mode, exclude). Terms
+# drawn from the testdata vocabulary so each shape is non-trivially
+# populated: a conjunction, a disjunction, and a conjunction with an
+# exclusion list.
+BOOLEAN_QUERIES = {
+    "boolean_and": ("zh dup", "and", ""),
+    "boolean_or": ("src7 window", "or", ""),
+    "boolean_and_not": ("dup window", "and", "zh"),
+}
 
 
 def _docs(sf_dir: str,
@@ -253,6 +265,48 @@ def q_bm25(sf_dir: str, query: str) -> pa.Table:
         "score_r": pa.array([round(r["score"], 6) for r in res],
                             type=pa.float64()),
     })
+
+
+def q_boolean(sf_dir: str, query: str, mode: str, exclude: str = "") -> pa.Table:
+    """Boolean set retrieval (no scoring): original doc_ids whose indexed
+    term set matches ``query`` under ``mode``, minus docs containing any
+    ``exclude`` token. Pure postings-set arithmetic in the engine; the
+    docstore is touched only to recover the original ids from titles."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    ids = eng.boolean_search(query, mode=mode, exclude=exclude)
+    metas = eng._doc_meta(ids) if len(ids) else []
+    orig = sorted(_orig_id_from_title(m["title"]) for m in metas)
+    return pa.table({"doc_id": pa.array(orig, type=pa.int64())})
+
+
+def sql_boolean(query: str, mode: str, exclude: str = "",
+                cfg: IndexConfig = CFG) -> str:
+    """Oracle for q_boolean: query analysis (tokenize + stopword/length
+    filter) runs in Python via the SAME functions the engine uses; doc-side
+    membership is the SQL token-list twin over all three indexed fields."""
+    stem = getattr(cfg, "stemmer", "none")
+    toks = list(dict.fromkeys(filter_tokens(tokenize(query, stem), cfg)))
+    if not toks:
+        return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"
+    ft = sql_filtered_tokens_expr(SQL_TITLE, cfg)
+    fm = sql_filtered_tokens_expr(SQL_META, cfg)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, cfg)
+
+    def has(t: str) -> str:
+        q = _sql_quote(t)
+        return (f"(list_contains(ftoks, {q}) OR list_contains(mtoks, {q}) "
+                f"OR list_contains(ctoks, {q}))")
+
+    joiner = " AND " if mode == "and" else " OR "
+    cond = "(" + joiner.join(has(t) for t in toks) + ")"
+    ex_toks = list(dict.fromkeys(filter_tokens(tokenize(exclude, stem), cfg)))
+    if ex_toks:
+        cond += " AND NOT (" + " OR ".join(has(t) for t in ex_toks) + ")"
+    return (f"WITH docs AS (SELECT doc_id, {ft} AS ftoks, {fm} AS mtoks, "
+            f"{fc} AS ctoks FROM documents)\n"
+            f"SELECT doc_id FROM docs WHERE {cond}")
 
 
 def _sql_quote(s: str) -> str:
@@ -1325,6 +1379,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
         q[name.replace("bm25_", "hybrid_")] = (
             lambda sf, _t=text: q_hybrid(sf, _t))
+    for name, (text, mode, excl) in BOOLEAN_QUERIES.items():
+        q[name] = (lambda sf, _t=text, _m=mode, _e=excl:
+                   q_boolean(sf, _t, _m, _e))
     return q
 
 
@@ -1392,6 +1449,8 @@ def build_oracles() -> dict[str, str]:
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)
         o[name.replace("bm25_", "hybrid_")] = sql_hybrid(text)
+    for name, (text, mode, excl) in BOOLEAN_QUERIES.items():
+        o[name] = sql_boolean(text, mode, excl)
     return o
     # Every queries() entry now has an exact SQL oracle. The approximate
     # ANN entries (lsh/ivf) are restated via the rounded-arithmetic

@@ -31,8 +31,10 @@ from searchengine_ray.codec import (CODEC_VERSION, decode_postings,
 from searchengine_ray.config import IndexConfig, QueryConfig
 from searchengine_ray.functions.hashing import hash64
 from searchengine_ray.functions.tokenizer import (
+    filter_tokens,
     generate_relevant_snippet,
     prepare_query,
+    tokenize,
 )
 from searchengine_ray.stages.postings import salt_of
 from searchengine_ray.state.manifest import load_manifest
@@ -526,6 +528,56 @@ class QueryEngine:
                 meta["snippet"], original_tokens, self.qcfg),
             "score": score,
         } for (doc_id, score), meta in zip(picked, metas)]
+
+    def boolean_search(self, query: str, mode: str = "and",
+                       exclude: str = "") -> np.ndarray:
+        """Set retrieval over the inverted index (no scoring): ascending
+        doc_ids whose indexed term set matches the query's filtered
+        tokens under ``mode`` ("and" = conjunction, "or" = disjunction),
+        minus every document containing any token of ``exclude``.
+
+        Membership spans ALL indexed fields (title/meta/content — the
+        same term space BM25 scores over). Postings lists are
+        doc-id-sorted unique arrays, so conjunction intersects
+        smallest-list-first with early exit, disjunction is one
+        unique-of-concat, and exclusion a sorted set difference — no
+        scoring pass, no docstore touch. The reference engine is
+        BM25-only (app.py /search); boolean mode is an extension the
+        posting layout gives for free.
+        """
+        if mode not in ("and", "or"):
+            raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+        stem = getattr(self.cfg, "stemmer", "none")
+        toks = list(dict.fromkeys(
+            filter_tokens(tokenize(query, stem), self.cfg)))
+        empty = np.empty(0, dtype=np.uint64)
+        plists = []
+        for t in toks:
+            p = self.postings(t)
+            if p is None:
+                if mode == "and":
+                    return empty
+            else:
+                plists.append(p[0])
+        if not plists:
+            return empty
+        if mode == "and":
+            plists.sort(key=len)
+            cur = plists[0]
+            for ids in plists[1:]:
+                cur = cur[np.isin(cur, ids, assume_unique=True)]
+                if cur.size == 0:
+                    return cur
+        else:
+            cur = np.unique(np.concatenate(plists))
+        if exclude:
+            ex_toks = list(dict.fromkeys(
+                filter_tokens(tokenize(exclude, stem), self.cfg)))
+            ex = [self.postings(t) for t in ex_toks]
+            ex_ids = [e[0] for e in ex if e is not None]
+            if ex_ids:
+                cur = cur[~np.isin(cur, np.concatenate(ex_ids))]
+        return cur
 
     # Upper bound of the multiplicative metadata boosts (§2.9.7):
     # phrase 1.8 × title-pct (1+1·2.0) × desc-pct (1+1·1.0) × proximity 1.25

@@ -44,6 +44,49 @@ def test_search_page_slices_and_filters(built):
     assert all("org2/" not in r["url"] for r in excl["results"])
 
 
+def test_boolean_search_matches_bruteforce(built):
+    """boolean_search (and/or/exclude over the postings sets) vs a
+    per-document brute force over the SAME tokenize+filter term space the
+    index was built from (title=path ×, meta=repo+' '+lang, content)."""
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+
+    t = built.table
+    cols = {c: t[c].to_pylist() for c in ("repo", "path", "lang", "content")}
+    from conftest import oracle_docs
+    ids = [d["doc_id"] for d in oracle_docs(t)]
+    tsets = {}
+    for i, doc_id in enumerate(ids):
+        toks = []
+        for field in (cols["path"][i],
+                      cols["repo"][i] + " " + cols["lang"][i],
+                      cols["content"][i]):
+            toks += filter_tokens(tokenize(field), built.cfg)
+        tsets[doc_id] = set(toks)
+
+    cases = [("queue71 py", "and", ""), ("queue71 org2", "or", ""),
+             ("py", "and", "org2"), ("zzznope py", "and", ""),
+             ("zzznope", "or", ""), ("", "and", ""),
+             ("py py queue71", "and", ""),       # duplicate-token query
+             ("py", "or", "zzznope missing")]    # unindexed exclude terms
+    for q, mode, ex in cases:
+        qt = set(filter_tokens(tokenize(q), built.cfg))
+        ext = set(filter_tokens(tokenize(ex), built.cfg))
+        if not qt:
+            expect = set()
+        elif mode == "and":
+            expect = {i for i, s in tsets.items() if qt <= s}
+        else:
+            expect = {i for i, s in tsets.items() if qt & s}
+        expect = {i for i in expect if not (ext & tsets[i])}
+        got = eng.boolean_search(q, mode=mode, exclude=ex)
+        assert got.dtype == np.uint64, (q, mode)
+        assert list(got) == sorted(expect), (q, mode, ex)
+    with pytest.raises(ValueError):
+        eng.boolean_search("py", mode="xor")
+
+
 def test_sharded_service_bit_identical(built):
     """Doc-range-sharded serving (block-granular decode skipping via the
     codec v2 restart directory) must return BIT-identical results to a
