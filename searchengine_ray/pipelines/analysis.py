@@ -908,3 +908,59 @@ SELECT t.doc_id, count(*)::BIGINT AS n_tok,
             // count(*) AS BIGINT) AS rarity_u
 FROM tok t JOIN df d USING (term) GROUP BY t.doc_id
 """
+
+
+def phrase_match(ds: "ray.data.Dataset", phrase: str,
+                 cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+    """Exact-phrase grep over the FULL content token stream: doc_ids whose
+    filtered token sequence (code-aware tokenize + stopword/length filter —
+    the index's term space) contains the filtered tokens of ``phrase``
+    consecutively. Stopword-removed adjacency is the standard
+    positional-index-with-stopping semantics ('data the data' matches
+    'data data').
+
+    One streaming map_batches, zero shuffle: per row the filtered tokens
+    are re-assembled into a space-joined string (offsets from a bincount
+    of tokenize_column's doc_index) and matched against the space-padded
+    needle — a single vectorized substring kernel, no Python row loop.
+    Columns: doc_id (int64).
+    """
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+
+    stem = getattr(cfg, "stemmer", "none")
+    needle_toks = filter_tokens(tokenize(phrase, stem), cfg)
+    if not needle_toks:
+        return ds.map_batches(
+            lambda b: pa.table({"doc_id": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    needle = " " + " ".join(needle_toks) + " "
+
+    def match(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        counts = np.bincount(di, minlength=len(batch))
+        offsets = np.zeros(len(batch) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), toks)
+        joined = pc.binary_join(lists, " ")
+        padded = pc.binary_join_element_wise(" ", joined, " ", "")
+        hit = pc.match_substring(padded, needle)
+        ids = pc.filter(batch["doc_id"], hit)
+        return pa.table({"doc_id": pc.cast(ids, pa.int64())})
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def sql_phrase_match(phrase: str, cfg: IndexConfig = IndexConfig()) -> str:
+    """Twin of phrase_match: query-side analysis in Python via the SAME
+    functions, doc-side join/contains over the SQL token-list twin."""
+    from searchengine_ray.functions.tokenizer import (
+        filter_tokens, sql_filtered_tokens_expr, tokenize)
+    stem = getattr(cfg, "stemmer", "none")
+    needle_toks = filter_tokens(tokenize(phrase, stem), cfg)
+    if not needle_toks:
+        return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"
+    needle = (" " + " ".join(needle_toks) + " ").replace("'", "''")
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return (f"SELECT doc_id FROM (SELECT doc_id, "
+            f"' ' || array_to_string({toks}, ' ') || ' ' AS j "
+            f"FROM documents) WHERE contains(j, '{needle}')")

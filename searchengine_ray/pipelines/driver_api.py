@@ -309,6 +309,103 @@ def sql_boolean(query: str, mode: str, exclude: str = "",
             f"SELECT doc_id FROM docs WHERE {cond}")
 
 
+def q_phrase(sf_dir: str, phrase: str) -> pa.Table:
+    """Serving-field phrase retrieval (QueryEngine.phrase_search):
+    postings-narrowed candidates verified by the reference's substring
+    phrase check over title/meta/snippet."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    ids = eng.phrase_search(phrase)
+    metas = eng._doc_meta(ids) if len(ids) else []
+    orig = sorted(_orig_id_from_title(m["title"]) for m in metas)
+    return pa.table({"doc_id": pa.array(orig, type=pa.int64())})
+
+
+def sql_phrase(phrase: str, cfg: IndexConfig = CFG) -> str:
+    """Oracle for q_phrase: tokens-all-indexed (any field) AND the
+    lowercased phrase substring-contained in title, meta or snippet."""
+    stem = getattr(cfg, "stemmer", "none")
+    toks = list(dict.fromkeys(filter_tokens(tokenize(phrase, stem), cfg)))
+    needle = phrase.lower().strip()
+    if not toks or not needle:
+        return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"
+    ft = sql_filtered_tokens_expr(SQL_TITLE, cfg)
+    fm = sql_filtered_tokens_expr(SQL_META, cfg)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, cfg)
+
+    def has(t: str) -> str:
+        q = _sql_quote(t)
+        return (f"(list_contains(ftoks, {q}) OR list_contains(mtoks, {q}) "
+                f"OR list_contains(ctoks, {q}))")
+
+    nq = _sql_quote(needle)
+    return (
+        f"WITH docs AS (SELECT doc_id,\n"
+        f"  lower({SQL_TITLE}) AS title_l, lower({SQL_META}) AS meta_l,\n"
+        f"  lower(CASE WHEN length(text) > 0 THEN substr(text, 1, 200) "
+        f"|| '...' ELSE '' END) AS snippet_l,\n"
+        f"  {ft} AS ftoks, {fm} AS mtoks, {fc} AS ctoks FROM documents)\n"
+        f"SELECT doc_id FROM docs WHERE "
+        + " AND ".join(has(t) for t in toks)
+        + f" AND (contains(title_l, {nq}) OR contains(meta_l, {nq}) "
+          f"OR contains(snippet_l, {nq}))")
+
+
+def _sql_term_df_ctes(cfg: IndexConfig = CFG) -> str:
+    """WITH-chain ending in df(term, df) — the index vocabulary with
+    distinct-doc document frequency over ALL three indexed fields (the
+    exact term space the segment files' (term, df) columns carry)."""
+    ft = sql_filtered_tokens_expr(SQL_TITLE, cfg)
+    fm = sql_filtered_tokens_expr(SQL_META, cfg)
+    fc = sql_filtered_tokens_expr(SQL_CONTENT, cfg)
+    return (
+        f"WITH docs AS (SELECT doc_id, {ft} AS ftoks, {fm} AS mtoks, "
+        f"{fc} AS ctoks FROM documents),\n"
+        f"occ AS (SELECT doc_id, unnest(ftoks) AS term FROM docs\n"
+        f"  UNION SELECT doc_id, unnest(mtoks) FROM docs\n"
+        f"  UNION SELECT doc_id, unnest(ctoks) FROM docs),\n"
+        f"df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        f"FROM occ GROUP BY term)")
+
+
+def q_suggest(sf_dir: str, prefix: str, k: int) -> pa.Table:
+    """Prefix autocomplete over the index term dictionary."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    rows = eng.suggest(prefix, k)
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], type=pa.string()),
+        "df": pa.array([d for _, d in rows], type=pa.int64()),
+    })
+
+
+def sql_suggest(prefix: str, k: int, cfg: IndexConfig = CFG) -> str:
+    return (_sql_term_df_ctes(cfg)
+            + f"\nSELECT term, df FROM df "
+              f"WHERE starts_with(term, {_sql_quote(prefix)}) "
+              f"ORDER BY df DESC, term LIMIT {k}")
+
+
+def q_fuzzy(sf_dir: str, token: str, max_dist: int) -> pa.Table:
+    """Fuzzy term match (Levenshtein ≤ max_dist) over the term dictionary."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    rows = eng.fuzzy_terms(token, max_dist)
+    return pa.table({
+        "term": pa.array([t for t, _ in rows], type=pa.string()),
+        "df": pa.array([d for _, d in rows], type=pa.int64()),
+    })
+
+
+def sql_fuzzy(token: str, max_dist: int, cfg: IndexConfig = CFG) -> str:
+    return (_sql_term_df_ctes(cfg)
+            + f"\nSELECT term, df FROM df "
+              f"WHERE levenshtein(term, {_sql_quote(token)}) <= {max_dist}")
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -1374,6 +1471,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": q_doc_lengths,
         "index_stats": q_index_stats,
         "docstore_sha256": q_docstore_sha,
+        "phrase_match": lambda sf: analysis.phrase_match(
+            _docs(sf), "sort window", CFG),
+        "phrase_serving": lambda sf: q_phrase(sf, "src7 zh"),
+        "suggest_terms": lambda sf: q_suggest(sf, "s", 10),
+        "fuzzy_terms": lambda sf: q_fuzzy(sf, "src0", 1),
+        "events_hll_users": lambda sf: events.hll_distinct_users(
+            _events(sf, ["event_type", "user_id"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1445,6 +1549,11 @@ def build_oracles() -> dict[str, str]:
         "doc_lengths": sql_doc_lengths(),
         "index_stats": sql_index_stats(),
         "docstore_sha256": sql_docstore_sha(),
+        "phrase_match": analysis.sql_phrase_match("sort window", CFG),
+        "phrase_serving": sql_phrase("src7 zh"),
+        "suggest_terms": sql_suggest("s", 10),
+        "fuzzy_terms": sql_fuzzy("src0", 1),
+        "events_hll_users": events.sql_hll_distinct_users(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

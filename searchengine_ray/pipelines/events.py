@@ -984,3 +984,125 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-user sketch (the mergeable-sketch custom operator)
+# ---------------------------------------------------------------------------
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 64 - HLL_P        # 56 low bits feed the rank
+_HLL_WMASK = np.uint64((1 << _HLL_WBITS) - 1)
+_HLL_SCALE = 1 << (_HLL_WBITS + 1)   # 2^57: S = Σ 2^(57−M_j) is integer-exact
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float round-trip — a
+    2^k−ε value must NOT round up across the power-of-two boundary)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= np.uint64(1 << s)
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
+def hll_distinct_users(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Approximate distinct user_id per event_type via a deterministic
+    HyperLogLog sketch (Flajolet et al. 2007), p=8 / 256 registers,
+    hash = first 8 bytes (big-endian) of md5(str(user_id)) — the repo's
+    SQL-reproducible hash discipline, so the estimate is EXACTLY
+    restatable in the DuckDB oracle.
+
+    Mergeable-sketch shape: each batch emits ≤ types×256 (event_type,
+    bucket, max-rank) partial registers — the shuffle moves registers,
+    never users; register merge is max, so the sketch is associative /
+    re-aggregable at any fan-in (the 100-TB property). The estimator is
+    integer-exact cross-engine: Σ 2^(−M_j) is carried as the integer
+    S = Σ 2^(57−M_j) (absent registers contribute 2^57), so the only
+    float ops are one division and (in the small-range branch) one ln —
+    identical operation order both sides, round(·,6) emitted.
+
+    Columns: event_type (string), est_r (float64).
+    """
+    import hashlib
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(uid, return_inverse=True)
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+             for u in uniq),
+            dtype=np.uint64, count=len(uniq))[codes]
+        bucket = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & _HLL_WMASK
+        rho = (_HLL_WBITS + 1) - _bit_length_u64(w)
+        t = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "bucket": pa.array(bucket),
+            "rho": pa.array(rho),
+        })
+        g = t.group_by(["event_type", "bucket"], use_threads=False) \
+             .aggregate([("rho", "max")])
+        return pa.table({"event_type": g["event_type"],
+                         "bucket": g["bucket"],
+                         "rho": pc.cast(g["rho_max"], pa.int64())})
+
+    def estimate(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type", "bucket"], use_threads=False) \
+                .aggregate([("rho", "max")])
+        types = g["event_type"].to_pylist()
+        rhos = g["rho_max"].to_numpy(zero_copy_only=False)
+        out_t, out_e = [], []
+        for et in sorted(set(types)):
+            mj = [int(r) for t, r in zip(types, rhos) if t == et]
+            zeros = HLL_M - len(mj)
+            s = sum(1 << (_HLL_WBITS + 1 - m) for m in mj) \
+                + zeros * _HLL_SCALE
+            est = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 \
+                * float(_HLL_SCALE) / float(s)
+            if est <= 2.5 * HLL_M and zeros > 0:
+                est = 256.0 * np.log(256.0 / zeros)
+            out_t.append(et)
+            out_e.append(round(est, 6))
+        return pa.table({"event_type": pa.array(out_t, type=pa.string()),
+                         "est_r": pa.array(out_e, type=pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["event_type"], estimate)
+
+
+def sql_hll_distinct_users() -> str:
+    """Exact twin of hll_distinct_users (same hash, same integer S, same
+    float operation order)."""
+    wbits, scale = _HLL_WBITS, _HLL_SCALE
+    wmask = (1 << wbits) - 1
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM events),
+r AS (
+  SELECT event_type, CAST(h >> {wbits} AS BIGINT) AS bucket,
+         CASE WHEN (h & {wmask}::UBIGINT) = 0 THEN {wbits + 1}
+              ELSE {wbits + 1} - length(bin(h & {wmask}::UBIGINT)) END AS rho
+  FROM h),
+m AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+s AS (SELECT event_type,
+             sum(CAST(1 AS BIGINT) << ({wbits + 1} - mj))
+               + (256 - count(*))::HUGEINT * {scale}::HUGEINT AS s_int,
+             CAST(256 - count(*) AS DOUBLE) AS zeros
+      FROM m GROUP BY 1)
+SELECT event_type,
+       round(CASE WHEN est <= 640.0 AND zeros > 0
+                  THEN 256.0 * ln(256.0 / zeros) ELSE est END, 6) AS est_r
+FROM (SELECT event_type, zeros,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               * CAST({scale} AS DOUBLE) / CAST(s_int AS DOUBLE) AS est
+      FROM s) t
+"""

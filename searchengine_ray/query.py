@@ -69,6 +69,28 @@ def _paginate(search_fn, query: str, page: int, per_page: int,
     }
 
 
+def _levenshtein_banded(a: str, b: str, cap: int) -> int:
+    """Unit-cost Levenshtein distance (insert/delete/substitute), early-out
+    to ``cap + 1`` once a full DP row exceeds ``cap`` — matches DuckDB's
+    ``levenshtein`` on the reachable range."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return min(prev[lb], cap + 1)
+
+
 class QueryEngine:
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
                  qcfg: QueryConfig = QueryConfig(), *,
@@ -578,6 +600,107 @@ class QueryEngine:
             if ex_ids:
                 cur = cur[~np.isin(cur, np.concatenate(ex_ids))]
         return cur
+
+    def phrase_search(self, phrase: str) -> np.ndarray:
+        """Phrase retrieval over the serving fields: ascending doc_ids
+        that (a) contain EVERY filtered token of ``phrase`` in their
+        indexed term set — inverted-index candidate narrowing via
+        :meth:`boolean_search` — and (b) whose lowercased title, meta or
+        snippet contains the lowercased phrase as a substring.
+
+        (b) is the reference's exact phrase-boost check
+        (indexer.py:380-395: ``original_query in title/desc/snippet``)
+        promoted from a ×1.8/1.5/1.3 score multiplier to a retrieval
+        mode; the docstore stores no full content, so — like the
+        reference — content-body phrases are out of scope here (use
+        ``pipelines.analysis.phrase_match`` for a full-content scan).
+        The narrowing makes the scan per-candidate, not per-corpus:
+        only postings-qualified docs ever touch the docstore.
+        """
+        cand = self.boolean_search(phrase, mode="and")
+        needle = phrase.lower().strip()
+        if cand.size == 0 or not needle:
+            return np.empty(0, dtype=np.uint64)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        title_l, meta_l, snip_l = self._doc_fields_lower(cand)
+        m = pc.or_(pc.or_(pc.match_substring(title_l, needle),
+                          pc.match_substring(meta_l, needle)),
+                   pc.match_substring(snip_l, needle))
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return cand[m.to_numpy(zero_copy_only=False)]
+
+    # -- term-dictionary serving (suggest / fuzzy) -------------------------
+    def _term_dictionary(self):
+        """(term, df) over all posting partitions — a column-pruned scan of
+        the two smallest segment columns (the postings blobs never leave
+        disk). Salted hot terms appear once per salted partition with a
+        partial df, so the scan ends in a per-term df sum. Cached: the
+        dictionary is the index's vocabulary, immutable for an engine's
+        lifetime. At cluster scale this is per-shard metadata (terms are
+        ≤20 chars, df is 4 bytes — orders of magnitude below the postings)."""
+        if getattr(self, "_term_dict", None) is not None:
+            return self._term_dict
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        parts = []
+        for part in range(self.num_partitions):
+            p = self._part_path(part)
+            if os.path.exists(p):
+                parts.append(pq.read_table(p, columns=["term", "df"]))
+        if parts:
+            t = (pa.concat_tables(parts)
+                 .group_by(["term"], use_threads=False)
+                 .aggregate([("df", "sum")]))
+            t = pa.table({"term": pc.cast(t["term"], pa.string()),
+                          "df": pc.cast(t["df_sum"], pa.int64())})
+        else:
+            t = pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64())})
+        self._term_dict = t
+        return t
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete over the index vocabulary: top-``k``
+        (term, df) with term starting with ``prefix`` (lowercased — the
+        term space is lowercase by construction), ordered by
+        (df DESC, term ASC) — a deterministic total order shared with the
+        SQL oracle."""
+        import pyarrow.compute as pc
+        prefix = prefix.lower().strip()
+        if not prefix:
+            return []
+        t = self._term_dictionary()
+        t = t.filter(pc.starts_with(t["term"], prefix))
+        terms = np.asarray(t["term"].to_pandas(), dtype=object)
+        dfs = t["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -dfs))[:k]
+        return [(str(terms[i]), int(dfs[i])) for i in order]
+
+    def fuzzy_terms(self, token: str, max_dist: int = 1
+                    ) -> list[tuple[str, int]]:
+        """All index terms within Levenshtein distance ``max_dist`` of
+        ``token`` (unit-cost insert/delete/substitute — DuckDB/PostgreSQL
+        ``levenshtein`` semantics), with df, term-ascending. The length
+        band |len(term) − len(token)| ≤ max_dist prunes the dictionary
+        before the DP runs (distance is bounded below by the length gap)."""
+        import pyarrow.compute as pc
+        token = token.lower().strip()
+        if not token:
+            return []
+        t = self._term_dictionary()
+        lens = pc.utf8_length(t["term"])
+        band = pc.and_(pc.greater_equal(lens, len(token) - max_dist),
+                       pc.less_equal(lens, len(token) + max_dist))
+        t = t.filter(band)
+        out = []
+        for term, df in zip(t["term"].to_pylist(),
+                            t["df"].to_pylist()):
+            if _levenshtein_banded(token, term, max_dist) <= max_dist:
+                out.append((term, int(df)))
+        out.sort()
+        return out
 
     # Upper bound of the multiplicative metadata boosts (§2.9.7):
     # phrase 1.8 × title-pct (1+1·2.0) × desc-pct (1+1·1.0) × proximity 1.25

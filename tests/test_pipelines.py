@@ -1520,3 +1520,78 @@ def test_mixture_sample_matches_bruteforce(ray_session):
         bud = budgets.get(s, 500)
         assert max(cb for cb, _ in picked) < bud
         assert sum(nt for _, nt in picked) + 0 >= bud - 60  # filled
+
+
+# ---------------------------------------------------------------------------
+# phrase_match (full-content phrase grep)
+# ---------------------------------------------------------------------------
+
+def test_phrase_match_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import phrase_match
+
+    cfg = IndexConfig()
+    texts = [
+        "alpha beta gamma delta",          # plain adjacency
+        "alpha the beta",                  # stopword between -> still adjacent
+        "beta alpha",                      # reversed, no match
+        "alpha betax gamma",               # token mismatch
+        "xx alpha-beta yy",                # hyphen splits into adjacency
+        "",                                # empty
+        "alpha beta alpha beta",           # repeated
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    ds = ray.data.from_arrow(t)
+
+    def brute(phrase):
+        nt = filter_tokens(tokenize(phrase), cfg)
+        out = []
+        for i, txt in enumerate(texts):
+            toks = filter_tokens(tokenize(txt), cfg)
+            if nt and any(toks[j:j + len(nt)] == nt
+                          for j in range(len(toks) - len(nt) + 1)):
+                out.append(i)
+        return out
+
+    for phrase in ("alpha beta", "beta gamma", "alpha the beta",
+                   "gamma delta", "nope alpha", ""):
+        got = sorted(r["doc_id"] for r in phrase_match(ds, phrase, cfg).take_all())
+        assert got == brute(phrase), phrase
+    # stopword-removed adjacency: doc 1 and doc 4 match "alpha beta"
+    assert 1 in brute("alpha beta") and 4 in brute("alpha beta")
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-user sketch
+# ---------------------------------------------------------------------------
+
+def test_hll_distinct_users_accuracy_and_mergeability(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.events import hll_distinct_users
+
+    rng = np.random.default_rng(11)
+    rows_t, rows_u = [], []
+    truth = {"click": 1500, "view": 400, "buy": 37}
+    for et, n in truth.items():
+        users = rng.choice(100_000, size=n, replace=False)
+        # repeat users so the sketch sees duplicates
+        reps = np.concatenate([users, rng.choice(users, size=2 * n)])
+        rows_t += [et] * len(reps)
+        rows_u += reps.tolist()
+    t = pa.table({"event_type": pa.array(rows_t, type=pa.string()),
+                  "user_id": pa.array(rows_u, type=pa.int64())})
+
+    def run(num_blocks):
+        ds = ray.data.from_arrow(t).repartition(num_blocks)
+        return {r["event_type"]: r["est_r"]
+                for r in hll_distinct_users(ds).take_all()}
+
+    est = run(4)
+    for et, n in truth.items():
+        assert abs(est[et] - n) / n < 0.15, (et, est[et], n)
+    # mergeable-sketch property: register merge is max -> estimate is
+    # invariant to how rows are split into batches/blocks
+    assert run(1) == est and run(13) == est

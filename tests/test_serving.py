@@ -931,3 +931,90 @@ def test_embeddings_rebuild_on_corpus_or_model_change(built, tmp_path):
     build_doc_embeddings(index_dir, embedder=HashedBowModel(dim=32))
     assert os.path.getmtime(
         os.path.join(out, "_EMBED_MANIFEST.json")) == m2
+
+
+def _term_space(built):
+    """Brute-force (term -> set of doc_ids) over the SAME three indexed
+    fields the build tokenizes (title=path, meta=repo+' '+lang, content)."""
+    from conftest import oracle_docs
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    spaces = {}
+    for d in oracle_docs(built.table):
+        toks = set()
+        for field in (d["path"], d["repo"] + " " + d["lang"], d["content"]):
+            toks.update(filter_tokens(tokenize(field), built.cfg))
+        for t in toks:
+            spaces.setdefault(t, set()).add(d["doc_id"])
+    return spaces
+
+
+def test_term_dictionary_suggest_matches_bruteforce(built):
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+    spaces = _term_space(built)
+    # full dictionary df parity (covers salted-term df re-summing)
+    t = eng._term_dictionary()
+    got = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    assert got == {term: len(ids) for term, ids in spaces.items()}
+    # prefix suggest: same (df DESC, term ASC) order as the oracle
+    for prefix, k in (("s", 5), ("queue", 10), ("p", 3), ("zzz", 4)):
+        expect = sorted(((term, len(ids)) for term, ids in spaces.items()
+                         if term.startswith(prefix)),
+                        key=lambda r: (-r[1], r[0]))[:k]
+        assert eng.suggest(prefix, k) == expect, prefix
+    assert eng.suggest("", 5) == []
+
+
+def test_fuzzy_terms_matches_duckdb_levenshtein(built):
+    import duckdb
+    from searchengine_ray.query import QueryEngine, _levenshtein_banded
+    eng = QueryEngine(built.index_dir, built.cfg)
+    spaces = _term_space(built)
+    con = duckdb.connect()
+    vocab = sorted(spaces)
+    for probe, d in (("queue71", 1), ("py", 1), ("module", 2), ("src", 1)):
+        ref = con.execute(
+            "SELECT t FROM (SELECT unnest(?::VARCHAR[]) t) "
+            "WHERE levenshtein(t, ?) <= ?", [vocab, probe, d]).fetchall()
+        expect = sorted((t, len(spaces[t])) for (t,) in ref)
+        assert eng.fuzzy_terms(probe, d) == expect, probe
+    # the DP itself against DuckDB on random strings (incl. cap behavior)
+    rng = np.random.default_rng(3)
+    alpha = "abcde"
+    for _ in range(200):
+        a = "".join(rng.choice(list(alpha), size=rng.integers(0, 8)))
+        b = "".join(rng.choice(list(alpha), size=rng.integers(0, 8)))
+        ref = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for cap in (1, 2, 3):
+            got = _levenshtein_banded(a, b, cap)
+            assert got == (ref if ref <= cap else cap + 1), (a, b, cap)
+
+
+def test_phrase_search_reference_field_semantics(built):
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.query import QueryEngine
+    from conftest import oracle_docs
+    eng = QueryEngine(built.index_dir, built.cfg)
+    docs = oracle_docs(built.table)
+    spaces = _term_space(built)
+
+    def brute(phrase):
+        toks = set(filter_tokens(tokenize(phrase), built.cfg))
+        needle = phrase.lower().strip()
+        if not toks or not needle:
+            return []
+        out = []
+        for d in docs:
+            if not all(d["doc_id"] in spaces.get(t, ()) for t in toks):
+                continue
+            title = d["path"].lower()
+            meta = (d["repo"] + " " + d["lang"]).lower()
+            snip = (d["content"][:200] + "...") if d["content"] else ""
+            if needle in title or needle in meta or needle in snip.lower():
+                out.append(d["doc_id"])
+        return sorted(out)
+
+    for phrase in ("py org2", "src/module", "org0/proj1 java",
+                   "nope nothing", ""):
+        got = eng.phrase_search(phrase)
+        assert list(got) == brute(phrase), phrase
