@@ -352,6 +352,39 @@ def sql_phrase(phrase: str, cfg: IndexConfig = CFG) -> str:
           f"OR contains(snippet_l, {nq}))")
 
 
+def q_facets(sf_dir: str, query: str) -> pa.Table:
+    """Facet counts (by source and lang) over the query's BM25 result set
+    — QueryEngine.facet_counts with the adapted-schema field mapping
+    (docstore repo == documents.source)."""
+    from searchengine_ray.query import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx, CFG, QCFG)
+    rows = eng.facet_counts(query, fields=("repo", "lang"))
+    names = {"repo": "source", "lang": "lang"}
+    return pa.table({
+        "facet": pa.array([names[f] for f, _, _ in rows], type=pa.string()),
+        "value": pa.array([v for _, v, _ in rows], type=pa.string()),
+        "n": pa.array([c for _, _, c in rows], type=pa.int64()),
+    })
+
+
+def sql_facets(query: str, cfg: IndexConfig = CFG,
+               qcfg: QueryConfig = QCFG) -> str:
+    """Oracle for q_facets: hits = the sql_bm25 scored set, facets via a
+    join back to the documents table."""
+    ctes = _sql_bm25_ctes(query, cfg, qcfg)
+    if ctes is None:
+        return ("SELECT 'x' AS facet, 'x' AS value, "
+                "CAST(1 AS BIGINT) AS n WHERE false")
+    return (ctes + f""",
+hits AS (SELECT doc_id FROM final WHERE s > {qcfg.min_score})
+SELECT 'source' AS facet, source AS value, CAST(count(*) AS BIGINT) AS n
+FROM hits JOIN documents USING (doc_id) GROUP BY source
+UNION ALL
+SELECT 'lang', lang, CAST(count(*) AS BIGINT)
+FROM hits JOIN documents USING (doc_id) GROUP BY lang""")
+
+
 def _sql_term_df_ctes(cfg: IndexConfig = CFG) -> str:
     """WITH-chain ending in df(term, df) — the index vocabulary with
     distinct-doc document frequency over ALL three indexed fields (the
@@ -1478,6 +1511,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": lambda sf: q_fuzzy(sf, "src0", 1),
         "events_hll_users": lambda sf: events.hll_distinct_users(
             _events(sf, ["event_type", "user_id"])),
+        "facets_bm25": lambda sf: q_facets(sf, "zh dup"),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1554,6 +1588,7 @@ def build_oracles() -> dict[str, str]:
         "suggest_terms": sql_suggest("s", 10),
         "fuzzy_terms": sql_fuzzy("src0", 1),
         "events_hll_users": events.sql_hll_distinct_users(),
+        "facets_bm25": sql_facets("zh dup"),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

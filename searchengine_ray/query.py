@@ -631,6 +631,31 @@ class QueryEngine:
             m = m.combine_chunks()
         return cand[m.to_numpy(zero_copy_only=False)]
 
+    def facet_counts(self, query: str, fields: tuple[str, ...] = ("repo", "lang"),
+                     top_k: int = 1 << 30) -> list[tuple[str, str, int]]:
+        """Facet counts over a query's BM25 result set: for each docstore
+        field in ``fields``, the number of hits per distinct value —
+        the standard search-UI sidebar (results by repo / language).
+
+        The result set is the scored set (normalized score > min_score,
+        the same set `search` returns); facet values come from a
+        doc_id-pushdown docstore fetch of ONLY the facet columns, so the
+        scan is per-hit and column-pruned, never per-corpus. Returns
+        (field, value, count) rows, (field, value)-sorted.
+        """
+        res = self.search(query, top_k=top_k)
+        if not res:
+            return []
+        ids = np.sort(np.array([r["doc_id"] for r in res], dtype=np.uint64))
+        t = self._fetch_doc_rows(ids, list(dict.fromkeys(fields)))
+        out = []
+        for f in dict.fromkeys(fields):
+            col = t[f].to_pylist()
+            vals, counts = np.unique(np.array(col, dtype=object),
+                                     return_counts=True)
+            out += [(f, str(v), int(c)) for v, c in zip(vals, counts)]
+        return out
+
     # -- term-dictionary serving (suggest / fuzzy) -------------------------
     def _term_dictionary(self):
         """(term, df) over all posting partitions — a column-pruned scan of

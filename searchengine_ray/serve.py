@@ -126,6 +126,28 @@ class SearchApp:
             self._search_fn(query, top_k=limit * 2))[:limit]
         return {"results": results, "total": len(results)}
 
+    def api_suggest(self, prefix: str, k: int = 10) -> dict:
+        """``/api/suggest`` — engine extension beyond the reference app:
+        prefix autocomplete over the index term dictionary
+        (QueryEngine.suggest). Backends without a term dictionary (pools,
+        bare callables) yield an empty list rather than 500."""
+        fn = getattr(self.backend, "suggest", None)
+        if fn is None or not prefix:
+            return {"suggestions": []}
+        return {"suggestions": [{"term": t, "df": d}
+                                for t, d in fn(prefix, k)]}
+
+    def api_facets(self, query: str) -> dict:
+        """``/api/facets`` — engine extension: per-field hit counts over
+        the query's scored result set (QueryEngine.facet_counts)."""
+        fn = getattr(self.backend, "facet_counts", None)
+        if fn is None or not query:
+            return {"facets": {}}
+        out: dict[str, dict[str, int]] = {}
+        for f, v, c in fn(query):
+            out.setdefault(f, {})[v] = c
+        return {"facets": out}
+
     def health(self) -> tuple[int, dict]:
         """``/health`` payload + status code (app.py:246-274)."""
         try:
@@ -188,6 +210,13 @@ class SearchHTTPServer:
                         lim = _int(first.get("limit"), None)
                         self._json(200, outer.app.api_search(
                             first.get("q", ""), lim))
+                    elif u.path == "/api/suggest":
+                        self._json(200, outer.app.api_suggest(
+                            first.get("q", ""),
+                            _int(first.get("k"), 10)))
+                    elif u.path == "/api/facets":
+                        self._json(200, outer.app.api_facets(
+                            first.get("q", "")))
                     elif u.path in ("/health", "/api/health"):
                         code, payload = outer.app.health()
                         self._json(code, payload)

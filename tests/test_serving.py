@@ -1018,3 +1018,45 @@ def test_phrase_search_reference_field_semantics(built):
                    "nope nothing", ""):
         got = eng.phrase_search(phrase)
         assert list(got) == brute(phrase), phrase
+
+
+def test_facet_counts_matches_results(built):
+    from collections import Counter
+
+    from conftest import oracle_docs
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+    meta = {d["doc_id"]: (d["repo"], d["lang"]) for d in oracle_docs(built.table)}
+    for q in ("py org2", "queue71", "nosuchterm"):
+        res = eng.search(q, top_k=1 << 30)
+        repo_c = Counter(meta[r["doc_id"]][0] for r in res)
+        lang_c = Counter(meta[r["doc_id"]][1] for r in res)
+        expect = sorted([("repo", v, c) for v, c in repo_c.items()]) + \
+                 sorted([("lang", v, c) for v, c in lang_c.items()])
+        assert eng.facet_counts(q) == expect, q
+
+
+def test_http_suggest_and_facets_endpoints(http_server):
+    srv, app, eng = http_server
+    code, body = _get(srv.port, "/api/suggest?q=queue&k=5")
+    assert code == 200
+    assert body["suggestions"] == [
+        {"term": t, "df": d} for t, d in eng.suggest("queue", 5)]
+    assert body["suggestions"]  # non-trivial on this corpus
+    code, body = _get(srv.port, "/api/suggest?q=")
+    assert (code, body) == (200, {"suggestions": []})
+    code, body = _get(srv.port, "/api/facets?q=py%20org2")
+    assert code == 200
+    expect = {}
+    for f, v, c in eng.facet_counts("py org2"):
+        expect.setdefault(f, {})[v] = c
+    assert body["facets"] == expect and "repo" in expect
+    # backends without the term dictionary degrade to empty, not 500
+    from searchengine_ray.serve import SearchApp
+
+    class _Bare:
+        def search(self, q, top_k):
+            return []
+    bare = SearchApp(_Bare())
+    assert bare.api_suggest("x") == {"suggestions": []}
+    assert bare.api_facets("x") == {"facets": {}}
