@@ -618,3 +618,51 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
                       .groupby("part")
                       .map_groups(emit, batch_format="pyarrow"))
     return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)
+
+
+def neardup_cluster_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The canonical near-dedup curation step: near-dup CLUSTERS → keep
+    exactly ONE representative per cluster (longest text wins,
+    doc_id-ascending tie-break — a deterministic quality rule shared with
+    the SQL oracle).
+
+    Composition of three existing distributed operators, no new shuffle
+    primitive: minhash_lsh_pairs (m31 family) → graph.connected_components
+    → equi_join back to per-doc char lengths → per-cluster vectorized
+    argmax inside coarse hash partitions (grouped_aggregate — the
+    per-cluster pick is a lexsort + run-boundary mask over the whole
+    partition, not a per-group Python loop).
+
+    Columns: doc_id (int64), keep (bool). Isolated docs (no near-dup) are
+    their own cluster → keep=true.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.graph import connected_components
+    from searchengine_ray.pipelines.join import equi_join
+
+    pairs = minhash_lsh_pairs(docs, family="m31")
+    comp = connected_components(pairs, docs.select_columns(["doc_id"]))
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "nchars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    joined = equi_join(comp, docs.map_batches(lens, batch_format="pyarrow"),
+                       "doc_id", "doc_id", ["component_id"], ["nchars"])
+
+    def pick(part: pa.Table) -> pa.Table:
+        ids = part["key"].to_numpy(zero_copy_only=False)
+        comp_ids = part["component_id"].to_numpy(zero_copy_only=False)
+        nch = part["nchars"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch, comp_ids))
+        first = np.empty(len(order), dtype=bool)
+        first[0:1] = True
+        first[1:] = comp_ids[order[1:]] != comp_ids[order[:-1]]
+        keep = np.empty(len(order), dtype=bool)
+        keep[order] = first
+        return pa.table({"doc_id": pa.array(ids),
+                         "keep": pa.array(keep)})
+
+    return grouped_aggregate(joined, ["component_id"], pick)

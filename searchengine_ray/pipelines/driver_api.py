@@ -886,6 +886,19 @@ FROM reach GROUP BY node
 """
 
 
+def sql_cluster_keep() -> str:
+    """Oracle for dedup.neardup_cluster_keep: components oracle (itself a
+    WITH RECURSIVE restatement of the LSH pair graph closure) + a
+    (length DESC, doc_id ASC) window pick per component."""
+    return f"""
+WITH comp AS ({sql_minhash_components()})
+SELECT c.doc_id,
+       (row_number() OVER (PARTITION BY c.component_id
+                           ORDER BY length(d.text) DESC, c.doc_id) = 1)
+         AS keep
+FROM comp c JOIN documents d USING (doc_id)"""
+
+
 def sql_simhash(cfg: IndexConfig = CFG) -> str:
     toks = sql_filtered_tokens_expr("text", cfg)
     chunk_cols = ", ".join(
@@ -1512,6 +1525,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": lambda sf: events.hll_distinct_users(
             _events(sf, ["event_type", "user_id"])),
         "facets_bm25": lambda sf: q_facets(sf, "zh dup"),
+        "dedup_cluster_keep": lambda sf: dedup.neardup_cluster_keep(
+            _docs(sf)),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1589,6 +1604,7 @@ def build_oracles() -> dict[str, str]:
         "fuzzy_terms": sql_fuzzy("src0", 1),
         "events_hll_users": events.sql_hll_distinct_users(),
         "facets_bm25": sql_facets("zh dup"),
+        "dedup_cluster_keep": sql_cluster_keep(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1595,3 +1595,38 @@ def test_hll_distinct_users_accuracy_and_mergeability(ray_session):
     # mergeable-sketch property: register merge is max -> estimate is
     # invariant to how rows are split into batches/blocks
     assert run(1) == est and run(13) == est
+
+
+def test_neardup_cluster_keep_matches_bruteforce(docs_ds):
+    from searchengine_ray.pipelines.dedup import (minhash_lsh_pairs,
+                                                  neardup_cluster_keep)
+    t = docs_table()
+    ids = t["doc_id"].to_pylist()
+    texts = dict(zip(ids, t["text"].to_pylist()))
+    pairs = [(r["a_id"], r["b_id"])
+             for r in minhash_lsh_pairs(docs_ds, family="m31").take_all()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters = {}
+    for i in ids:
+        clusters.setdefault(find(i), []).append(i)
+    expect = {}
+    for members in clusters.values():
+        best = min(members, key=lambda i: (-len(texts[i]), i))
+        for i in members:
+            expect[i] = (i == best)
+    got = {r["doc_id"]: r["keep"]
+           for r in neardup_cluster_keep(docs_ds).take_all()}
+    assert got == expect
+    # the planted exact-dup groups (3,10), (7,25), (5,41,40-near) each
+    # keep exactly one member
+    for group in ([3, 10], [7, 25], [5, 41]):
+        assert sum(got[i] for i in group) == 1
