@@ -964,3 +964,96 @@ def sql_phrase_match(phrase: str, cfg: IndexConfig = IndexConfig()) -> str:
     return (f"SELECT doc_id FROM (SELECT doc_id, "
             f"' ' || array_to_string({toks}, ' ') || ' ' AS j "
             f"FROM documents) WHERE contains(j, '{needle}')")
+
+
+def doc_keywords(ds: "ray.data.Dataset", k: int = 3,
+                 cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+    """Per-document keyword extraction: top-``k`` content terms by scaled
+    integer tf·idf (tf × (N·10^6 // df)), tie-broken term-ascending — the
+    deterministic total order shared with the SQL twin.
+
+    Same two-phase shape as :func:`doc_rarity`: the vocabulary-bounded df
+    table is broadcast once (``ray.put``), then ONE streaming pass computes
+    per-(doc, term) tf by run-length over a lexsort and picks each doc's
+    top-k with a vectorized rank-since-run-start — no per-doc Python loop,
+    no second shuffle. The broadcast table is sorted by term so the
+    in-kernel tie-break can use integer term codes.
+
+    Columns: doc_id, rank (1..k), term, score_u — all int64/string.
+    """
+    import ray
+
+    n_docs = ds.count()
+    dft = pa.concat_tables(
+        [pa.table(b) for b in
+         term_df(ds, cfg).iter_batches(batch_format="pyarrow")]
+    ).sort_by("term")
+    ref = ray.put((dft["term"].combine_chunks(),
+                   dft["df"].to_numpy(zero_copy_only=False)))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        terms, dfs = ray.get(ref)
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        ids = pc.cast(batch["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "score_u": pa.array([], type=pa.int64())})
+        if len(di) == 0:
+            return empty
+        idx = pc.index_in(toks, value_set=terms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # tf per (doc, term): run-length over (doc, term-code) order
+        order = np.lexsort((idx, di))
+        d_s, t_s = di[order], idx[order]
+        new = np.empty(len(order), dtype=bool)
+        new[0] = True
+        new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(order))).astype(np.int64)
+        gd, gt = d_s[starts], t_s[starts]
+        score = tf * ((n_docs * RARITY_SCALE) // dfs[gt])
+        # top-k per doc: (doc, score DESC, term-code ASC) then rank
+        # within each doc run (codes are term-lexicographic: sorted table)
+        ord2 = np.lexsort((gt, -score, gd))
+        gd2 = gd[ord2]
+        run_start = np.empty(len(ord2), dtype=np.int64)
+        newd = np.empty(len(ord2), dtype=bool)
+        newd[0] = True
+        newd[1:] = gd2[1:] != gd2[:-1]
+        pos = np.arange(len(ord2), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(newd, pos, 0))
+        rank = pos - run_start + 1
+        keep = rank <= k
+        sel = ord2[keep]
+        return pa.table({
+            "doc_id": pa.array(ids[gd2[keep]]),
+            "rank": pa.array(rank[keep]),
+            "term": pc.take(terms, pa.array(gt[sel])),
+            "score_u": pa.array(score[sel]),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def sql_doc_keywords(k: int = 3, cfg: IndexConfig = IndexConfig()) -> str:
+    """Exact twin of doc_keywords (same integer tf·idf, same total order)."""
+    from searchengine_ray.functions.tokenizer import sql_filtered_tokens_expr
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+s AS (SELECT doc_id, term,
+             tf * ((SELECT n FROM n) * {RARITY_SCALE} // df) AS score_u
+      FROM tf JOIN df USING (term))
+SELECT doc_id, CAST(row_number() OVER w AS BIGINT) AS rank, term, score_u
+FROM s
+WINDOW w AS (PARTITION BY doc_id ORDER BY score_u DESC, term)
+QUALIFY row_number() OVER w <= {k}
+"""

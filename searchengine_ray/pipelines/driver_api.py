@@ -1527,6 +1527,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "facets_bm25": lambda sf: q_facets(sf, "zh dup"),
         "dedup_cluster_keep": lambda sf: dedup.neardup_cluster_keep(
             _docs(sf)),
+        "doc_keywords": lambda sf: analysis.doc_keywords(_docs(sf)),
+        "events_global_rank": lambda sf: events.global_value_rank(
+            _events(sf, ["event_id", "value"])),
+        "events_value_zscore": lambda sf: events.value_zscore(
+            _events(sf, ["event_id", "event_type", "value"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1605,6 +1610,9 @@ def build_oracles() -> dict[str, str]:
         "events_hll_users": events.sql_hll_distinct_users(),
         "facets_bm25": sql_facets("zh dup"),
         "dedup_cluster_keep": sql_cluster_keep(),
+        "doc_keywords": analysis.sql_doc_keywords(),
+        "events_global_rank": events.sql_global_value_rank(),
+        "events_value_zscore": events.sql_value_zscore(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

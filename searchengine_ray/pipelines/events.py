@@ -1106,3 +1106,153 @@ FROM (SELECT event_type, zeros,
                * CAST({scale} AS DOUBLE) / CAST(s_int AS DOUBLE) AS est
       FROM s) t
 """
+
+
+def global_value_rank(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Global rank of every event by value DESC (``rank()`` semantics:
+    1 + count of strictly greater values; ties share a rank) — the
+    distributed-global-sort-rank operator, WITHOUT a global sort.
+
+    Bounded-domain broadcast-histogram pattern (same cut as
+    value_quantiles): phase 1 builds the exact (value_c, count)
+    histogram — partial per batch, digest-sized shuffle, only histogram
+    rows reach the driver; the DESC-sorted exclusive prefix sum gives
+    each value its rank, broadcast once via ``ray.put``; phase 2 is one
+    streaming searchsorted lookup per batch. The corpus is never sorted
+    and never re-shuffled. Columns: event_id, rnk (int64).
+    """
+    import ray
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        u, c = np.unique(vc, return_counts=True)
+        return pa.table({"vc": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def hreduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["vc"], use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"vc": g["vc"], "n": g["n_sum"]})
+
+    hist = pa.concat_tables(
+        [pa.table(b) for b in
+         grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                           ["vc"], hreduce).iter_batches(batch_format="pyarrow")])
+    vals = hist["vc"].to_numpy(zero_copy_only=False)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-vals, kind="stable")
+    vals_desc, cnts_desc = vals[order], cnts[order]
+    ranks_desc = np.ones(len(vals_desc), dtype=np.int64)
+    ranks_desc[1:] += np.cumsum(cnts_desc[:-1])
+    # re-sort ascending for searchsorted lookups
+    asc = np.argsort(vals_desc, kind="stable")
+    ref = ray.put((vals_desc[asc], ranks_desc[asc]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v_asc, r_asc = ray.get(ref)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        pos = np.searchsorted(v_asc, vc)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "rnk": pa.array(r_asc[pos]),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_global_value_rank() -> str:
+    return ("SELECT event_id, CAST(rank() OVER (ORDER BY "
+            "CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT) AS rnk "
+            "FROM events")
+
+
+def value_zscore(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-event z-score of value within its event_type — feature
+    normalization as a two-phase broadcast-stats pipeline: phase 1
+    aggregates EXACT integer moments (n, Σc, Σc²) per type (partial per
+    batch, shuffle moves ≤ types rows per batch); phase 2 streams the
+    normalization. All float ops happen in one shared operation order on
+    integer inputs (population variance), so the SQL twin is bit-exact
+    before the shared round(·,6). Columns: event_id, z_r (float64).
+    """
+    import ray
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def mpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        t = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "s": pa.array(vc),
+            "ss": pa.array(vc * vc),
+        })
+        g = (t.group_by(["event_type"], use_threads=False)
+             .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")]))
+        return pa.table({"event_type": g["event_type"], "n": g["n_sum"],
+                         "s": g["s_sum"], "ss": g["ss_sum"]})
+
+    def mreduce(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["event_type"], use_threads=False)
+             .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")]))
+        return pa.table({"event_type": g["event_type"], "n": g["n_sum"],
+                         "s": g["s_sum"], "ss": g["ss_sum"]})
+
+    mom = pa.concat_tables(
+        [pa.table(b) for b in
+         grouped_aggregate(ds.map_batches(mpart, batch_format="pyarrow"),
+                           ["event_type"], mreduce)
+         .iter_batches(batch_format="pyarrow")])
+    stats = {}
+    for et, n, s, ss in zip(mom["event_type"].to_pylist(),
+                            mom["n"].to_pylist(), mom["s"].to_pylist(),
+                            mom["ss"].to_pylist()):
+        # shared float operation order with the SQL twin
+        mean = float(s) / float(n)
+        var = (float(ss) - float(s) * float(s) / float(n)) / float(n)
+        stats[et] = (mean, var ** 0.5)
+    ref = ray.put(stats)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        ets = batch["event_type"].to_pylist()
+        z = np.empty(len(vc), dtype=np.float64)
+        # per-distinct-type vectorized (types are few)
+        ets_arr = np.array(ets, dtype=object)
+        for et in set(ets):
+            mean, sd = st[et]
+            m = ets_arr == et
+            z[m] = np.round((vc[m].astype(np.float64) - mean) / sd, 6)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "z_r": pa.array(z),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_value_zscore() -> str:
+    """Twin of value_zscore: identical integer moments, identical float
+    operation order (population variance), round(·,6)."""
+    return """
+WITH c AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc * vc) AS BIGINT) AS ss
+      FROM c GROUP BY event_type)
+SELECT c.event_id,
+       round((CAST(c.vc AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt((CAST(m.ss AS DOUBLE)
+                     - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                       / CAST(m.n AS DOUBLE)) / CAST(m.n AS DOUBLE)), 6)
+         AS z_r
+FROM c JOIN m USING (event_type)
+"""

@@ -1630,3 +1630,31 @@ def test_neardup_cluster_keep_matches_bruteforce(docs_ds):
     # keep exactly one member
     for group in ([3, 10], [7, 25], [5, 41]):
         assert sum(got[i] for i in group) == 1
+
+
+def test_doc_keywords_matches_bruteforce(docs_ds):
+    from collections import Counter
+
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import RARITY_SCALE, doc_keywords
+
+    cfg = IndexConfig()
+    t = docs_table()
+    toks = {i: filter_tokens(tokenize(txt), cfg)
+            for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    n_docs = len(toks)
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    expect = []
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(((term, c * ((n_docs * RARITY_SCALE) // df[term]))
+                         for term, c in tf.items()),
+                        key=lambda r: (-r[1], r[0]))[:3]
+        expect += [(i, rank + 1, term, s)
+                   for rank, (term, s) in enumerate(scored)]
+    got = sorted((r["doc_id"], r["rank"], r["term"], r["score_u"])
+                 for r in doc_keywords(docs_ds, k=3, cfg=cfg).take_all())
+    assert got == sorted(expect)

@@ -1060,3 +1060,31 @@ def test_http_suggest_and_facets_endpoints(http_server):
     bare = SearchApp(_Bare())
     assert bare.api_suggest("x") == {"suggestions": []}
     assert bare.api_facets("x") == {"facets": {}}
+
+
+def test_global_value_rank_matches_rank_semantics(events_ds):
+    from searchengine_ray.pipelines.events import global_value_rank
+    df = events_ds.to_pandas()
+    vc = (df["value"] * 100).round().astype("int64")
+    got = {r["event_id"]: r["rnk"]
+           for r in global_value_rank(events_ds).take_all()}
+    assert len(got) == len(df)
+    for eid, v in zip(df["event_id"], vc):
+        assert got[int(eid)] == int((vc > v).sum()) + 1
+    # ties share a rank; rank set has gaps exactly at tie runs
+    assert min(got.values()) == 1 and max(got.values()) <= len(df)
+
+
+def test_value_zscore_matches_moments(events_ds):
+    from searchengine_ray.pipelines.events import value_zscore
+    df = events_ds.to_pandas()
+    vc = (df["value"] * 100).round().astype("int64")
+    got = {r["event_id"]: r["z_r"]
+           for r in value_zscore(events_ds).take_all()}
+    for et, g in df.assign(vc=vc).groupby("event_type"):
+        n = len(g)
+        s, ss = int(g["vc"].sum()), int((g["vc"] ** 2).sum())
+        mean = float(s) / float(n)
+        sd = ((float(ss) - float(s) * float(s) / float(n)) / float(n)) ** 0.5
+        for eid, v in zip(g["event_id"], g["vc"]):
+            assert got[int(eid)] == round((float(v) - mean) / sd, 6)
