@@ -656,6 +656,44 @@ class QueryEngine:
             out += [(f, str(v), int(c)) for v, c in zip(vals, counts)]
         return out
 
+    def more_like_this(self, doc_id: int, top_k: int = 10,
+                       n_terms: int = 5) -> list[dict]:
+        """Related documents for a seed doc — Lucene-MLT-style over the
+        STORED fields: re-tokenize the seed's title/meta/snippet (the
+        docstore carries no full content, same constraint as the
+        reference's serving tier), score each distinct term by scaled
+        integer tf·(N·10^6 // df) with df from the segment df column (no
+        posting decode), take the top ``n_terms`` (score DESC, term ASC),
+        and run the standard BM25 search on that derived query with the
+        seed itself excluded. Returns the usual search() result rows."""
+        from searchengine_ray.functions.tokenizer import (filter_tokens,
+                                                          tokenize)
+        seed = np.uint64(doc_id)
+        if not self.lazy_docstore:
+            j = int(np.searchsorted(self._doc_ids, seed))
+            if j >= len(self._doc_ids) or self._doc_ids[j] != seed:
+                raise KeyError(f"unknown doc_id {doc_id}")
+        meta = self._doc_meta(np.array([seed], dtype=np.uint64))[0]
+        stem = getattr(self.cfg, "stemmer", "none")
+        text = " ".join((meta["title"], meta["meta"], meta["snippet"]))
+        toks = filter_tokens(tokenize(text, stem), self.cfg)
+        if not toks:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for t, c in tf.items():
+            df = self.term_df(t)
+            if df:
+                scored.append((c * ((self.N * 1_000_000) // df), t))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        query = " ".join(t for _, t in scored[:n_terms])
+        if not query:
+            return []
+        res = self.search(query, top_k=top_k + 1)
+        return [r for r in res if np.uint64(r["doc_id"]) != seed][:top_k]
+
     # -- term-dictionary serving (suggest / fuzzy) -------------------------
     def _term_dictionary(self):
         """(term, df) over all posting partitions — a column-pruned scan of

@@ -148,6 +148,19 @@ class SearchApp:
             out.setdefault(f, {})[v] = c
         return {"facets": out}
 
+    def api_related(self, doc_id: int | None, k: int = 10) -> dict:
+        """``/api/related`` — engine extension: more-like-this over a seed
+        doc (QueryEngine.more_like_this), source-tagged + domain-filtered
+        like every result list."""
+        fn = getattr(self.backend, "more_like_this", None)
+        if fn is None or doc_id is None:
+            return {"results": [], "total": 0}
+        try:
+            results = self._filter_tag(fn(doc_id, top_k=k))
+        except (AssertionError, KeyError):  # unknown doc_id
+            return {"results": [], "total": 0}
+        return {"results": results, "total": len(results)}
+
     def health(self) -> tuple[int, dict]:
         """``/health`` payload + status code (app.py:246-274)."""
         try:
@@ -217,6 +230,10 @@ class SearchHTTPServer:
                     elif u.path == "/api/facets":
                         self._json(200, outer.app.api_facets(
                             first.get("q", "")))
+                    elif u.path == "/api/related":
+                        self._json(200, outer.app.api_related(
+                            _int(first.get("doc_id"), None),
+                            _int(first.get("k"), 10)))
                     elif u.path in ("/health", "/api/health"):
                         code, payload = outer.app.health()
                         self._json(code, payload)

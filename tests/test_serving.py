@@ -1088,3 +1088,46 @@ def test_value_zscore_matches_moments(events_ds):
         sd = ((float(ss) - float(s) * float(s) / float(n)) / float(n)) ** 0.5
         for eid, v in zip(g["event_id"], g["vc"]):
             assert got[int(eid)] == round((float(v) - mean) / sd, 6)
+
+
+def test_more_like_this_matches_bruteforce(built):
+    from collections import Counter
+
+    from conftest import oracle_docs
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.query import QueryEngine
+    eng = QueryEngine(built.index_dir, built.cfg)
+    docs = oracle_docs(built.table)
+    spaces = _term_space(built)
+    n = len(docs)
+    for seed in (docs[0], docs[17], docs[253]):
+        title = seed["path"]
+        meta = seed["repo"] + " " + seed["lang"]
+        snip = (seed["content"][:200] + "...") if seed["content"] else ""
+        toks = filter_tokens(tokenize(" ".join((title, meta, snip))),
+                             built.cfg)
+        tf = Counter(toks)
+        scored = sorted(((c * ((n * 1_000_000) // len(spaces[t])), t)
+                         for t, c in tf.items() if t in spaces),
+                        key=lambda r: (-r[0], r[1]))
+        query = " ".join(t for _, t in scored[:5])
+        expect = [r for r in eng.search(query, top_k=11)
+                  if r["doc_id"] != seed["doc_id"]][:10]
+        got = eng.more_like_this(seed["doc_id"], top_k=10, n_terms=5)
+        assert got == expect
+        assert all(r["doc_id"] != seed["doc_id"] for r in got)
+        assert got  # non-trivial on this corpus
+
+
+def test_http_related_endpoint(http_server):
+    srv, app, eng = http_server
+    seed = eng.search("py org2", top_k=1)[0]["doc_id"]
+    code, body = _get(srv.port, f"/api/related?doc_id={seed}&k=5")
+    assert code == 200
+    expect = app._filter_tag(eng.more_like_this(seed, top_k=5))
+    assert body["results"] == expect and body["total"] == len(expect)
+    # unknown / missing doc_id degrade to empty, not 500
+    code, body = _get(srv.port, "/api/related?doc_id=1")
+    assert (code, body["results"]) == (200, [])
+    code, body = _get(srv.port, "/api/related")
+    assert (code, body) == (200, {"results": [], "total": 0})
