@@ -666,6 +666,18 @@ class QueryEngine:
         posting decode), take the top ``n_terms`` (score DESC, term ASC),
         and run the standard BM25 search on that derived query with the
         seed itself excluded. Returns the usual search() result rows."""
+        query = self._mlt_query(doc_id, n_terms)
+        if not query:
+            return []
+        res = self.search(query, top_k=top_k + 1)
+        seed = np.uint64(doc_id)
+        return [r for r in res if np.uint64(r["doc_id"]) != seed][:top_k]
+
+    def _mlt_query(self, doc_id: int, n_terms: int = 5) -> str:
+        """The derived more-like-this query for a seed doc (top-n stored-
+        field terms by scaled integer tf·idf) — shared by the single
+        engine and the sharded tier (which searches across ALL shards
+        after the owning shard derives the query)."""
         from searchengine_ray.functions.tokenizer import (filter_tokens,
                                                           tokenize)
         seed = np.uint64(doc_id)
@@ -678,7 +690,7 @@ class QueryEngine:
         text = " ".join((meta["title"], meta["meta"], meta["snippet"]))
         toks = filter_tokens(tokenize(text, stem), self.cfg)
         if not toks:
-            return []
+            return ""
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -688,11 +700,7 @@ class QueryEngine:
             if df:
                 scored.append((c * ((self.N * 1_000_000) // df), t))
         scored.sort(key=lambda r: (-r[0], r[1]))
-        query = " ".join(t for _, t in scored[:n_terms])
-        if not query:
-            return []
-        res = self.search(query, top_k=top_k + 1)
-        return [r for r in res if np.uint64(r["doc_id"]) != seed][:top_k]
+        return " ".join(t for _, t in scored[:n_terms])
 
     # -- term-dictionary serving (suggest / fuzzy) -------------------------
     def _term_dictionary(self):
@@ -1402,6 +1410,27 @@ def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,
         def doc_meta(self, ids: list[int]):
             return self.eng._doc_meta(np.array(ids, dtype=np.uint64))
 
+        def doc_field_values(self, ids: list[int], columns: list[str]):
+            t = self.eng._fetch_doc_rows(
+                np.array(ids, dtype=np.uint64), columns)
+            return {c: t[c].to_pylist() for c in columns}
+
+        def boolean_search(self, query: str, mode: str, exclude: str):
+            return self.eng.boolean_search(query, mode=mode,
+                                           exclude=exclude)
+
+        def phrase_search(self, phrase: str):
+            return self.eng.phrase_search(phrase)
+
+        def suggest(self, prefix: str, k: int):
+            return self.eng.suggest(prefix, k)
+
+        def fuzzy_terms(self, token: str, max_dist: int):
+            return self.eng.fuzzy_terms(token, max_dist)
+
+        def mlt_query(self, doc_id: int, n_terms: int):
+            return self.eng._mlt_query(doc_id, n_terms)
+
         def stats(self):
             # manifest scalars are index-global, so any shard answers
             return self.eng.stats()
@@ -1553,6 +1582,112 @@ class ShardedQueryService:
         delegates to the ONE implementation (_paginate over self.search),
         bit-identical to the single engine because search() is."""
         return _paginate(self.search, query, page, per_page, exclude_repos)
+
+    def boolean_search(self, query: str, mode: str = "and",
+                       exclude: str = "") -> np.ndarray:
+        """Sharded twin of QueryEngine.boolean_search: each shard's
+        range-decoded postings yield exactly its doc slice of every set
+        (decode_postings_range is bit-identical to filtering a full
+        decode), so the per-shard results partition the global answer —
+        concatenating range-ascending shards IS the sorted union."""
+        if self.use_actors:
+            import ray
+            parts = ray.get([a.boolean_search.remote(query, mode, exclude)
+                             for a in self.actors])
+        else:
+            parts = [s.boolean_search(query, mode=mode, exclude=exclude)
+                     for s in self.shards]
+        return np.concatenate(parts) if parts else \
+            np.empty(0, dtype=np.uint64)
+
+    def phrase_search(self, phrase: str) -> np.ndarray:
+        """Sharded phrase retrieval: per-shard candidate narrowing +
+        shard-resident docstore verify, concatenated (same partition
+        argument as boolean_search)."""
+        if self.use_actors:
+            import ray
+            parts = ray.get([a.phrase_search.remote(phrase)
+                             for a in self.actors])
+        else:
+            parts = [s.phrase_search(phrase) for s in self.shards]
+        return np.concatenate(parts) if parts else \
+            np.empty(0, dtype=np.uint64)
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """The (term, df) dictionary is index-global (segment files are
+        shared; range shards differ only in decode span), so any one
+        shard answers for the whole tier."""
+        if self.use_actors:
+            import ray
+            return [tuple(r) for r in
+                    ray.get(self.actors[0].suggest.remote(prefix, k))]
+        return self.shards[0].suggest(prefix, k)
+
+    def fuzzy_terms(self, token: str, max_dist: int = 1
+                    ) -> list[tuple[str, int]]:
+        if self.use_actors:
+            import ray
+            return [tuple(r) for r in ray.get(
+                self.actors[0].fuzzy_terms.remote(token, max_dist))]
+        return self.shards[0].fuzzy_terms(token, max_dist)
+
+    def facet_counts(self, query: str,
+                     fields: tuple[str, ...] = ("repo", "lang"),
+                     top_k: int = 1 << 30) -> list[tuple[str, str, int]]:
+        """Sharded facets: the (bit-identical) sharded result set, facet
+        columns fetched from each doc's OWNING shard (resident docstore
+        routing, like _routed_meta), counts merged."""
+        res = self.search(query, top_k=top_k)
+        if not res:
+            return []
+        ids = np.array([r["doc_id"] for r in res], dtype=np.uint64)
+        step_u = np.uint64(min(self._step, 2 ** 64 - 1))
+        owner = np.minimum(ids // step_u,
+                           self._n_shards() - 1).astype(np.int64)
+        cols = list(dict.fromkeys(fields))
+        counts: dict[tuple[str, str], int] = {}
+        for si in range(self._n_shards()):
+            sel = np.sort(ids[owner == si])
+            if not sel.size:
+                continue
+            if self.use_actors:
+                import ray
+                vals = ray.get(self.actors[si].doc_field_values.remote(
+                    [int(i) for i in sel], cols))
+            else:
+                t = self.shards[si]._fetch_doc_rows(sel, cols)
+                vals = {c: t[c].to_pylist() for c in cols}
+            for f in cols:
+                for v in vals[f]:
+                    key = (f, str(v))
+                    counts[key] = counts.get(key, 0) + 1
+        # same ordering contract as QueryEngine.facet_counts: fields in
+        # caller order, values ascending within a field
+        out = []
+        for f in cols:
+            out += [(f, v, c) for (ff, v), c in sorted(counts.items())
+                    if ff == f]
+        return out
+
+    def more_like_this(self, doc_id: int, top_k: int = 10,
+                       n_terms: int = 5) -> list[dict]:
+        """Sharded MLT: the OWNING shard derives the query from its
+        resident stored fields (global df / N), then the search fans out
+        across all shards — identical to the single engine because both
+        halves are."""
+        step_u = np.uint64(min(self._step, 2 ** 64 - 1))
+        si = int(min(np.uint64(doc_id) // step_u, self._n_shards() - 1))
+        if self.use_actors:
+            import ray
+            query = ray.get(self.actors[si].mlt_query.remote(
+                int(doc_id), n_terms))
+        else:
+            query = self.shards[si]._mlt_query(doc_id, n_terms)
+        if not query:
+            return []
+        res = self.search(query, top_k=top_k + 1)
+        seed = np.uint64(doc_id)
+        return [r for r in res if np.uint64(r["doc_id"]) != seed][:top_k]
 
     def stats(self) -> dict:
         if self.use_actors:

@@ -1131,3 +1131,33 @@ def test_http_related_endpoint(http_server):
     assert (code, body["results"]) == (200, [])
     code, body = _get(srv.port, "/api/related")
     assert (code, body) == (200, {"results": [], "total": 0})
+
+
+def test_sharded_extended_serving_bit_identical(built):
+    """boolean/phrase/suggest/fuzzy/facets/MLT over the range-sharded
+    tier must be bit-identical to the single engine, in BOTH in-process
+    and actor modes (per-shard range-decoded sets partition the answer)."""
+    import ray
+    from searchengine_ray.query import QueryEngine, ShardedQueryService
+    eng = QueryEngine(built.index_dir, built.cfg)
+    seed = eng.search("py org2", top_k=1)[0]["doc_id"]
+    for use_actors in (False, True):
+        svc = ShardedQueryService(built.index_dir, built.cfg,
+                                  num_shards=3, use_actors=use_actors)
+        try:
+            for q, mode, ex in (("py org2", "and", ""),
+                                ("queue71 java", "or", ""),
+                                ("py", "and", "org2")):
+                assert np.array_equal(
+                    svc.boolean_search(q, mode=mode, exclude=ex),
+                    eng.boolean_search(q, mode=mode, exclude=ex)), (q, mode)
+            for ph in ("py org2", "src/module"):
+                assert np.array_equal(svc.phrase_search(ph),
+                                      eng.phrase_search(ph)), ph
+            assert svc.suggest("qu", 5) == eng.suggest("qu", 5)
+            assert svc.fuzzy_terms("py", 1) == eng.fuzzy_terms("py", 1)
+            assert svc.facet_counts("py org2") == eng.facet_counts("py org2")
+            assert svc.more_like_this(seed, top_k=10) == \
+                eng.more_like_this(seed, top_k=10)
+        finally:
+            svc.shutdown()
