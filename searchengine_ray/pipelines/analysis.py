@@ -1057,3 +1057,110 @@ FROM s
 WINDOW w AS (PARTITION BY doc_id ORDER BY score_u DESC, term)
 QUALIFY row_number() OVER w <= {k}
 """
+
+
+WEIGHTED_SAMPLE_CHARS = 2000        # p(keep) = min(1, n_chars / 2000)
+_WS_THRESH_PER_CHAR = (1 << 32) // WEIGHTED_SAMPLE_CHARS
+
+
+def weighted_sample(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Importance-weighted Poisson sampling: keep a doc with probability
+    ∝ its length (p = min(1, n_chars/2000)) — the length-weighted
+    curation sampler. Deterministic and integer-exact: keep iff
+    md5_32(doc_id) < min(2^32, n_chars·(2^32//2000)); idempotent across
+    re-runs, embarrassingly parallel (one map_batches, zero shuffle).
+    Columns: doc_id (int64)."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nch = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.int64, count=len(ids))
+        thr = np.minimum(1 << 32, nch * _WS_THRESH_PER_CHAR)
+        return pa.table({"doc_id": pa.array(ids[h < thr])})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_weighted_sample() -> str:
+    return (f"SELECT doc_id FROM documents WHERE "
+            f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < "
+            f"least(4294967296, length(text) * {_WS_THRESH_PER_CHAR})")
+
+
+CAP_PER_SOURCE_K = 12
+
+
+def cap_per_source(ds: "ray.data.Dataset",
+                   k: int = CAP_PER_SOURCE_K) -> "ray.data.Dataset":
+    """Per-domain contribution cap (the crawl-pipeline staple: no source
+    dominates the corpus): keep the ``k`` docs per source with the
+    smallest md5(doc_id) — a deterministic uniform "random" cap,
+    idempotent across re-runs.
+
+    Pre-aggregation pattern: each batch forwards only its own per-source
+    k-smallest (≤ sources×k rows leave every batch), so the shuffle moves
+    candidates, never the corpus; the final per-partition pick is one
+    lexsort + rank-since-run-start over all its sources at once.
+    Columns: doc_id (int64), source (string).
+    """
+    import hashlib
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        src = np.array(batch["source"].to_pylist(), dtype=object)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.int64, count=len(ids))
+        order = np.lexsort((ids, h, src))
+        s_s = src[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = s_s[1:] != s_s[:-1]
+        pos = np.arange(len(order), dtype=np.int64)
+        rank = pos - np.maximum.accumulate(np.where(newg, pos, 0)) + 1
+        sel = order[rank <= k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel]),
+            "source": pa.array(src[sel].astype(str), type=pa.string()),
+            "h": pa.array(h[sel]),
+        })
+
+    partials = ds.map_batches(topk, batch_format="pyarrow")
+
+    def final(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        src = np.array(part["source"].to_pylist(), dtype=object)
+        h = part["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, src))
+        s_s = src[order]
+        newg = np.empty(len(order), dtype=bool)
+        if len(order):
+            newg[0] = True
+            newg[1:] = s_s[1:] != s_s[:-1]
+        pos = np.arange(len(order), dtype=np.int64)
+        rank = pos - np.maximum.accumulate(np.where(newg, pos, 0)) + 1
+        sel = order[rank <= k]
+        return pa.table({
+            "doc_id": pa.array(ids[sel]),
+            "source": pa.array(src[sel].astype(str), type=pa.string()),
+        })
+
+    return grouped_aggregate(partials, ["source"], final)
+
+
+def sql_cap_per_source(k: int = CAP_PER_SOURCE_K) -> str:
+    return (f"SELECT doc_id, source FROM documents "
+            f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY "
+            f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) "
+            f"<= {k}")

@@ -1532,6 +1532,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_id", "value"])),
         "events_value_zscore": lambda sf: events.value_zscore(
             _events(sf, ["event_id", "event_type", "value"])),
+        "weighted_sample": lambda sf: analysis.weighted_sample(_docs(sf)),
+        "cap_per_source": lambda sf: analysis.cap_per_source(
+            _docs(sf, ["doc_id", "source"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1613,6 +1616,8 @@ def build_oracles() -> dict[str, str]:
         "doc_keywords": analysis.sql_doc_keywords(),
         "events_global_rank": events.sql_global_value_rank(),
         "events_value_zscore": events.sql_value_zscore(),
+        "weighted_sample": analysis.sql_weighted_sample(),
+        "cap_per_source": analysis.sql_cap_per_source(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

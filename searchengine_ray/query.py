@@ -1180,6 +1180,40 @@ class QueryService:
             return res
         return ray.get(self.submit(query, top_k))
 
+    def boolean_search(self, query: str, mode: str = "and",
+                       exclude: str = "") -> np.ndarray:
+        import ray
+        return ray.get(self._pick().boolean_search.remote(
+            query, mode, exclude))
+
+    def phrase_search(self, phrase: str) -> np.ndarray:
+        import ray
+        return ray.get(self._pick().phrase_search.remote(phrase))
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        import ray
+        return [tuple(r) for r in
+                ray.get(self._pick().suggest.remote(prefix, k))]
+
+    def fuzzy_terms(self, token: str, max_dist: int = 1
+                    ) -> list[tuple[str, int]]:
+        import ray
+        return [tuple(r) for r in
+                ray.get(self._pick().fuzzy_terms.remote(token, max_dist))]
+
+    def facet_counts(self, query: str,
+                     fields: tuple[str, ...] = ("repo", "lang"),
+                     top_k: int = 1 << 30) -> list[tuple[str, str, int]]:
+        import ray
+        return [tuple(r) for r in ray.get(
+            self._pick().facet_counts.remote(query, fields, top_k))]
+
+    def more_like_this(self, doc_id: int, top_k: int = 10,
+                       n_terms: int = 5) -> list[dict]:
+        import ray
+        return ray.get(self._pick().more_like_this.remote(
+            doc_id, top_k, n_terms))
+
     def stats(self) -> dict:
         import ray
         return ray.get(self._actors[0].stats.remote())
@@ -1722,6 +1756,25 @@ def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
 
         def search(self, query: str, top_k: int | None = None):
             return self.engine.search(query, top_k)
+
+        def boolean_search(self, query: str, mode: str, exclude: str):
+            return self.engine.boolean_search(query, mode=mode,
+                                              exclude=exclude)
+
+        def phrase_search(self, phrase: str):
+            return self.engine.phrase_search(phrase)
+
+        def suggest(self, prefix: str, k: int):
+            return self.engine.suggest(prefix, k)
+
+        def fuzzy_terms(self, token: str, max_dist: int):
+            return self.engine.fuzzy_terms(token, max_dist)
+
+        def facet_counts(self, query: str, fields: tuple, top_k: int):
+            return self.engine.facet_counts(query, fields, top_k)
+
+        def more_like_this(self, doc_id: int, top_k: int, n_terms: int):
+            return self.engine.more_like_this(doc_id, top_k, n_terms)
 
         def stats(self):
             return self.engine.stats()

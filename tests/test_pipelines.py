@@ -1658,3 +1658,48 @@ def test_doc_keywords_matches_bruteforce(docs_ds):
     got = sorted((r["doc_id"], r["rank"], r["term"], r["score_u"])
                  for r in doc_keywords(docs_ds, k=3, cfg=cfg).take_all())
     assert got == sorted(expect)
+
+
+def test_weighted_sample_and_cap_per_source(ray_session):
+    import hashlib
+
+    import ray.data
+    from searchengine_ray.pipelines.analysis import (_WS_THRESH_PER_CHAR,
+                                                     cap_per_source,
+                                                     weighted_sample)
+
+    rng = np.random.default_rng(5)
+    n = 300
+    texts = ["x" * int(rng.integers(0, 4000)) for _ in range(n)]
+    srcs = [f"s{int(rng.integers(0, 4))}" for _ in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string()),
+                  "source": pa.array(srcs, type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def h32(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                              "big")
+
+    expect_ws = sorted(i for i in range(n)
+                       if h32(i) < min(1 << 32,
+                                       len(texts[i]) * _WS_THRESH_PER_CHAR))
+    got_ws = sorted(r["doc_id"] for r in
+                    weighted_sample(ds.drop_columns(["source"])).take_all())
+    assert got_ws == expect_ws
+    # longer docs are sampled more often (weighting is real)
+    long_rate = np.mean([len(texts[i]) > 2000 for i in got_ws])
+    assert long_rate > np.mean([len(t) > 2000 for t in texts])
+
+    got_cap = sorted((r["source"], r["doc_id"])
+                     for r in cap_per_source(
+                         ds.drop_columns(["text"]), k=5).take_all())
+    expect_cap = []
+    for s in set(srcs):
+        members = sorted((h32(i), i) for i in range(n) if srcs[i] == s)[:5]
+        expect_cap += [(s, i) for _, i in members]
+    assert got_cap == sorted(expect_cap)
+    # idempotent: re-running selects the same rows
+    assert got_cap == sorted((r["source"], r["doc_id"])
+                             for r in cap_per_source(
+                                 ds.drop_columns(["text"]), k=5).take_all())

@@ -1161,3 +1161,21 @@ def test_sharded_extended_serving_bit_identical(built):
                 eng.more_like_this(seed, top_k=10)
         finally:
             svc.shutdown()
+
+
+def test_query_service_extended_serving_delegates(built):
+    from searchengine_ray.query import QueryEngine, QueryService
+    eng = QueryEngine(built.index_dir, built.cfg)
+    svc = QueryService(built.index_dir, built.cfg, num_actors=2)
+    try:
+        assert np.array_equal(svc.boolean_search("py org2"),
+                              eng.boolean_search("py org2"))
+        assert np.array_equal(svc.phrase_search("py org2"),
+                              eng.phrase_search("py org2"))
+        assert svc.suggest("qu", 5) == eng.suggest("qu", 5)
+        assert svc.fuzzy_terms("py", 1) == eng.fuzzy_terms("py", 1)
+        assert svc.facet_counts("queue71") == eng.facet_counts("queue71")
+        seed = eng.search("py org2", top_k=1)[0]["doc_id"]
+        assert svc.more_like_this(seed) == eng.more_like_this(seed)
+    finally:
+        svc.shutdown()
