@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -271,3 +272,98 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
     }
     save_manifest(index_dir, manifest)
     return manifest
+
+
+def filter_new_docs(source: "ray.data.Dataset",
+                    base_index_dir: str) -> "ray.data.Dataset":
+    """Incremental-ingest content filter: the subset of ``source`` whose
+    sha256(content) does NOT already exist in ``base_index_dir``'s
+    docstore, with exact-duplicate rows WITHIN the incoming batch also
+    collapsed to one (min doc_key per sha — deterministic).
+
+    Exact distributed anti-join on the full 32-byte sha: both sides ride
+    a coarse hash shuffle keyed by the sha's first 8 bytes, and each
+    partition takes the exact byte-level set difference — hash-prefix
+    collisions cannot create false drops. Only the base docstore's
+    content_sha256 COLUMN is read (column-pruned; 32 bytes/doc), while
+    incoming rows ride the shuffle once with their payload — the right
+    trade for the incremental case where the delta ≪ the base corpus.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from searchengine_ray.functions.hashing import sha256_array
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.stages.docstats import doc_keys
+
+    src_schema = source.schema().base_schema
+    payload_cols = [f.name for f in src_schema]
+
+    def _key64(sha: pa.Array) -> pa.Array:
+        b = np.frombuffer(b"".join(sha.to_pylist()), dtype=">u8") \
+            .reshape(-1, 4)[:, 0].astype(np.int64) \
+            if len(sha) else np.empty(0, dtype=np.int64)
+        return pa.array(b)
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        sha = batch["content_sha256"].combine_chunks() \
+            if isinstance(batch["content_sha256"], pa.ChunkedArray) \
+            else batch["content_sha256"]
+        out = {"sha_key": _key64(sha), "sha": sha,
+               "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+               "doc_key": pa.nulls(len(batch), type=pa.string())}
+        for c in payload_cols:
+            out[c] = pa.nulls(len(batch), type=src_schema.field(c).type)
+        return pa.table(out)
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        content = batch["content"]
+        sha = pa.array(sha256_array(content), type=pa.binary())
+        out = {"sha_key": _key64(sha), "sha": sha,
+               "side": pa.array(np.ones(len(batch), dtype=np.int64)),
+               "doc_key": doc_keys(batch)}
+        for c in payload_cols:
+            out[c] = batch[c]
+        return pa.table(out)
+
+    base = ray.data.read_parquet(
+        os.path.join(base_index_dir, "docstore"),
+        columns=["content_sha256"]).map_batches(
+            tag_base, batch_format="pyarrow")
+    incoming = source.map_batches(tag_src, batch_format="pyarrow")
+
+    def diff(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        shas = part["sha"].to_pylist()
+        existing = {s for s, sd in zip(shas, side) if sd == 0}
+        keys = part["doc_key"].to_pylist()
+        best: dict[bytes, int] = {}
+        for i, (s, sd) in enumerate(zip(shas, side)):
+            if sd == 0 or s in existing:
+                continue
+            j = best.get(s)
+            if j is None or keys[i] < keys[j]:
+                best[s] = i
+        if not best:
+            return part.select(payload_cols).slice(0, 0)
+        take = pa.array(sorted(best.values()), type=pa.int64())
+        return part.select(payload_cols).take(take)
+
+    return grouped_aggregate(base.union(incoming), ["sha_key"], diff)
+
+
+def build_delta_index(source: "ray.data.Dataset", base_index_dir: str,
+                      delta_index_dir: str,
+                      cfg: IndexConfig = IndexConfig()) -> dict[str, Any]:
+    """Incremental indexing, end to end: index ONLY the content of
+    ``source`` not already in the base (filter_new_docs), pinning the
+    base's hot-term salt routing so the delta stays mergeable
+    (merge_indexes) and federable (FederatedQueryEngine / Manager) with
+    it. Returns the delta manifest; a delta with zero new docs still
+    writes a valid empty index."""
+    base_manifest = load_manifest(base_index_dir)
+    hot = {t: int(n) for t, n in
+           (base_manifest.get("hot_terms") or {}).items()}
+    fresh = filter_new_docs(source, base_index_dir)
+    return build_index(fresh, delta_index_dir, cfg,
+                       hot_terms_override=hot)

@@ -57,9 +57,16 @@ def cmd_build(args) -> int:
     cfg = IndexConfig(num_partitions=args.partitions,
                       num_length_partitions=max(2, args.partitions // 8),
                       stemmer=args.stemmer)
-    manifest = build_index(read_source(args.source), args.index, cfg,
-                           resume=not args.no_resume,
-                           salt_hot_terms=not args.no_salt)
+    if args.delta_against:
+        # incremental ingest: index only content the base doesn't have
+        # (exact sha anti-join); the delta federates/merges with the base
+        from searchengine_ray.build import build_delta_index
+        manifest = build_delta_index(read_source(args.source),
+                                     args.delta_against, args.index, cfg)
+    else:
+        manifest = build_index(read_source(args.source), args.index, cfg,
+                               resume=not args.no_resume,
+                               salt_hot_terms=not args.no_salt)
     print(json.dumps({k: manifest[k] for k in
                       ("num_docs", "num_terms", "avg_doc_len", "complete")}))
     return 0
@@ -153,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-salt", action="store_true")
     b.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--delta-against", default=None, metavar="BASE_INDEX",
+                   help="incremental ingest: index only content whose "
+                        "sha256 is absent from this base index")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")

@@ -370,3 +370,80 @@ def test_search_topk_zero_and_page_clamp(built):
     p0 = eng.search_page("py org2", page=0, per_page=5)
     p1 = eng.search_page("py org2", page=1, per_page=5)
     assert p0["results"] == p1["results"] and p0["page"] == 1
+
+
+def test_delta_ingest_filter_and_federation(built, tmp_path):
+    """Incremental ingestion: filter_new_docs drops every already-indexed
+    content (exact 32-byte sha anti-join) AND collapses in-batch dupes;
+    build_delta_index over a superset corpus indexes exactly the new
+    docs; base+delta federate/merge into the same answers as a one-shot
+    build over the full corpus."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.build import build_delta_index, filter_new_docs
+    from searchengine_ray.merge import merge_indexes
+    from searchengine_ray.query import FederatedQueryEngine, QueryEngine
+    from searchengine_ray.sources.corpus import read_source, write_corpus
+
+    # same seed + rows_per_file as the fixture → the first 400 docs are
+    # byte-identical; docs 400..499 are new
+    big_dir = str(tmp_path / "corpus_big")
+    write_corpus(big_dir, 500, rows_per_file=100)
+    src = read_source(big_dir)
+
+    fresh = filter_new_docs(src, built.index_dir)
+    paths = sorted(r["path"] for r in fresh.take_all())
+    base_paths = set(built.table["path"].to_pylist())
+    assert len(paths) == 100 and not (set(paths) & base_paths)
+
+    # in-batch duplicates collapse to ONE row (min doc_key)
+    dup = pa.table({
+        "repo": pa.array(["r"] * 3), "path": pa.array(["b.py", "a.py", "c.py"]),
+        "commit": pa.array(["0" * 40] * 3), "lang": pa.array(["py"] * 3),
+        "content": pa.array(["brandnewcontent_zzz"] * 3,
+                            type=pa.large_string()),
+    })
+    got = filter_new_docs(ray.data.from_arrow(dup),
+                          built.index_dir).take_all()
+    assert [r["path"] for r in got] == ["a.py"]
+
+    delta_dir = str(tmp_path / "delta_idx")
+    m = build_delta_index(src, built.index_dir, delta_dir, built.cfg)
+    assert m["num_docs"] == 100
+
+    fed = FederatedQueryEngine([QueryEngine(built.index_dir, built.cfg),
+                                QueryEngine(delta_dir, built.cfg)])
+    merged_dir = str(tmp_path / "merged_idx")
+    merge_indexes([built.index_dir, delta_dir], merged_dir, built.cfg,
+                  concurrency=(1, 2))
+    merged = QueryEngine(merged_dir, built.cfg)
+    from searchengine_ray.build import build_index
+    full_dir = str(tmp_path / "full_idx")
+    build_index(read_source(big_dir), full_dir, built.cfg)
+    full = QueryEngine(full_dir, built.cfg)
+    for q in ("queue71", "py org2", "java parse"):
+        f = fed.search(q, top_k=10)
+        assert f == merged.search(q, top_k=10), q           # bit-identical
+        g = full.search(q, top_k=10)                        # rank-identical
+        assert [r["doc_id"] for r in f] == [r["doc_id"] for r in g], q
+        assert [round(r["score"], 9) for r in f] == \
+            [round(r["score"], 9) for r in g], q
+
+    # idempotent: a second delta pass against base+merged finds nothing
+    again = filter_new_docs(src, merged_dir).take_all()
+    assert again == []
+
+
+def test_cli_build_delta_against(built, tmp_path, capsys):
+    from searchengine_ray import cli
+    from searchengine_ray.sources.corpus import write_corpus
+    big_dir = str(tmp_path / "corpus_big_cli")
+    write_corpus(big_dir, 450, rows_per_file=100)
+    rc = cli.main(["build", "--source", big_dir,
+                   "--index", str(tmp_path / "delta_cli"),
+                   "--partitions", "8",
+                   "--delta-against", built.index_dir])
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_docs"] == 50 and out["complete"]
