@@ -38,7 +38,7 @@ from searchengine_ray.functions.tokenizer import (
 )
 from searchengine_ray.pipelines import (analysis, chunking, classify, curate,
                                         decontam, dedup, events, graph,
-                                        multimodal, similarity)
+                                        multimodal, prepare, similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -1535,6 +1535,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": lambda sf: analysis.weighted_sample(_docs(sf)),
         "cap_per_source": lambda sf: analysis.cap_per_source(
             _docs(sf, ["doc_id", "source"])),
+        "prepare_corpus": lambda sf: prepare.prepare_corpus(
+            _docs(sf, ["doc_id", "text", "source"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1618,6 +1620,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_zscore": events.sql_value_zscore(),
         "weighted_sample": analysis.sql_weighted_sample(),
         "cap_per_source": analysis.sql_cap_per_source(),
+        "prepare_corpus": prepare.sql_prepare_corpus(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1703,3 +1703,49 @@ def test_weighted_sample_and_cap_per_source(ray_session):
     assert got_cap == sorted((r["source"], r["doc_id"])
                              for r in cap_per_source(
                                  ds.drop_columns(["text"]), k=5).take_all())
+
+
+def test_prepare_corpus_composed_pipeline(ray_session):
+    """The composed curate→decontaminate→cap→pack pipeline vs its SQL twin
+    on an ADVERSARIAL corpus: planted exact dupes, junk (stopword-only /
+    tiny) docs, a doc that quotes a benchmark doc verbatim, and one source
+    holding half the corpus (the cap must bite)."""
+    import duckdb
+    import ray.data
+    from searchengine_ray.pipelines.prepare import (prepare_corpus,
+                                                    sql_prepare_corpus)
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(120):
+        toks = [vocab[j] for j in rng.integers(0, 60, size=40)]
+        src = "hot" if i % 2 == 0 else f"s{i % 5}"
+        rows.append((i, " ".join(toks), src))
+    rows[11] = (11, rows[4][1], rows[11][2])          # exact dupe
+    rows[13] = (13, "the the the the the the the the the the the a", "s1")
+    rows[17] = (17, "tiny", "s2")                     # fails min_ws_tokens
+    # doc 21 quotes bench doc 0 (doc_id % 37 == 0) verbatim -> contaminated
+    rows[21] = (21, rows[0][1], "s3")
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "source": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = sorted((r["doc_id"], r["source"], r["part"], r["bin_id"],
+                  r["n_tokens"])
+                 for r in prepare_corpus(ds, cap_k=8,
+                                         capacity=64).take_all())
+    con = duckdb.connect()
+    con.register("documents", t)
+    ref = sorted(map(tuple, con.sql(
+        sql_prepare_corpus(cap_k=8, capacity=64)).fetchall()))
+    assert got == ref
+    ids = {r[0] for r in got}
+    # dupes/junk/bench/contaminated are out; exactly one of (4, 11) kept
+    assert 11 not in ids and 13 not in ids and 17 not in ids
+    assert 21 not in ids                      # quoted the bench doc
+    assert 0 not in ids and 37 not in ids     # bench docs excluded
+    # the cap bit the hot source
+    assert sum(1 for r in got if r[1] == "hot") == 8
