@@ -1537,6 +1537,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "source"])),
         "prepare_corpus": lambda sf: prepare.prepare_corpus(
             _docs(sf, ["doc_id", "text", "source"])),
+        "events_funnel": lambda sf: events.funnel(
+            _events(sf, ["user_id", "ts", "event_type"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1621,6 +1623,7 @@ def build_oracles() -> dict[str, str]:
         "weighted_sample": analysis.sql_weighted_sample(),
         "cap_per_source": analysis.sql_cap_per_source(),
         "prepare_corpus": prepare.sql_prepare_corpus(),
+        "events_funnel": events.sql_funnel(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

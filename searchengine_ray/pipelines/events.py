@@ -1256,3 +1256,75 @@ SELECT c.event_id,
          AS z_r
 FROM c JOIN m USING (event_type)
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(ds: "ray.data.Dataset",
+           steps: tuple[str, ...] = FUNNEL_STEPS) -> "ray.data.Dataset":
+    """Ordered-funnel analysis: for every user, the furthest step of
+    ``steps`` reached IN ORDER — step k counts only if it happens
+    STRICTLY AFTER the user's earliest completion of step k−1 (the
+    classic min-ts funnel; re-orderings don't count).
+
+    ONE hash(user) shuffle (coarse partitions), then every user in a
+    partition resolves vectorized: per-step masked ``np.minimum.at``
+    builds the earliest-completion time against the previous step's
+    per-user bound — no per-user Python loop. Columns: user_id, stage
+    (int64: 0 = never did step 1, len(steps) = completed the funnel).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+        })
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.array(part["event_type"].to_pylist(), dtype=object)
+        users, uidx = np.unique(uid, return_inverse=True)
+        bound = np.full(len(users), -(1 << 62), dtype=np.int64)
+        stage = np.zeros(len(users), dtype=np.int64)
+        for k, step in enumerate(steps):
+            t = np.full(len(users), 1 << 62, dtype=np.int64)
+            m = (et == step) & (ts > bound[uidx]) & (stage == k)[uidx]
+            np.minimum.at(t, uidx[m], ts[m])
+            done = t < (1 << 62)
+            stage[done & (stage == k)] += 1
+            bound = np.where(done & (stage == k + 1), t, bound)
+        return pa.table({"user_id": pa.array(users),
+                         "stage": pa.array(stage)})
+
+    return grouped_aggregate(ds.map_batches(project, batch_format="pyarrow"),
+                             ["user_id"], per_part)
+
+
+def sql_funnel(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """Twin of funnel(): chained min-ts CTEs, one per step."""
+    ctes, prev = [], None
+    for k, step in enumerate(steps):
+        name = f"s{k + 1}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(epoch_us(ts)) AS t "
+                f"FROM events WHERE event_type = '{step}' GROUP BY user_id)")
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t "
+                f"FROM events e JOIN {prev} USING (user_id) "
+                f"WHERE e.event_type = '{step}' AND epoch_us(e.ts) > {prev}.t "
+                f"GROUP BY e.user_id)")
+        prev = name
+    joins = " ".join(f"LEFT JOIN s{k + 1} USING (user_id)"
+                     for k in range(len(steps)))
+    stage = " + ".join(
+        f"(CASE WHEN s{k + 1}.t IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(len(steps)))
+    return (f"WITH " + ",\n".join(ctes) + f"\n"
+            f"SELECT u.user_id, CAST({stage} AS BIGINT) AS stage\n"
+            f"FROM (SELECT DISTINCT user_id FROM events) u {joins}")

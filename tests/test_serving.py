@@ -1179,3 +1179,50 @@ def test_query_service_extended_serving_delegates(built):
         assert svc.more_like_this(seed) == eng.more_like_this(seed)
     finally:
         svc.shutdown()
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import funnel
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    users = rng.integers(0, 60, size=n)
+    ts = rng.integers(0, 10_000, size=n) * 1_000_000
+    types = rng.choice(["view", "click", "purchase", "error"], size=n,
+                       p=[0.4, 0.3, 0.1, 0.2])
+    # plant edge cases: ts tie between consecutive steps (must NOT count),
+    # purchase before click (must not count), full funnel
+    users = np.concatenate([users, [100, 100, 101, 101, 101, 102, 102,
+                                    102, 103]])
+    ts = np.concatenate([ts, [5, 5, 7, 3, 9, 1, 2, 3, 4]])
+    types = np.concatenate([types, ["view", "click",          # tie: stage 1
+                                    "click", "view", "purchase",  # v@3 c@7 p@9
+                                    "view", "click", "purchase",  # full
+                                    "purchase"]])                 # stage 0
+    t = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array([pd.Timestamp(int(x), unit="us") for x in ts],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(list(types), type=pa.string()),
+    })
+    got = {r["user_id"]: r["stage"]
+           for r in funnel(ray.data.from_arrow(t).repartition(6)).take_all()}
+
+    def brute(u):
+        ev = sorted((int(b), str(c)) for a, b, c in
+                    zip(users, ts, types) if a == u)
+        bound, stage = -1 << 62, 0
+        for step in ("view", "click", "purchase"):
+            cand = [x for x, c in ev if c == step and x > bound]
+            if not cand:
+                break
+            bound = min(cand)
+            stage += 1
+        return stage
+
+    assert set(got) == set(int(u) for u in users)
+    for u in set(int(u) for u in users):
+        assert got[u] == brute(u), u
+    assert (got[100], got[101], got[102], got[103]) == (1, 3, 3, 0)
