@@ -1306,6 +1306,44 @@ class FederatedQueryEngine(QueryEngine):
                if d is not None]
         return sum(dfs) if dfs else None
 
+    def _term_dictionary(self):
+        """Union of the children's dictionaries with per-term df re-sum
+        (terms overlap across children — doc spaces don't)."""
+        if getattr(self, "_term_dict", None) is not None:
+            return self._term_dict
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = (pa.concat_tables([e._term_dictionary() for e in self.engines])
+             .group_by(["term"], use_threads=False)
+             .aggregate([("df", "sum")]))
+        t = pa.table({"term": pc.cast(t["term"], pa.string()),
+                      "df": pc.cast(t["df_sum"], pa.int64())})
+        self._term_dict = t
+        return t
+
+    def _fetch_doc_rows(self, ids_sorted: np.ndarray, columns: list[str]):
+        """Route each doc_id to the child that owns it (disjoint doc
+        spaces), fetch per child, and re-sort the concatenation — the
+        same contract as the single-index implementation (used by
+        facet_counts; result formatting uses the resident arrays)."""
+        import pyarrow as pa
+        parts = []
+        for e in self.engines:
+            pos = np.searchsorted(e._doc_ids, ids_sorted)
+            pos = np.clip(pos, 0, max(len(e._doc_ids) - 1, 0))
+            mine = ids_sorted[(len(e._doc_ids) > 0)
+                              & (e._doc_ids[pos] == ids_sorted)] \
+                if len(e._doc_ids) else ids_sorted[:0]
+            if mine.size:
+                parts.append(e._fetch_doc_rows(mine, columns))
+        assert parts, "no federated child owns the requested ids"
+        merged = pa.concat_tables(parts)
+        order = np.argsort(merged["doc_id"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        merged = merged.take(pa.array(order))
+        assert len(merged) == len(ids_sorted), "docstore missing doc rows"
+        return merged
+
     def postings(self, term: str):
         cached = self._postings_cache.get(term, "miss")
         if not isinstance(cached, str):

@@ -226,3 +226,30 @@ def test_federation_manager_auto_compaction(tmp_path):
     # pagination rides the same engine
     pg = mgr.search_page("py org2", page=1, per_page=5)
     assert pg["results"] == mgr.search("py org2", top_k=15)[:5]
+
+
+def test_federated_extended_serving_matches_merged(merged_setup):
+    """boolean/phrase/suggest/fuzzy/facets/MLT over a base+delta
+    federation must equal the merged single index (inherited methods use
+    the federated postings/df/docstore overrides)."""
+    import os
+
+    import numpy as np
+    from searchengine_ray.query import FederatedQueryEngine, QueryEngine
+    full_dir, out_dir, _, _ = merged_setup
+    root = os.path.dirname(full_dir)
+    fed = FederatedQueryEngine([QueryEngine(os.path.join(root, "a"), CFG),
+                                QueryEngine(os.path.join(root, "b"), CFG)])
+    merged = QueryEngine(out_dir, CFG)
+    for q in ("py org2", "queue71 java"):
+        assert np.array_equal(fed.boolean_search(q),
+                              merged.boolean_search(q)), q
+        assert np.array_equal(fed.phrase_search(q),
+                              merged.phrase_search(q)), q
+    assert fed.boolean_search("py", exclude="org2").tolist() == \
+        merged.boolean_search("py", exclude="org2").tolist()
+    assert fed.suggest("qu", 5) == merged.suggest("qu", 5)
+    assert fed.fuzzy_terms("py", 1) == merged.fuzzy_terms("py", 1)
+    assert fed.facet_counts("py org2") == merged.facet_counts("py org2")
+    seed = merged.search("py org2", top_k=1)[0]["doc_id"]
+    assert fed.more_like_this(seed) == merged.more_like_this(seed)
