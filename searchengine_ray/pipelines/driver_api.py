@@ -1539,6 +1539,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text", "source"])),
         "events_funnel": lambda sf: events.funnel(
             _events(sf, ["user_id", "ts", "event_type"])),
+        "events_retention": lambda sf: events.retention(
+            _events(sf, ["user_id", "ts"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1624,6 +1626,7 @@ def build_oracles() -> dict[str, str]:
         "cap_per_source": analysis.sql_cap_per_source(),
         "prepare_corpus": prepare.sql_prepare_corpus(),
         "events_funnel": events.sql_funnel(),
+        "events_retention": events.sql_retention(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

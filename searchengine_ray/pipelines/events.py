@@ -1328,3 +1328,82 @@ def sql_funnel(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
     return (f"WITH " + ",\n".join(ctes) + f"\n"
             f"SELECT u.user_id, CAST({stage} AS BIGINT) AS stage\n"
             f"FROM (SELECT DISTINCT user_id FROM events) u {joins}")
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def retention(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Cohort retention: users cohort by the epoch-week of their FIRST
+    event; each cell (cohort_week, week_offset) counts the distinct
+    users active that many weeks later — the analytics-warehouse
+    staple, as ONE wide shuffle: (user, ts) pairs ride a coarse
+    hash(user) exchange once, each partition derives its users'
+    cohorts and distinct (cohort, offset, user) triples vectorized
+    (lexsort + run masks), and only the digest-sized distinct-triple
+    table reaches the final (cohort, offset) count.
+
+    Columns: cohort_week, week_offset, n_users (all int64).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "w": pa.array(pc.cast(batch["ts"], pa.int64())
+                          .to_numpy(zero_copy_only=False) // WEEK_US),
+        })
+
+    def per_user_part(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        w = part["w"].to_numpy(zero_copy_only=False)
+        users, uidx = np.unique(uid, return_inverse=True)
+        cohort = np.full(len(users), 1 << 62, dtype=np.int64)
+        np.minimum.at(cohort, uidx, w)
+        off = w - cohort[uidx]
+        # distinct (user, cohort, offset): lexsort + run mask
+        order = np.lexsort((off, uidx))
+        ui, of = uidx[order], off[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (ui[1:] != ui[:-1]) | (of[1:] != of[:-1])
+        t = pa.table({
+            "cohort_week": pa.array(cohort[ui[first]]),
+            "week_offset": pa.array(of[first]),
+            "n": pa.array(np.ones(int(first.sum()), dtype=np.int64)),
+        })
+        g = (t.group_by(["cohort_week", "week_offset"], use_threads=False)
+             .aggregate([("n", "sum")]))
+        return pa.table({"cohort_week": g["cohort_week"],
+                         "week_offset": g["week_offset"],
+                         "n": g["n_sum"]})
+
+    partials = grouped_aggregate(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], per_user_part)
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["cohort_week", "week_offset"],
+                           use_threads=False).aggregate([("n", "sum")]))
+        return pa.table({
+            "cohort_week": pc.cast(g["cohort_week"], pa.int64()),
+            "week_offset": pc.cast(g["week_offset"], pa.int64()),
+            "n_users": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    return grouped_aggregate(partials, ["cohort_week", "week_offset"],
+                             final)
+
+
+def sql_retention() -> str:
+    return f"""
+WITH f AS (SELECT user_id, min(epoch_us(ts)) // {WEEK_US} AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw,
+             (epoch_us(e.ts) // {WEEK_US}) - f.cw AS off
+      FROM events e JOIN f USING (user_id))
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, off
+"""

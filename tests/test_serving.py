@@ -1226,3 +1226,35 @@ def test_funnel_matches_bruteforce(ray_session):
     for u in set(int(u) for u in users):
         assert got[u] == brute(u), u
     assert (got[100], got[101], got[102], got[103]) == (1, 3, 3, 0)
+
+
+def test_retention_matches_bruteforce(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import WEEK_US, retention
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    users = rng.integers(0, 80, size=n)
+    ts = rng.integers(0, 12 * WEEK_US, size=n)   # ~12 weeks of activity
+    t = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array([pd.Timestamp(int(x), unit="us") for x in ts],
+                       type=pa.timestamp("us")),
+    })
+    got = sorted((r["cohort_week"], r["week_offset"], r["n_users"])
+                 for r in retention(
+                     ray.data.from_arrow(t).repartition(9)).take_all())
+    cohort = {}
+    for u, x in zip(users, ts):
+        cohort[u] = min(cohort.get(u, 1 << 62), int(x) // WEEK_US)
+    cells = {}
+    for u, x in zip(users, ts):
+        key = (cohort[u], int(x) // WEEK_US - cohort[u])
+        cells.setdefault(key, set()).add(int(u))
+    expect = sorted((cw, off, len(s)) for (cw, off), s in cells.items())
+    assert got == expect
+    # offset 0 of every cohort contains every user of that cohort
+    week0 = {cw: nu for cw, off, nu in got if off == 0}
+    from collections import Counter
+    assert week0 == Counter(cohort.values())
