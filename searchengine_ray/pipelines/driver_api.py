@@ -1412,6 +1412,22 @@ def sql_media_decode() -> str:
     )
 
 
+def sql_media_resize(out_w: int = 4, out_h: int = 2) -> str:
+    """Closed-form twin of multimodal.media_resize_stats: the resize is
+    the index gather ((r*H)//out_h, (c*W)//out_w) over the synthetic
+    raster value (doc_id + (row*W + col)*3 + ch) % 256."""
+    from searchengine_ray.pipelines.multimodal import SYNTH_IMG_H, SYNTH_IMG_W
+    n = out_w * out_h * 3
+    return (
+        f"SELECT doc_id, {n}::BIGINT AS n_units, "
+        f"(SELECT sum((doc_id + (((r * {SYNTH_IMG_H}) // {out_h}) * {SYNTH_IMG_W} "
+        f"+ ((c * {SYNTH_IMG_W}) // {out_w})) * 3 + ch) % 256) "
+        f"FROM range({out_h}) t1(r), range({out_w}) t2(c), range(3) t3(ch)"
+        f")::BIGINT AS pixel_sum "
+        f"FROM documents"
+    )
+
+
 def sql_multimodal() -> str:
     checksum = " + ".join(
         f"('0x' || substr(sha256(text), {2 * j + 1}, 2))::BIGINT" for j in range(8))
@@ -1467,6 +1483,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
+            _docs(sf, ["doc_id"])),
+        "multimodal_resize": lambda sf: multimodal.media_resize_stats(
             _docs(sf, ["doc_id"])),
         "doc_embedding_join": q_doc_embedding_join,
         "doc_embedding_left_join": q_doc_embedding_left_join,
@@ -1579,6 +1597,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
+        "multimodal_resize": sql_media_resize(),
         "doc_embedding_join": sql_doc_embedding_join(),
         "doc_embedding_left_join": sql_doc_embedding_left_join(),
         "doc_embedding_anti_join": sql_doc_embedding_anti_join(),

@@ -468,3 +468,35 @@ def feature_summary(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         lambda b: b.select(["doc_id", "blob_len", "blob_sha256",
                             "feat_checksum"]),
         batch_format="pyarrow")
+
+
+def media_resize_stats(ds: "ray.data.Dataset", out_w: int = 4,
+                       out_h: int = 2, *, concurrency: int = 2,
+                       batch_size: int = 32) -> "ray.data.Dataset":
+    """Oracle-checkable REAL resize chain: synthesize PPM payloads
+    (content a closed form of doc_id), run the actual decode →
+    nearest-neighbor ResizeImages actor-pool stage, and reduce each
+    resized raster to an integer pixel sum. Because the resize is a
+    deterministic index gather ((r·H)//out_h, (c·W)//out_w), the whole
+    decode+resize pipeline restates as a double range-sum in SQL — the
+    multimodal_decode discipline extended to a TRANSFORMING stage.
+    Columns: doc_id, n_units, pixel_sum (int64, no float anywhere)."""
+    def images_only(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["modality"], "image")
+        return batch.filter(m)
+
+    imgs = synth_media(ds).map_batches(images_only, batch_format="pyarrow")
+    resized = resize_images(imgs, out_w, out_h, concurrency=concurrency,
+                            batch_size=batch_size)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum())
+                for b in batch["rgb"].to_pylist()]
+        n = out_w * out_h * 3
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_units": pa.array([n] * len(batch), type=pa.int64()),
+            "pixel_sum": pa.array(sums, type=pa.int64()),
+        })
+
+    return resized.map_batches(stats, batch_format="pyarrow")

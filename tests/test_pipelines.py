@@ -1749,3 +1749,27 @@ def test_prepare_corpus_composed_pipeline(ray_session):
     assert 0 not in ids and 37 not in ids     # bench docs excluded
     # the cap bit the hot source
     assert sum(1 for r in got if r[1] == "hot") == 8
+
+
+def test_media_resize_stats_closed_form(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (SYNTH_IMG_H,
+                                                       SYNTH_IMG_W,
+                                                       media_resize_stats)
+    ids = [0, 7, 123, 255, 9999]
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids,
+                                                          type=pa.int64())}))
+    got = {r["doc_id"]: (r["n_units"], r["pixel_sum"])
+           for r in media_resize_stats(ds, out_w=4, out_h=2).take_all()}
+
+    def brute(d):
+        s = 0
+        for r in range(2):
+            for c in range(4):
+                for ch in range(3):
+                    row = (r * SYNTH_IMG_H) // 2
+                    col = (c * SYNTH_IMG_W) // 4
+                    s += (d + (row * SYNTH_IMG_W + col) * 3 + ch) % 256
+        return s
+
+    assert got == {d: (24, brute(d)) for d in ids}
