@@ -1428,6 +1428,24 @@ def sql_media_resize(out_w: int = 4, out_h: int = 2) -> str:
     )
 
 
+def sql_media_frames(stride: int = 2) -> str:
+    """Closed-form twin of multimodal.media_frame_stats: frames
+    0, stride, 2·stride, … < (1 + doc_id % 5), each a range-sum of
+    (doc_id + f·17 + j) % 256 over the 45 raster bytes."""
+    from searchengine_ray.pipelines.multimodal import (SYNTH_IMG_H,
+                                                       SYNTH_IMG_W,
+                                                       SYNTH_VIDEO_FRAME_STEP)
+    n_px = SYNTH_IMG_W * SYNTH_IMG_H * 3
+    return (
+        f"SELECT doc_id, f AS frame_idx, "
+        f"{SYNTH_IMG_W}::BIGINT AS width, {SYNTH_IMG_H}::BIGINT AS height, "
+        f"(SELECT sum((doc_id + f * {SYNTH_VIDEO_FRAME_STEP} + j) % 256) "
+        f"FROM range({n_px}) t(j))::BIGINT AS pixel_sum "
+        f"FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS f "
+        f"FROM documents) WHERE f % {stride} = 0"
+    )
+
+
 def sql_multimodal() -> str:
     checksum = " + ".join(
         f"('0x' || substr(sha256(text), {2 * j + 1}, 2))::BIGINT" for j in range(8))
@@ -1485,6 +1503,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
         "multimodal_resize": lambda sf: multimodal.media_resize_stats(
+            _docs(sf, ["doc_id"])),
+        "multimodal_frames": lambda sf: multimodal.media_frame_stats(
             _docs(sf, ["doc_id"])),
         "doc_embedding_join": q_doc_embedding_join,
         "doc_embedding_left_join": q_doc_embedding_left_join,
@@ -1598,6 +1618,7 @@ def build_oracles() -> dict[str, str]:
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
         "multimodal_resize": sql_media_resize(),
+        "multimodal_frames": sql_media_frames(),
         "doc_embedding_join": sql_doc_embedding_join(),
         "doc_embedding_left_join": sql_doc_embedding_left_join(),
         "doc_embedding_anti_join": sql_doc_embedding_anti_join(),

@@ -500,3 +500,39 @@ def media_resize_stats(ds: "ray.data.Dataset", out_w: int = 4,
         })
 
     return resized.map_batches(stats, batch_format="pyarrow")
+
+
+SYNTH_VIDEO_FRAME_STEP = 17   # frame f pixel j = (doc_id + f*17 + j) % 256
+
+
+def _synth_video(doc_id: int, n_frames: int) -> bytes:
+    j = np.arange(SYNTH_IMG_W * SYNTH_IMG_H * 3, dtype=np.int64)
+    header = f"P6\n{SYNTH_IMG_W} {SYNTH_IMG_H}\n255\n".encode()
+    frames = [
+        header + ((doc_id + f * SYNTH_VIDEO_FRAME_STEP + j) % 256)
+        .astype(np.uint8).tobytes()
+        for f in range(n_frames)
+    ]
+    return pack_video(frames)
+
+
+def media_frame_stats(ds: "ray.data.Dataset", stride: int = 2, *,
+                      concurrency: int = 2,
+                      batch_size: int = 16) -> "ray.data.Dataset":
+    """Oracle-checkable REAL frame-sampling chain: synthesize SRAYV1
+    multi-frame containers (1 + doc_id % 5 PPM frames, pixel content a
+    closed form of (doc_id, frame)), run the actual container parse +
+    per-frame decode through the SampleFrames actor pool, and emit its
+    flat per-sampled-frame layout. Columns: doc_id, frame_idx, width,
+    height, pixel_sum — int64 end-to-end."""
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "blob": pa.array([_synth_video(int(d), 1 + int(d) % 5)
+                              for d in ids], type=pa.binary()),
+        })
+
+    videos = ds.map_batches(synth, batch_format="pyarrow")
+    return sample_frames(videos, stride, concurrency=concurrency,
+                         batch_size=batch_size)

@@ -1773,3 +1773,23 @@ def test_media_resize_stats_closed_form(ray_session):
         return s
 
     assert got == {d: (24, brute(d)) for d in ids}
+
+
+def test_media_frame_stats_closed_form(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.multimodal import (
+        SYNTH_IMG_H, SYNTH_IMG_W, SYNTH_VIDEO_FRAME_STEP, media_frame_stats)
+    ids = [0, 3, 4, 9, 254]
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids,
+                                                          type=pa.int64())}))
+    got = sorted((r["doc_id"], r["frame_idx"], r["width"], r["height"],
+                  r["pixel_sum"])
+                 for r in media_frame_stats(ds, stride=2).take_all())
+    n_px = SYNTH_IMG_W * SYNTH_IMG_H * 3
+    expect = []
+    for d in ids:
+        for f in range(0, 1 + d % 5, 2):
+            s = sum((d + f * SYNTH_VIDEO_FRAME_STEP + j) % 256
+                    for j in range(n_px))
+            expect.append((d, f, SYNTH_IMG_W, SYNTH_IMG_H, s))
+    assert got == sorted(expect)
