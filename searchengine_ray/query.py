@@ -773,6 +773,44 @@ class QueryEngine:
         out.sort()
         return out
 
+    def corrected_query(self, query: str, max_dist: int = 1) -> str:
+        """Did-you-mean: rewrite each filtered query token that has NO
+        postings to its best dictionary neighbor — smallest Levenshtein
+        distance (≤ ``max_dist``), then highest df, then term ASC — and
+        leave known/uncorrectable tokens as typed. Returns the corrected
+        query string ('' if nothing survives); deterministic."""
+        from searchengine_ray.functions.tokenizer import (filter_tokens,
+                                                          tokenize)
+        stem = getattr(self.cfg, "stemmer", "none")
+        toks = filter_tokens(tokenize(query, stem), self.cfg)
+        out = []
+        for t in dict.fromkeys(toks):
+            if self.postings(t) is not None:
+                out.append(t)
+                continue
+            cands = self.fuzzy_terms(t, max_dist)
+            if not cands:
+                out.append(t)
+                continue
+            best = min(cands, key=lambda r: (
+                _levenshtein_banded(t, r[0], max_dist), -r[1], r[0]))
+            out.append(best[0])
+        return " ".join(out)
+
+    def search_corrected(self, query: str, top_k: int | None = None,
+                         max_dist: int = 1) -> tuple[list[dict], str]:
+        """Search with did-you-mean fallback: if the query as typed has
+        zero results, retry with :meth:`corrected_query`. Returns
+        (results, query_used) — query_used == the original when no
+        correction fired."""
+        res = self.search(query, top_k=top_k)
+        if res:
+            return res, query
+        fixed = self.corrected_query(query, max_dist)
+        if not fixed or fixed == query:
+            return res, query
+        return self.search(fixed, top_k=top_k), fixed
+
     # Upper bound of the multiplicative metadata boosts (§2.9.7):
     # phrase 1.8 × title-pct (1+1·2.0) × desc-pct (1+1·1.0) × proximity 1.25
     MAX_BOOST = 1.8 * 3.0 * 2.0 * 1.25

@@ -101,7 +101,16 @@ class SearchApp:
                          self.results_per_page, self.excluded_domains)
         page = base["page"]          # clamped to ≥ 1 by _paginate
         total_pages = base["total_pages"]
+        extra = {}
+        if not base["results"]:
+            # additive did-you-mean hint (engine extension; absent from
+            # the reference envelope and from payloads with results)
+            fn = getattr(self.backend, "corrected_query", None)
+            fixed = fn(query) if fn else ""
+            if fixed and fixed != query:
+                extra["did_you_mean"] = fixed
         return {
+            **extra,
             "query": query,
             "results": [dict(r, source=self.search_source)
                         for r in base["results"]],

@@ -1258,3 +1258,41 @@ def test_retention_matches_bruteforce(ray_session):
     week0 = {cw: nu for cw, off, nu in got if off == 0}
     from collections import Counter
     assert week0 == Counter(cohort.values())
+
+
+def test_spell_correction_did_you_mean(built):
+    from searchengine_ray.query import QueryEngine, _levenshtein_banded
+    eng = QueryEngine(built.index_dir, built.cfg)
+    spaces = _term_space(built)
+    # 'qeue71' is one deletion from 'queue71' and not itself a term
+    assert "qeue71" not in spaces and "queue71" in spaces
+    assert eng.corrected_query("qeue71") == "queue71"
+    # known tokens pass through untouched
+    assert eng.corrected_query("queue71 py") == "queue71 py"
+    # the correction picks (min distance, max df, term) deterministically
+    tok = "qu"  # distance-1 neighbors exist? construct from vocab instead
+    res, used = eng.search_corrected("qeue71", top_k=5)
+    assert used == "queue71" and res == eng.search("queue71", top_k=5)
+    # as-typed hits win: no correction fires
+    res2, used2 = eng.search_corrected("queue71", top_k=5)
+    assert used2 == "queue71" and res2 == eng.search("queue71", top_k=5)
+    # unfixable garbage: empty results, original query reported
+    res3, used3 = eng.search_corrected("zzqzzqzz", top_k=5)
+    assert res3 == [] and used3 == "zzqzzqzz"
+    # tie-break parity with the documented rule on a real unknown token
+    for t in ("javq", "stredm"):
+        cands = eng.fuzzy_terms(t, 1)
+        if cands:
+            best = min(cands, key=lambda r: (
+                _levenshtein_banded(t, r[0], 1), -r[1], r[0]))
+            assert eng.corrected_query(t) == best[0], t
+
+
+def test_http_did_you_mean_hint(http_server):
+    srv, app, eng = http_server
+    code, body = _get(srv.port, "/search?q=qeue71")
+    assert code == 200 and body["results"] == []
+    assert body["did_you_mean"] == "queue71"
+    code, body = _get(srv.port, "/search?q=queue71")
+    assert code == 200 and body["results"]
+    assert "did_you_mean" not in body
