@@ -785,7 +785,9 @@ class QueryEngine:
         toks = filter_tokens(tokenize(query, stem), self.cfg)
         out = []
         for t in dict.fromkeys(toks):
-            if self.postings(t) is not None:
+            # term_df (not postings): the dictionary is index-global even
+            # on a range shard, so correction works on the sharded tier
+            if self.term_df(t):
                 out.append(t)
                 continue
             cands = self.fuzzy_terms(t, max_dist)
@@ -1252,6 +1254,13 @@ class QueryService:
         return ray.get(self._pick().more_like_this.remote(
             doc_id, top_k, n_terms))
 
+    def search_corrected(self, query: str, top_k: int | None = None,
+                         max_dist: int = 1) -> tuple[list[dict], str]:
+        import ray
+        res, used = ray.get(self._pick().search_corrected.remote(
+            query, top_k, max_dist))
+        return res, used
+
     def stats(self) -> dict:
         import ray
         return ray.get(self._actors[0].stats.remote())
@@ -1541,6 +1550,9 @@ def _make_shard_actor(index_dir: str, cfg: IndexConfig, qcfg: QueryConfig,
         def mlt_query(self, doc_id: int, n_terms: int):
             return self.eng._mlt_query(doc_id, n_terms)
 
+        def corrected_query(self, query: str, max_dist: int):
+            return self.eng.corrected_query(query, max_dist)
+
         def stats(self):
             # manifest scalars are index-global, so any shard answers
             return self.eng.stats()
@@ -1779,6 +1791,26 @@ class ShardedQueryService:
                     if ff == f]
         return out
 
+    def corrected_query(self, query: str, max_dist: int = 1) -> str:
+        """Any shard answers: the term dictionary and df are index-global."""
+        if self.use_actors:
+            import ray
+            return ray.get(self.actors[0].corrected_query.remote(
+                query, max_dist))
+        return self.shards[0].corrected_query(query, max_dist)
+
+    def search_corrected(self, query: str, top_k: int | None = None,
+                         max_dist: int = 1) -> tuple[list[dict], str]:
+        """Sharded did-you-mean: as-typed search first, corrected retry
+        through the SHARDED search — same contract as the single engine."""
+        res = self.search(query, top_k=top_k)
+        if res:
+            return res, query
+        fixed = self.corrected_query(query, max_dist)
+        if not fixed or fixed == query:
+            return res, query
+        return self.search(fixed, top_k=top_k), fixed
+
     def more_like_this(self, doc_id: int, top_k: int = 10,
                        n_terms: int = 5) -> list[dict]:
         """Sharded MLT: the OWNING shard derives the query from its
@@ -1851,6 +1883,9 @@ def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
 
         def more_like_this(self, doc_id: int, top_k: int, n_terms: int):
             return self.engine.more_like_this(doc_id, top_k, n_terms)
+
+        def search_corrected(self, query: str, top_k, max_dist: int):
+            return self.engine.search_corrected(query, top_k, max_dist)
 
         def stats(self):
             return self.engine.stats()

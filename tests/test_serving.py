@@ -1159,6 +1159,8 @@ def test_sharded_extended_serving_bit_identical(built):
             assert svc.facet_counts("py org2") == eng.facet_counts("py org2")
             assert svc.more_like_this(seed, top_k=10) == \
                 eng.more_like_this(seed, top_k=10)
+            assert svc.search_corrected("qeue71", top_k=5) == \
+                eng.search_corrected("qeue71", top_k=5)
         finally:
             svc.shutdown()
 
@@ -1177,6 +1179,8 @@ def test_query_service_extended_serving_delegates(built):
         assert svc.facet_counts("queue71") == eng.facet_counts("queue71")
         seed = eng.search("py org2", top_k=1)[0]["doc_id"]
         assert svc.more_like_this(seed) == eng.more_like_this(seed)
+        assert svc.search_corrected("qeue71", top_k=5) == \
+            eng.search_corrected("qeue71", top_k=5)
     finally:
         svc.shutdown()
 
