@@ -1164,3 +1164,55 @@ def sql_cap_per_source(k: int = CAP_PER_SOURCE_K) -> str:
             f"QUALIFY row_number() OVER (PARTITION BY source ORDER BY "
             f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) "
             f"<= {k}")
+
+
+ROLLUP_ALL = "__ALL__"
+
+
+def docs_rollup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Multi-level rollup (GROUPING SETS analogue): doc counts and total
+    chars at (source, lang), (source, *), (*, *) in ONE pass — each batch
+    emits partials for all three levels (≤ 3×|groups| rows), one small
+    groupby finishes. The sentinel '__ALL__' marks a rolled-up level.
+    Columns: source, lang, n_docs, n_chars (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.cast(batch["source"], pa.string())
+        lang = pc.cast(batch["lang"], pa.string())
+        nch = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        alls = pa.array([ROLLUP_ALL] * len(batch), type=pa.string())
+        t = pa.concat_tables([
+            pa.table({"source": src, "lang": lang, "c": nch}),
+            pa.table({"source": src, "lang": alls, "c": nch}),
+            pa.table({"source": alls, "lang": alls, "c": nch}),
+        ])
+        g = (t.group_by(["source", "lang"], use_threads=False)
+             .aggregate([([], "count_all"), ("c", "sum")]))
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["source", "lang"], use_threads=False)
+             .aggregate([("n", "sum"), ("c", "sum")]))
+        return pa.table({
+            "source": pc.cast(g["source"], pa.string()),
+            "lang": pc.cast(g["lang"], pa.string()),
+            "n_docs": pc.cast(g["n_sum"], pa.int64()),
+            "n_chars": pc.cast(g["c_sum"], pa.int64()),
+        })
+
+    return grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["source", "lang"], reduce_part)
+
+
+def sql_docs_rollup() -> str:
+    return f"""
+SELECT coalesce(source, '{ROLLUP_ALL}') AS source,
+       coalesce(lang, '{ROLLUP_ALL}') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+"""

@@ -1579,6 +1579,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["user_id", "ts", "event_type"])),
         "events_retention": lambda sf: events.retention(
             _events(sf, ["user_id", "ts"])),
+        "events_interarrival": lambda sf: events.interarrival(
+            _events(sf, ["event_id", "user_id", "ts"])),
+        "docs_rollup": lambda sf: analysis.docs_rollup(
+            _docs(sf, ["text", "source", "lang"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1667,6 +1671,8 @@ def build_oracles() -> dict[str, str]:
         "prepare_corpus": prepare.sql_prepare_corpus(),
         "events_funnel": events.sql_funnel(),
         "events_retention": events.sql_retention(),
+        "events_interarrival": events.sql_interarrival(),
+        "docs_rollup": analysis.sql_docs_rollup(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1407,3 +1407,47 @@ SELECT cw AS cohort_week, off AS week_offset,
        CAST(count(*) AS BIGINT) AS n_users
 FROM a GROUP BY cw, off
 """
+
+
+def interarrival(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-event inter-arrival gap: microseconds since the SAME user's
+    previous event (lag() semantics; −1 for a user's first event; ts
+    ties broken by event_id, matching the oracle's ORDER BY ts,
+    event_id). One coarse hash(user) shuffle; every user in a partition
+    resolves in one lexsort + masked diff. Columns: event_id,
+    gap_us (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, e_s, t_s = uid[order], eid[order], ts[order]
+        gap = np.empty(len(order), dtype=np.int64)
+        if len(order):
+            gap[0] = -1
+            same = u_s[1:] == u_s[:-1]
+            gap[1:] = np.where(same, t_s[1:] - t_s[:-1], -1)
+        return pa.table({"event_id": pa.array(e_s),
+                         "gap_us": pa.array(gap)})
+
+    return grouped_aggregate(ds.map_batches(project, batch_format="pyarrow"),
+                             ["user_id"], per_part)
+
+
+def sql_interarrival() -> str:
+    return """
+SELECT event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id),
+                -1)::BIGINT AS gap_us
+FROM events
+"""

@@ -1793,3 +1793,22 @@ def test_media_frame_stats_closed_form(ray_session):
                     for j in range(n_px))
             expect.append((d, f, SYNTH_IMG_W, SYNTH_IMG_H, s))
     assert got == sorted(expect)
+
+
+def test_docs_rollup_levels(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.analysis import ROLLUP_ALL, docs_rollup
+    t = pa.table({
+        "source": pa.array(["a", "a", "b", "b", "b"]),
+        "lang": pa.array(["en", "zh", "en", "en", "zh"]),
+        "text": pa.array(["x" * n for n in (3, 5, 7, 11, 13)]),
+    })
+    rows = {(r["source"], r["lang"]): (r["n_docs"], r["n_chars"])
+            for r in docs_rollup(
+                ray.data.from_arrow(t).repartition(3)).take_all()}
+    assert rows[("a", "en")] == (1, 3) and rows[("a", "zh")] == (1, 5)
+    assert rows[("b", "en")] == (2, 18) and rows[("b", "zh")] == (1, 13)
+    assert rows[("a", ROLLUP_ALL)] == (2, 8)
+    assert rows[("b", ROLLUP_ALL)] == (3, 31)
+    assert rows[(ROLLUP_ALL, ROLLUP_ALL)] == (5, 39)
+    assert len(rows) == 7

@@ -1300,3 +1300,21 @@ def test_http_did_you_mean_hint(http_server):
     code, body = _get(srv.port, "/search?q=queue71")
     assert code == 200 and body["results"]
     assert "did_you_mean" not in body
+
+
+def test_interarrival_matches_lag(events_ds):
+    from searchengine_ray.pipelines.events import interarrival
+    df = events_ds.to_pandas()
+    # the fixture ts is ns-typed; the operator preserves the input unit
+    ts_us = df["ts"].astype("int64")
+    got = {r["event_id"]: r["gap_us"]
+           for r in interarrival(events_ds).take_all()}
+    assert len(got) == len(df)
+    work = pd.DataFrame({"user_id": df["user_id"], "event_id": df["event_id"],
+                         "ts": ts_us}).sort_values(
+        ["user_id", "ts", "event_id"]).reset_index(drop=True)
+    prev_u, prev_t = None, None
+    for _, row in work.iterrows():
+        want = row["ts"] - prev_t if prev_u == row["user_id"] else -1
+        assert got[int(row["event_id"])] == want, int(row["event_id"])
+        prev_u, prev_t = row["user_id"], row["ts"]
