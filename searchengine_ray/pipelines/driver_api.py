@@ -1015,6 +1015,46 @@ SELECT query_id, vec_id, round(cos, 6) AS cos_r FROM ranked WHERE rn <= {k}
 """
 
 
+def sql_ann_int8_topk(query_ids: list[int], k: int) -> str:
+    """Exact twin of similarity.int8_topk: per-vector max-abs int8 codes
+    via floor(127·x/m + 0.5) (round-half-up — identical in numpy and
+    DuckDB, unlike round()), exact integer dots/norms, one final float
+    division in the engine's operation order."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings),
+mx AS (SELECT vec_id, max(abs(val)) AS m FROM ev GROUP BY vec_id),
+qv AS (SELECT ev.vec_id, ev.d,
+              CAST(floor(127 * ev.val / mx.m + 0.5) AS BIGINT) AS q
+       FROM ev JOIN mx USING (vec_id)),
+n2 AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv
+       GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+  FROM qv a JOIN qv b USING (d)
+  WHERE a.vec_id IN ({ids})
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT query_id::BIGINT AS query_id, dots.vec_id::BIGINT AS vec_id,
+         CAST(dp AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           AS cos
+  FROM dots
+  JOIN n2 na ON na.vec_id = dots.query_id
+  JOIN n2 nb ON nb.vec_id = dots.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, round(cos, 6) AS cos_r FROM ranked WHERE rn <= {k}
+"""
+
+
 def _sql_unit_vectors() -> str:
     """Shared CTE text: embeddings unnested to (vec_id, d, u) unit-vector
     coordinates. Norms differ from numpy at ~1e-16 (summation order); every
@@ -1499,6 +1539,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _embs(sf), ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": lambda sf: similarity.ivf_topk(
             _embs(sf), ANN_QUERY_IDS, ANN_K),
+        "ann_int8_topk": lambda sf: similarity.int8_topk(
+            _embs(sf), ANN_QUERY_IDS, ANN_K),
         "multimodal_features": lambda sf: multimodal.feature_summary(_docs(sf)),
         "multimodal_decode": lambda sf: multimodal.media_decode_stats(
             _docs(sf, ["doc_id"])),
@@ -1619,6 +1661,7 @@ def build_oracles() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_topk(ANN_QUERY_IDS, ANN_K),
         "ann_lsh_topk": sql_ann_lsh_topk(ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": sql_ann_ivf_topk(ANN_QUERY_IDS, ANN_K),
+        "ann_int8_topk": sql_ann_int8_topk(ANN_QUERY_IDS, ANN_K),
         "multimodal_features": sql_multimodal(),
         "multimodal_decode": sql_media_decode(),
         "multimodal_resize": sql_media_resize(),

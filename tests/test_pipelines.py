@@ -1812,3 +1812,28 @@ def test_docs_rollup_levels(ray_session):
     assert rows[("b", ROLLUP_ALL)] == (3, 31)
     assert rows[(ROLLUP_ALL, ROLLUP_ALL)] == (5, 39)
     assert len(rows) == 7
+
+
+def test_int8_topk_quantization_and_recall(emb_ds):
+    from searchengine_ray.pipelines.similarity import (_int8_quantize,
+                                                       brute_topk, int8_topk)
+    # round-half-UP vectors (the numpy/DuckDB-shared floor(x+0.5) rule)
+    m = np.array([[1.0, 0.5, -0.5, -1.0]])
+    assert _int8_quantize(m).tolist() == [[127, 64, -63, -127]]
+    q = [0, 1, 2]
+    exact = brute_topk(emb_ds, q, 10)
+    quant = int8_topk(emb_ds, q, 10)
+    assert quant.num_rows == exact.num_rows
+    # quantized recall@10 vs exact cosine stays high (int8 keeps rank
+    # structure at d=64)
+    def sets(t):
+        out = {}
+        for r in t.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+    e, g = sets(exact), sets(quant)
+    rec = np.mean([len(e[k] & g[k]) / len(e[k]) for k in e])
+    assert rec >= 0.8, rec
+    # the query row itself is always its own nearest neighbor
+    for k, s in g.items():
+        assert k in s
