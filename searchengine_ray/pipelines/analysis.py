@@ -1216,3 +1216,45 @@ SELECT coalesce(source, '{ROLLUP_ALL}') AS source,
 FROM documents
 GROUP BY GROUPING SETS ((source, lang), (source), ())
 """
+
+
+def lang_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Classifier-eval confusion matrix: labeled ``lang`` × marker-
+    heuristic ``lang_pred`` counts — the model-evaluation aggregate every
+    labeled pipeline runs (plug a real classifier into the same lang_id
+    slot and this stage is unchanged). Per-batch partial counts (the
+    shuffle moves ≤ |langs|² rows per batch). Columns: lang_actual,
+    lang_pred, n (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        padded = pc.binary_join_element_wise(" ", text, " ", "")
+        out = np.full(len(batch), "unknown", dtype=object)
+        assigned = np.zeros(len(batch), dtype=bool)
+        for marker, lang in LANG_MARKERS:
+            hit = pc.match_substring(padded, f" {marker} ").to_numpy(
+                zero_copy_only=False)
+            out[hit & ~assigned] = lang
+            assigned |= hit
+        t = pa.table({
+            "lang_actual": pc.cast(batch["lang"], pa.string()),
+            "lang_pred": pa.array(out.tolist(), type=pa.string()),
+        })
+        g = (t.group_by(["lang_actual", "lang_pred"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"lang_actual": g["lang_actual"],
+                         "lang_pred": g["lang_pred"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["lang_actual", "lang_pred"], use_threads=False)
+             .aggregate([("n", "sum")]))
+        return pa.table({
+            "lang_actual": pc.cast(g["lang_actual"], pa.string()),
+            "lang_pred": pc.cast(g["lang_pred"], pa.string()),
+            "n": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    return grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["lang_actual", "lang_pred"], reduce_part)

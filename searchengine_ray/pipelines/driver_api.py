@@ -667,6 +667,15 @@ def sql_lang_id() -> str:
     return f"SELECT doc_id, CASE {cases} ELSE 'unknown' END AS lang_pred FROM documents"
 
 
+def sql_lang_confusion() -> str:
+    cases = " ".join(
+        f"WHEN contains(' ' || text || ' ', ' {m} ') THEN '{lang}'"
+        for m, lang in analysis.LANG_MARKERS)
+    return (f"SELECT lang AS lang_actual, "
+            f"CASE {cases} ELSE 'unknown' END AS lang_pred, "
+            f"CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2")
+
+
 def sql_snippets() -> str:
     return ("SELECT doc_id, CASE WHEN length(text) > 0 THEN "
             "substr(text, 1, 200) || '...' ELSE '' END AS snippet FROM documents")
@@ -1625,6 +1634,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_id", "user_id", "ts"])),
         "docs_rollup": lambda sf: analysis.docs_rollup(
             _docs(sf, ["text", "source", "lang"])),
+        "lang_confusion": lambda sf: analysis.lang_confusion(
+            _docs(sf, ["text", "lang"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1716,6 +1727,7 @@ def build_oracles() -> dict[str, str]:
         "events_retention": events.sql_retention(),
         "events_interarrival": events.sql_interarrival(),
         "docs_rollup": analysis.sql_docs_rollup(),
+        "lang_confusion": sql_lang_confusion(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1318,3 +1318,44 @@ def test_interarrival_matches_lag(events_ds):
         want = row["ts"] - prev_t if prev_u == row["user_id"] else -1
         assert got[int(row["event_id"])] == want, int(row["event_id"])
         prev_u, prev_t = row["user_id"], row["ts"]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_boolean_search_property(built, data):
+    """Property: boolean_search == per-doc set algebra over the indexed
+    term space, for random mixes of indexed vocabulary and garbage
+    tokens across modes and exclusion lists."""
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.query import QueryEngine
+    global _BOOL_PROP_STATE
+    try:
+        eng, tsets, vocab = _BOOL_PROP_STATE
+    except NameError:
+        eng = QueryEngine(built.index_dir, built.cfg)
+        spaces = _term_space(built)
+        tsets = {}
+        for term, ids in spaces.items():
+            for i in ids:
+                tsets.setdefault(i, set()).add(term)
+        vocab = sorted(spaces)
+        _BOOL_PROP_STATE = (eng, tsets, vocab)
+    pool = vocab + ["zzqx", "nope123"]
+    q_toks = data.draw(st.lists(st.sampled_from(pool), min_size=0,
+                                max_size=4))
+    ex_toks = data.draw(st.lists(st.sampled_from(pool), min_size=0,
+                                 max_size=2))
+    mode = data.draw(st.sampled_from(["and", "or"]))
+    q, ex = " ".join(q_toks), " ".join(ex_toks)
+    qt = set(filter_tokens(tokenize(q), built.cfg))
+    ext = set(filter_tokens(tokenize(ex), built.cfg))
+    if not qt:
+        expect = set()
+    elif mode == "and":
+        expect = {i for i, s in tsets.items() if qt <= s}
+    else:
+        expect = {i for i, s in tsets.items() if qt & s}
+    expect = {i for i in expect if not (ext & tsets[i])}
+    got = eng.boolean_search(q, mode=mode, exclude=ex)
+    assert list(got) == sorted(expect), (q, mode, ex)
