@@ -908,6 +908,36 @@ SELECT c.doc_id,
 FROM comp c JOIN documents d USING (doc_id)"""
 
 
+def sql_pagerank() -> str:
+    """Exact twin of graph.pagerank_int over the m31 LSH pair graph:
+    integer contributions (r // deg) and integer damping make every sum
+    order-insensitive, so the fixed 3-iteration unrolling is a plain CTE
+    chain — no float summation-order hazard."""
+    from searchengine_ray.pipelines.graph import (PR_DAMP_NUM, PR_ITERS,
+                                                  PR_SCALE)
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // 100
+    body = (f"WITH pairs AS ({sql_minhash_lsh()}),\n"
+            f"edges AS (SELECT a_id AS src, b_id AS dst FROM pairs\n"
+            f"          UNION ALL SELECT b_id, a_id FROM pairs),\n"
+            f"deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg "
+            f"FROM edges GROUP BY src),\n"
+            f"r0 AS (SELECT doc_id AS node, CAST({PR_SCALE} AS BIGINT) AS r "
+            f"FROM documents)")
+    prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        body += (f",\ns{t} AS (SELECT e.dst AS node, "
+                 f"sum({prev}.r // deg.deg) AS c\n"
+                 f"  FROM edges e JOIN {prev} ON {prev}.node = e.src "
+                 f"JOIN deg ON deg.src = e.src GROUP BY e.dst),\n"
+                 f"r{t} AS (SELECT n.node, "
+                 f"CAST({base} + ({PR_DAMP_NUM} * coalesce(s.c, 0)) // 100 "
+                 f"AS BIGINT) AS r\n"
+                 f"  FROM (SELECT node FROM r0) n "
+                 f"LEFT JOIN s{t} s ON s.node = n.node)")
+        prev = f"r{t}"
+    return body + f"\nSELECT node AS doc_id, r AS rank_u FROM {prev}"
+
+
 def sql_simhash(cfg: IndexConfig = CFG) -> str:
     toks = sql_filtered_tokens_expr("text", cfg)
     chunk_cols = ", ".join(
@@ -1539,6 +1569,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_components": lambda sf: graph.connected_components(
             dedup.minhash_lsh_pairs(_docs(sf), family="m31"),
             _docs(sf, ["doc_id"])),
+        "dedup_graph_pagerank": lambda sf: graph.pagerank_int(
+            dedup.minhash_lsh_pairs(_docs(sf), family="m31"),
+            _docs(sf, ["doc_id"])),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(
             _embs(sf)),
@@ -1664,6 +1697,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": sql_simhash_neardup(),
         "dedup_minhash_lsh": sql_minhash_lsh(),
         "dedup_minhash_components": sql_minhash_components(),
+        "dedup_graph_pagerank": sql_pagerank(),
         "fingerprint": sql_fingerprint(),
         "repetition_stats": sql_repetition_stats(),
         "pii_redact": sql_pii_redact(),

@@ -279,3 +279,115 @@ def connected_components(pairs: "ray.data.Dataset",
                          "component_id": pc.cast(batch["lbl"], pa.int64())})
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85           # r' = 0.15·SCALE + (85·Σ(r//deg)) // 100
+PR_ITERS = 3
+
+
+def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                 iters: int = PR_ITERS, a_col: str = "a_id",
+                 b_col: str = "b_id", node_col: str = "doc_id"
+                 ) -> "ray.data.Dataset":
+    """Deterministic INTEGER PageRank over an undirected pair graph (the
+    near-dup graph's centrality — which documents sit at the heart of a
+    duplicate cluster). All arithmetic is scaled-integer: contributions
+    are ``r // deg`` and the damping step ``0.15·SCALE + (85·Σ)//100``,
+    so sums are order-insensitive and the fixed-iteration unrolling
+    restates EXACTLY as chained SQL CTEs — the float-PageRank pitfall
+    (summation-order nondeterminism) is designed out.
+
+    Per iteration: one equi_join (rank onto edges, keyed by src), one
+    grouped sum by dst, one LEFT equi_join back onto the node set
+    (isolated nodes keep the base rank), then a materialize — the same
+    per-round lineage cut connected_components uses.
+    Columns: doc_id (int64), rank_u (int64).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[a_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(batch[b_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["src"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"src": pa.array(u),
+                         "dcnt": pa.array(c.astype(np.int64))})
+
+    def deg_reduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["src"], use_threads=False) \
+                .aggregate([("dcnt", "sum")])
+        return pa.table({"src": pc.cast(g["src"], pa.int64()),
+                         "deg": pc.cast(g["dcnt_sum"], pa.int64())})
+
+    deg = grouped_aggregate(edges.map_batches(deg_partial,
+                                              batch_format="pyarrow"),
+                            ["src"], deg_reduce)
+    # (src, dst, deg) — deg folded in ONCE so each round needs one join
+    edges_deg = equi_join(edges, deg, "src", "src",
+                          ["dst"], ["deg"]).materialize()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch[node_col], pa.int64())
+        return pa.table({"node": n,
+                         "r": pa.array(np.full(len(batch), PR_SCALE,
+                                               dtype=np.int64))})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow") \
+                 .materialize()
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // 100
+
+    for _ in range(iters):
+        # contribution rows: (dst, r // deg) via rank-onto-edges join
+        contrib = equi_join(edges_deg, ranks, "key", "node",
+                            ["dst", "deg"], ["r"])
+
+        def to_contrib(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({"dst": batch["dst"],
+                             "c": pa.array(r // d)})
+
+        def sum_partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["dst"], use_threads=False) \
+                     .aggregate([("c", "sum")])
+            return pa.table({"dst": g["dst"],
+                             "c": pc.cast(g["c_sum"], pa.int64())})
+
+        def sum_reduce(part: pa.Table) -> pa.Table:
+            g = part.group_by(["dst"], use_threads=False) \
+                    .aggregate([("c", "sum")])
+            return pa.table({"dst": pc.cast(g["dst"], pa.int64()),
+                             "c": pc.cast(g["c_sum"], pa.int64())})
+
+        sums = grouped_aggregate(
+            contrib.map_batches(to_contrib, batch_format="pyarrow")
+                   .map_batches(sum_partial, batch_format="pyarrow"),
+            ["dst"], sum_reduce)
+
+        joined = equi_join(ranks.select_columns(["node"]), sums,
+                           "node", "dst", [], ["c"], how="left")
+
+        def apply_damp(batch: pa.Table) -> pa.Table:
+            c = pc.cast(pc.fill_null(batch["c"], 0), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": batch["key"],
+                "r": pa.array(base + (PR_DAMP_NUM * c) // 100),
+            })
+
+        ranks = joined.map_batches(apply_damp, batch_format="pyarrow") \
+                      .materialize()
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["node"], pa.int64()),
+                         "rank_u": pc.cast(batch["r"], pa.int64())})
+
+    return ranks.map_batches(out, batch_format="pyarrow")

@@ -1837,3 +1837,37 @@ def test_int8_topk_quantization_and_recall(emb_ds):
     # the query row itself is always its own nearest neighbor
     for k, s in g.items():
         assert k in s
+
+
+def test_pagerank_int_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.graph import (PR_DAMP_NUM, PR_ITERS,
+                                                  PR_SCALE, pagerank_int)
+    # two triangles bridged by one edge + two isolated nodes
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    nodes = list(range(8))
+    pairs = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([a for a, _ in edges], type=pa.int64()),
+        "b_id": pa.array([b for _, b in edges], type=pa.int64()),
+    })).repartition(3)
+    nds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(nodes, type=pa.int64())})).repartition(2)
+    got = {r["doc_id"]: r["rank_u"]
+           for r in pagerank_int(pairs, nds).take_all()}
+
+    adj, deg = {}, {}
+    for a, b in edges:
+        adj.setdefault(b, []).append(a)
+        adj.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    base = (100 - PR_DAMP_NUM) * PR_SCALE // 100
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        r = {n: base + (PR_DAMP_NUM *
+                        sum(r[u] // deg[u] for u in adj.get(n, []))) // 100
+             for n in nodes}
+    assert got == r
+    # bridge nodes (2, 3) outrank pure-triangle nodes; isolates get base
+    assert got[2] > got[0] and got[3] > got[4]
+    assert got[6] == got[7] == base
