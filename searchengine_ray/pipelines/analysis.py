@@ -1258,3 +1258,117 @@ def lang_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
                              ["lang_actual", "lang_pred"], reduce_part)
+
+
+PMI_SCALE = 1_000_000
+PMI_MIN_PAIR = 5
+
+
+def term_cooccurrence(ds: "ray.data.Dataset",
+                      min_pair: int = PMI_MIN_PAIR,
+                      cfg: IndexConfig = IndexConfig()
+                      ) -> "ray.data.Dataset":
+    """Document-level term co-occurrence with scaled-integer PMI:
+    for unordered term pairs (a < b) co-occurring in ≥ ``min_pair``
+    docs, ``pmi_u = n_ab·N·10^6 // (n_a·n_b)`` (the integer monotone of
+    exp(PMI); >10^6 ⇔ positively associated). The collocation/phrase-
+    mining staple.
+
+    Pair generation is vectorized per batch (distinct (doc, term) runs →
+    all within-doc pairs via repeat/arange gather — no Python loop over
+    docs); per-batch partial pair counts bound the shuffle by the batch
+    pair vocabulary, and the df side rides the same term_df broadcast
+    pattern as doc_keywords. Columns: term_a, term_b, n_ab, pmi_u.
+    """
+    import ray as _ray
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    n_docs = ds.count()
+    dft = pa.concat_tables(
+        [pa.table(b) for b in
+         term_df(ds, cfg).iter_batches(batch_format="pyarrow")]
+    ).sort_by("term")
+    ref = _ray.put((dft["term"].combine_chunks(),
+                    dft["df"].to_numpy(zero_copy_only=False)))
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        terms, _dfs = _ray.get(ref)
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        if len(di) == 0:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"a": e, "b": e, "n": e})
+        code = pc.index_in(toks, value_set=terms) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, code), doc-sorted with code ascending per doc
+        t = np.unique(np.stack([di.astype(np.int64), code]), axis=1)
+        d_s, c_s = t[0], t[1]
+        # run lengths per doc
+        newd = np.empty(len(d_s), dtype=bool)
+        newd[0] = True
+        newd[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(newd)
+        lens = np.diff(np.append(starts, len(d_s)))
+        # all ordered pairs (i < j) within each run: for every element,
+        # pair it with each LATER element of its run
+        run_start = np.repeat(starts, lens)
+        pos = np.arange(len(d_s))
+        later = (starts + lens)[np.searchsorted(starts, run_start)] \
+            - pos - 1   # count of later elements in the run
+        a_idx = np.repeat(pos, later)
+        # offsets 1..later for each a
+        off = np.arange(later.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(later)[:-1]]), later) + 1
+        b_idx = a_idx + off
+        pt = pa.table({"a": pa.array(c_s[a_idx]),
+                       "b": pa.array(c_s[b_idx]),
+                       "n": pa.array(np.ones(len(a_idx), dtype=np.int64))})
+        g = pt.group_by(["a", "b"], use_threads=False) \
+              .aggregate([("n", "sum")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    def pairs_reduce(part: pa.Table) -> pa.Table:
+        terms, dfs = _ray.get(ref)
+        g = part.group_by(["a", "b"], use_threads=False) \
+                .aggregate([("n", "sum")])
+        n_ab = pc.cast(g["n_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n_ab >= min_pair
+        a = g["a"].to_numpy(zero_copy_only=False)[keep]
+        b = g["b"].to_numpy(zero_copy_only=False)[keep]
+        n_ab = n_ab[keep]
+        pmi = (n_ab * n_docs * PMI_SCALE) // (dfs[a] * dfs[b])
+        return pa.table({
+            "term_a": pc.take(terms, pa.array(a)),
+            "term_b": pc.take(terms, pa.array(b)),
+            "n_ab": pa.array(n_ab),
+            "pmi_u": pa.array(pmi),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"),
+        ["a", "b"], pairs_reduce)
+
+
+def sql_term_cooccurrence(min_pair: int = PMI_MIN_PAIR,
+                          cfg: IndexConfig = IndexConfig()) -> str:
+    from searchengine_ray.functions.tokenizer import sql_filtered_tokens_expr
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pairs AS (
+  SELECT t1.term AS term_a, t2.term AS term_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id AND t1.term < t2.term
+  GROUP BY t1.term, t2.term
+  HAVING count(*) >= {min_pair})
+SELECT term_a, term_b, n_ab,
+       CAST((n_ab * (SELECT n FROM n) * {PMI_SCALE})
+            // (da.df * db.df) AS BIGINT) AS pmi_u
+FROM pairs
+JOIN df da ON da.term = pairs.term_a
+JOIN df db ON db.term = pairs.term_b
+"""

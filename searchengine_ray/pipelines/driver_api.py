@@ -1669,6 +1669,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["text", "source", "lang"])),
         "lang_confusion": lambda sf: analysis.lang_confusion(
             _docs(sf, ["text", "lang"])),
+        "term_cooccurrence": lambda sf: analysis.term_cooccurrence(
+            _docs(sf, ["doc_id", "text"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1762,6 +1764,7 @@ def build_oracles() -> dict[str, str]:
         "events_interarrival": events.sql_interarrival(),
         "docs_rollup": analysis.sql_docs_rollup(),
         "lang_confusion": sql_lang_confusion(),
+        "term_cooccurrence": analysis.sql_term_cooccurrence(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1871,3 +1871,30 @@ def test_pagerank_int_matches_bruteforce(ray_session):
     # bridge nodes (2, 3) outrank pure-triangle nodes; isolates get base
     assert got[2] > got[0] and got[3] > got[4]
     assert got[6] == got[7] == base
+
+
+def test_term_cooccurrence_matches_bruteforce(docs_ds):
+    from collections import Counter
+    from itertools import combinations
+
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import (PMI_SCALE,
+                                                     term_cooccurrence)
+    cfg = IndexConfig()
+    t = docs_table()
+    docsets = [set(filter_tokens(tokenize(x), cfg))
+               for x in t["text"].to_pylist()]
+    n = len(docsets)
+    df = Counter()
+    pair_n = Counter()
+    for s in docsets:
+        df.update(s)
+        pair_n.update(combinations(sorted(s), 2))
+    expect = sorted(
+        (a, b, c, (c * n * PMI_SCALE) // (df[a] * df[b]))
+        for (a, b), c in pair_n.items() if c >= 3)
+    got = sorted((r["term_a"], r["term_b"], r["n_ab"], r["pmi_u"])
+                 for r in term_cooccurrence(docs_ds, min_pair=3,
+                                            cfg=cfg).take_all())
+    assert got == expect
