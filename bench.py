@@ -48,8 +48,11 @@ def _ray_init(num_cpus: int):
     import ray
     from ray.data import DataContext
     from ray.data.context import ShuffleStrategy
+    # log_to_driver=False: a relayed worker print can land on stdout
+    # AHEAD of the one-line JSON contract (observed once: a truncated
+    # progress-bar name); the driver parses stdout, so keep it pure
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     # push-based sort shuffle parallelizes the postings exchange better

@@ -331,8 +331,12 @@ def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                                               batch_format="pyarrow"),
                             ["src"], deg_reduce)
     # (src, dst, deg) — deg folded in ONCE so each round needs one join
-    edges_deg = equi_join(edges, deg, "src", "src",
-                          ["dst"], ["deg"]).materialize()
+    # repartition before each materialize: groupby/map_groups output block
+    # counts grow with input blocks, and an iterative loop compounds that
+    # into a block explosion (the measured CC pitfall) — pin the block
+    # count once per round
+    edges_deg = equi_join(edges, deg, "src", "src", ["dst"], ["deg"]) \
+        .repartition(NUM_GRAPH_PARTITIONS).materialize()
 
     def init_rank(batch: pa.Table) -> pa.Table:
         n = pc.cast(batch[node_col], pa.int64())
@@ -341,7 +345,7 @@ def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                                                dtype=np.int64))})
 
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow") \
-                 .materialize()
+                 .repartition(NUM_GRAPH_PARTITIONS).materialize()
     base = (100 - PR_DAMP_NUM) * PR_SCALE // 100
 
     for _ in range(iters):
@@ -384,7 +388,7 @@ def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
             })
 
         ranks = joined.map_batches(apply_damp, batch_format="pyarrow") \
-                      .materialize()
+                      .repartition(NUM_GRAPH_PARTITIONS).materialize()
 
     def out(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pc.cast(batch["node"], pa.int64()),
