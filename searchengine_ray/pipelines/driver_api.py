@@ -1652,6 +1652,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": lambda sf: analysis.doc_keywords(_docs(sf)),
         "events_global_rank": lambda sf: events.global_value_rank(
             _events(sf, ["event_id", "value"])),
+        "events_percent_rank": lambda sf: events.global_percent_rank(
+            _events(sf, ["event_id", "value"])),
         "events_value_zscore": lambda sf: events.value_zscore(
             _events(sf, ["event_id", "event_type", "value"])),
         "weighted_sample": lambda sf: analysis.weighted_sample(_docs(sf)),
@@ -1755,6 +1757,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_cluster_keep": sql_cluster_keep(),
         "doc_keywords": analysis.sql_doc_keywords(),
         "events_global_rank": events.sql_global_value_rank(),
+        "events_percent_rank": events.sql_global_percent_rank(),
         "events_value_zscore": events.sql_value_zscore(),
         "weighted_sample": analysis.sql_weighted_sample(),
         "cap_per_source": analysis.sql_cap_per_source(),

@@ -1451,3 +1451,58 @@ SELECT event_id,
                 -1)::BIGINT AS gap_us
 FROM events
 """
+
+
+def global_percent_rank(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """percent_rank() by value DESC over all events, sort-free: the same
+    broadcast-histogram machinery as global_value_rank with one extra
+    float ((rank−1)/(N−1), round 6 — computed from exact integer ranks,
+    identical op order both engines). Columns: event_id, prank_r."""
+    import ray
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        u, c = np.unique(vc, return_counts=True)
+        return pa.table({"vc": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def hreduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["vc"], use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"vc": g["vc"], "n": g["n_sum"]})
+
+    hist = pa.concat_tables(
+        [pa.table(b) for b in
+         grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                           ["vc"], hreduce).iter_batches(batch_format="pyarrow")])
+    vals = hist["vc"].to_numpy(zero_copy_only=False)
+    cnts = hist["n"].to_numpy(zero_copy_only=False)
+    n_total = int(cnts.sum())
+    order = np.argsort(-vals, kind="stable")
+    vals_desc, cnts_desc = vals[order], cnts[order]
+    ranks_desc = np.ones(len(vals_desc), dtype=np.int64)
+    ranks_desc[1:] += np.cumsum(cnts_desc[:-1])
+    asc = np.argsort(vals_desc, kind="stable")
+    ref = ray.put((vals_desc[asc], ranks_desc[asc], n_total))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v_asc, r_asc, n = ray.get(ref)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        rnk = r_asc[np.searchsorted(v_asc, vc)]
+        denom = float(max(n - 1, 1))
+        pr = np.round((rnk - 1).astype(np.float64) / denom, 6)
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "prank_r": pa.array(pr),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_global_percent_rank() -> str:
+    return ("SELECT event_id, round(percent_rank() OVER (ORDER BY "
+            "CAST(round(value * 100) AS BIGINT) DESC), 6) AS prank_r "
+            "FROM events")

@@ -170,6 +170,22 @@ class SearchApp:
             return {"results": [], "total": 0}
         return {"results": results, "total": len(results)}
 
+    def api_boolean(self, query: str, mode: str = "and",
+                    exclude: str = "", k: int = 100) -> dict:
+        """``/api/boolean`` — engine extension: unscored set retrieval
+        (and/or/exclude). Returns up to ``k`` ascending doc_ids plus the
+        total match count; invalid modes report a 400-style error body
+        rather than 500."""
+        fn = getattr(self.backend, "boolean_search", None)
+        if fn is None or not query:
+            return {"doc_ids": [], "total": 0}
+        if mode not in ("and", "or"):
+            return {"error": f"mode must be and|or, got {mode!r}",
+                    "doc_ids": [], "total": 0}
+        ids = fn(query, mode=mode, exclude=exclude)
+        return {"doc_ids": [int(i) for i in ids[:max(k, 0)]],
+                "total": int(ids.size)}
+
     def health(self) -> tuple[int, dict]:
         """``/health`` payload + status code (app.py:246-274)."""
         try:
@@ -239,6 +255,12 @@ class SearchHTTPServer:
                     elif u.path == "/api/facets":
                         self._json(200, outer.app.api_facets(
                             first.get("q", "")))
+                    elif u.path == "/api/boolean":
+                        self._json(200, outer.app.api_boolean(
+                            first.get("q", ""),
+                            first.get("mode", "and"),
+                            first.get("exclude", ""),
+                            _int(first.get("k"), 100)))
                     elif u.path == "/api/related":
                         self._json(200, outer.app.api_related(
                             _int(first.get("doc_id"), None),

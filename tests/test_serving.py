@@ -1359,3 +1359,21 @@ def test_boolean_search_property(built, data):
     expect = {i for i in expect if not (ext & tsets[i])}
     got = eng.boolean_search(q, mode=mode, exclude=ex)
     assert list(got) == sorted(expect), (q, mode, ex)
+
+
+def test_http_boolean_endpoint(http_server):
+    srv, app, eng = http_server
+    code, body = _get(srv.port, "/api/boolean?q=py%20org2&mode=and&k=5")
+    ids = eng.boolean_search("py org2", mode="and")
+    assert code == 200
+    assert body["total"] == int(ids.size)
+    assert body["doc_ids"] == [int(i) for i in ids[:5]]
+    code, body = _get(srv.port,
+                      "/api/boolean?q=py&mode=or&exclude=org2&k=3")
+    ids = eng.boolean_search("py", mode="or", exclude="org2")
+    assert (body["total"], body["doc_ids"]) == (int(ids.size),
+                                                [int(i) for i in ids[:3]])
+    code, body = _get(srv.port, "/api/boolean?q=py&mode=xor")
+    assert code == 200 and "error" in body and body["doc_ids"] == []
+    code, body = _get(srv.port, "/api/boolean?q=")
+    assert (code, body) == (200, {"doc_ids": [], "total": 0})
