@@ -837,59 +837,168 @@ GROUP BY shingle ORDER BY cnt DESC, shingle LIMIT {k}
 
 RARITY_SCALE = 1_000_000
 
+# Above this many distinct terms the df side table stops being "small"
+# (a 100 TB code corpus's identifier vocabulary can approach token count)
+# and the broadcast pattern becomes an O(vocab) driver materialization —
+# auto-switch to the in-shuffle df join below it.
+VOCAB_BROADCAST_LIMIT = 2_000_000
 
-def doc_rarity(ds: "ray.data.Dataset",
-               cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
-    """Corpus-statistics document scoring — the two-phase
-    broadcast-stats pattern every "score docs against a corpus-level
-    model" pipeline uses (KenLM-perplexity slots here the same way):
 
-      Phase 1 (small wide): ``term_df`` aggregates per-term document
-      frequency (partial-aggregated shuffle, output bounded by the
-      VOCABULARY, ≪ corpus) + the dataset row count; the df table is
-      broadcast once via ``ray.put``.
-      Phase 2 (streaming): one map_batches pass scores every doc —
-      per-token scaled inverse df (``N·10^6 // df``, integer), per-doc
-      mean via ``np.add.at`` on an int64 accumulator. No second
-      shuffle; the corpus rides through once.
-
-    All arithmetic is integer (exact vs the SQL twin). Docs whose
-    filtered token list is empty are absent (match the twin's join).
-    Columns: doc_id, n_tok, rarity_u (= Σ(N·10^6//df) // n_tok).
-    For a vocabulary too large to broadcast, fall back to
-    ``pipelines.join.equi_join`` on a term-hash key.
-    """
+def _broadcast_df(dft: pa.Table):
+    """Broadcast hook for the small-vocab path: ``ray.put`` ONCE, every
+    scoring task reads the (terms, dfs) pair zero-copy from the object
+    store. Split out so the strategy tests can assert WHICH path ran
+    (the join path must never call this)."""
     import ray
+    return ray.put((dft["term"].combine_chunks(),
+                    dft["df"].to_numpy(zero_copy_only=False)))
 
-    n_docs = ds.count()
-    dft = pa.concat_tables(
-        [pa.table(b) for b in
-         term_df(ds, cfg).iter_batches(batch_format="pyarrow")])
-    ref = ray.put((dft["term"].combine_chunks(),
-                   dft["df"].to_numpy(zero_copy_only=False)))
 
-    def score(batch: pa.Table) -> pa.Table:
-        terms, dfs = ray.get(ref)
+def _tf_rows(ds: "ray.data.Dataset", cfg: IndexConfig) -> "ray.data.Dataset":
+    """Pre-aggregated (doc_id, term, tf) rows — the id-width table the
+    df-join operators shuffle instead of the raw token stream. A document
+    row never spans batches, so per-(doc, term) tf is exact locally and
+    each (doc_id, term) pair is emitted exactly ONCE corpus-wide — which
+    is what lets the term-keyed shuffle count df(term) as its own row
+    count per term, with NO separate term_df pass and NO broadcast."""
+    def explode(batch: pa.Table) -> pa.Table:
         di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
         ids = pc.cast(batch["doc_id"], pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        if len(di) == 0:
-            z = pa.array([], type=pa.int64())
-            return pa.table({"doc_id": z, "n_tok": z, "rarity_u": z})
-        idx = pc.index_in(toks, value_set=terms) \
-            .to_numpy(zero_copy_only=False)
-        rar_tok = (n_docs * RARITY_SCALE) // dfs[idx.astype(np.int64)]
-        sums = np.zeros(len(batch), dtype=np.int64)
-        np.add.at(sums, di, rar_tok)
-        cnts = np.bincount(di, minlength=len(batch)).astype(np.int64)
-        keep = cnts > 0
+        t = pa.table({"d": pa.array(di), "term": toks})
+        g = (t.group_by(["d", "term"], use_threads=False)
+             .aggregate([("d", "count")]))
+        gd = g["d"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_id": pa.array(ids[keep]),
-            "n_tok": pa.array(cnts[keep]),
-            "rarity_u": pa.array(sums[keep] // cnts[keep]),
+            "doc_id": pa.array(ids[gd]),
+            "term": g["term"],
+            "tf": pc.cast(g["d_count"], pa.int64()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _df_runs(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """Sort a term-partition by term and return (sorted table, per-row df)
+    where df(term) = the term's row count in the partition (= its global
+    df — every row of a term lands in one partition and each (doc, term)
+    appears exactly once)."""
+    t = t.sort_by("term")
+    codes = (t["term"].combine_chunks().dictionary_encode()
+             .indices.to_numpy(zero_copy_only=False))
+    b = np.nonzero(np.diff(codes))[0] + 1
+    runs = np.diff(np.concatenate([[0], b, [len(codes)]]))
+    return t, np.repeat(runs, runs).astype(np.int64)
+
+
+def _resolve_df_strategy(ds: "ray.data.Dataset", cfg: IndexConfig,
+                         strategy: str, limit: int):
+    """Shared strategy resolution for the df-scoring operators: returns
+    ("broadcast", dft_table) or ("join", None). ``auto`` materializes the
+    term_df Dataset (distributed) and checks the VOCABULARY size — the
+    one scalar the decision needs; if it switches to join, that term_df
+    pass is the (documented) price of auto-detection, since the join path
+    recomputes df inside its own shuffle. Callers at known-large scale
+    pass strategy="join" to skip it."""
+    assert strategy in ("auto", "broadcast", "join"), strategy
+    if strategy == "join":
+        return "join", None
+    dft_ds = term_df(ds, cfg)
+    if strategy == "auto":
+        dft_ds = dft_ds.materialize()
+        if dft_ds.count() > limit:
+            return "join", None
+    dft = pa.concat_tables(
+        [pa.table(b) for b in dft_ds.iter_batches(batch_format="pyarrow")])
+    return "broadcast", dft
+
+
+def doc_rarity(ds: "ray.data.Dataset",
+               cfg: IndexConfig = IndexConfig(),
+               strategy: str = "auto",
+               broadcast_vocab_limit: int = VOCAB_BROADCAST_LIMIT
+               ) -> "ray.data.Dataset":
+    """Corpus-statistics document scoring (KenLM-perplexity slots into the
+    same shape): per-doc mean scaled inverse df over filtered tokens.
+    All arithmetic is integer (exact vs the SQL twin). Docs whose filtered
+    token list is empty are absent (match the twin's join).
+    Columns: doc_id, n_tok, rarity_u (= Σ tf·(N·10^6//df) // n_tok).
+
+    Two output-identical plans, switched by ``strategy``:
+
+    broadcast (vocab ≤ ``broadcast_vocab_limit``): ``term_df`` aggregates
+      per-term document frequency (partial-aggregated shuffle, output
+      bounded by the VOCABULARY ≪ corpus); the df table is broadcast once
+      via ``ray.put`` and ONE streaming map_batches pass scores every doc
+      — no second shuffle, the corpus rides through once.
+    join (the 100 TB / unbounded-vocab path): NO broadcast and no df pass
+      at all — pre-aggregated (doc_id, term, tf) rows are hash-partitioned
+      by term, df(term) = the term's own row count inside its partition
+      (each (doc, term) pair is emitted exactly once), scores attach in
+      the same task, and a second doc-keyed shuffle of id-width partial
+      sums finishes the per-doc mean. Everything that moves is id-width.
+    auto: run term_df, broadcast iff vocabulary ≤ the limit.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    n_docs = ds.count()
+    plan, dft = _resolve_df_strategy(ds, cfg, strategy,
+                                     broadcast_vocab_limit)
+    if plan == "broadcast":
+        import ray
+        ref = _broadcast_df(dft)
+
+        def score(batch: pa.Table) -> pa.Table:
+            terms, dfs = ray.get(ref)
+            di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+            ids = pc.cast(batch["doc_id"], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            if len(di) == 0:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"doc_id": z, "n_tok": z, "rarity_u": z})
+            idx = pc.index_in(toks, value_set=terms) \
+                .to_numpy(zero_copy_only=False)
+            rar_tok = (n_docs * RARITY_SCALE) // dfs[idx.astype(np.int64)]
+            sums = np.zeros(len(batch), dtype=np.int64)
+            np.add.at(sums, di, rar_tok)
+            cnts = np.bincount(di, minlength=len(batch)).astype(np.int64)
+            keep = cnts > 0
+            return pa.table({
+                "doc_id": pa.array(ids[keep]),
+                "n_tok": pa.array(cnts[keep]),
+                "rarity_u": pa.array(sums[keep] // cnts[keep]),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # join plan: shuffle 1 keyed by term (df + score in-task, partial
+    # per-doc sums out), shuffle 2 keyed by doc_id (final integer mean)
+    def score_part(part: pa.Table) -> pa.Table:
+        t, df = _df_runs(part)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        rar = tf * ((n_docs * RARITY_SCALE) // df)
+        pt = pa.table({"doc_id": t["doc_id"], "ntok": pa.array(tf),
+                       "rar": pa.array(rar)})
+        g = (pt.group_by(["doc_id"], use_threads=False)
+             .aggregate([("ntok", "sum"), ("rar", "sum")]))
+        return pa.table({"doc_id": pc.cast(g["doc_id"], pa.int64()),
+                         "ntok": pc.cast(g["ntok_sum"], pa.int64()),
+                         "rar": pc.cast(g["rar_sum"], pa.int64())})
+
+    scored = grouped_aggregate(_tf_rows(ds, cfg), ["term"], score_part)
+
+    def finish(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["doc_id"], use_threads=False)
+             .aggregate([("ntok", "sum"), ("rar", "sum")]))
+        n_tok = pc.cast(g["ntok_sum"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rar = pc.cast(g["rar_sum"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pc.cast(g["doc_id"], pa.int64()),
+                         "n_tok": pa.array(n_tok),
+                         "rarity_u": pa.array(rar // n_tok)})
+
+    return grouped_aggregate(scored, ["doc_id"], finish)
 
 
 def sql_doc_rarity(cfg: IndexConfig = IndexConfig()) -> str:
@@ -967,29 +1076,77 @@ def sql_phrase_match(phrase: str, cfg: IndexConfig = IndexConfig()) -> str:
 
 
 def doc_keywords(ds: "ray.data.Dataset", k: int = 3,
-                 cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+                 cfg: IndexConfig = IndexConfig(),
+                 strategy: str = "auto",
+                 broadcast_vocab_limit: int = VOCAB_BROADCAST_LIMIT
+                 ) -> "ray.data.Dataset":
     """Per-document keyword extraction: top-``k`` content terms by scaled
     integer tf·idf (tf × (N·10^6 // df)), tie-broken term-ascending — the
     deterministic total order shared with the SQL twin.
 
-    Same two-phase shape as :func:`doc_rarity`: the vocabulary-bounded df
-    table is broadcast once (``ray.put``), then ONE streaming pass computes
-    per-(doc, term) tf by run-length over a lexsort and picks each doc's
-    top-k with a vectorized rank-since-run-start — no per-doc Python loop,
-    no second shuffle. The broadcast table is sorted by term so the
-    in-kernel tie-break can use integer term codes.
+    Same strategy switch as :func:`doc_rarity` (output-identical paths):
+
+    broadcast: the vocabulary-bounded df table is broadcast once
+      (``ray.put``), then ONE streaming pass computes per-(doc, term) tf
+      by run-length over a lexsort and picks each doc's top-k with a
+      vectorized rank-since-run-start — no per-doc Python loop, no second
+      shuffle. The broadcast table is sorted by term so the in-kernel
+      tie-break can use integer term codes.
+    join (unbounded vocab): no broadcast/df pass — (doc_id, term, tf)
+      rows shuffle by term, df and score_u attach inside the partition
+      (df = the term's own row count), then a doc-keyed shuffle brings
+      each doc's scored terms together for the same vectorized top-k.
+      Tie-break equality holds because within a doc-partition the terms
+      are sorted and dictionary codes are again lexicographic.
 
     Columns: doc_id, rank (1..k), term, score_u — all int64/string.
     """
     import ray
 
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
     n_docs = ds.count()
-    dft = pa.concat_tables(
-        [pa.table(b) for b in
-         term_df(ds, cfg).iter_batches(batch_format="pyarrow")]
-    ).sort_by("term")
-    ref = ray.put((dft["term"].combine_chunks(),
-                   dft["df"].to_numpy(zero_copy_only=False)))
+    plan, dft = _resolve_df_strategy(ds, cfg, strategy,
+                                     broadcast_vocab_limit)
+    if plan == "join":
+        def score_part(part: pa.Table) -> pa.Table:
+            t, df = _df_runs(part)
+            tf = t["tf"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "score_u": pa.array(tf * ((n_docs * RARITY_SCALE) // df)),
+            })
+
+        scored = grouped_aggregate(_tf_rows(ds, cfg), ["term"], score_part)
+
+        def topk_part(part: pa.Table) -> pa.Table:
+            t = part.sort_by("term")
+            codes = (t["term"].combine_chunks().dictionary_encode()
+                     .indices.to_numpy(zero_copy_only=False))
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            s = t["score_u"].to_numpy(zero_copy_only=False)
+            ord2 = np.lexsort((codes, -s, d))
+            d2 = d[ord2]
+            newd = np.empty(len(ord2), dtype=bool)
+            newd[0] = True
+            newd[1:] = d2[1:] != d2[:-1]
+            pos = np.arange(len(ord2), dtype=np.int64)
+            run_start = np.maximum.accumulate(np.where(newd, pos, 0))
+            rank = pos - run_start + 1
+            keep = rank <= k
+            sel = ord2[keep]
+            return pa.table({
+                "doc_id": pa.array(d2[keep]),
+                "rank": pa.array(rank[keep]),
+                "term": pc.take(t["term"], pa.array(sel)),
+                "score_u": pa.array(s[sel]),
+            })
+
+        return grouped_aggregate(scored, ["doc_id"], topk_part)
+
+    dft = dft.sort_by("term")
+    ref = _broadcast_df(dft)
 
     def extract(batch: pa.Table) -> pa.Table:
         terms, dfs = ray.get(ref)

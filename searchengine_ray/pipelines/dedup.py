@@ -16,10 +16,12 @@ Arrow-vectorized — shingling and hashing never loop over Python rows) plus
 ONE wide shuffle keyed by content-hash / shingle / band-bucket. Pair
 emission inside a shingle/bucket group is quadratic in group size, so hot
 groups are capped (`max_df` / `max_bucket`) — the cap is part of the
-operator contract and mirrored in the SQL oracle. The per-doc set-size side
-table is broadcast via `ray.put` at test scale; the 10^12-doc path replaces
-the broadcast with a hash-join on a doc-partitioned sizes table (documented,
-not needed at bench scale).
+operator contract and mirrored in the SQL oracle. There is NO driver-side
+or `ray.put` side table anywhere in this module: the per-doc distinct-
+shingle count `ngram_jaccard_pairs` needs rides along as a column computed
+locally in the explode (a document row never spans batches, so the count
+is known inside the batch), and the |intersection| and |union| reductions
+happen in the pair shuffle itself (asserted by test_no_driver_side_table).
 """
 
 from __future__ import annotations

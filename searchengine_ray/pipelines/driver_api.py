@@ -1600,6 +1600,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": lambda sf: chunking.chunk_docs(_docs(sf)),
         "dup_spans": lambda sf: chunking.dup_spans(_docs(sf)),
         "doc_rarity": lambda sf: analysis.doc_rarity(_docs(sf), CFG),
+        # join-strategy twins: the unbounded-vocabulary plan (df computed
+        # inside the term shuffle, NO ray.put broadcast) against the SAME
+        # SQL oracle — the driver itself certifies output identity
+        "doc_rarity_joined": lambda sf: analysis.doc_rarity(
+            _docs(sf), CFG, strategy="join"),
+        "doc_keywords_joined": lambda sf: analysis.doc_keywords(
+            _docs(sf), strategy="join"),
         "pack_token_budget": lambda sf: analysis.pack_token_budget(
             _docs(sf, ["doc_id", "text"])),
         "stratified_sample": lambda sf: analysis.stratified_sample(
@@ -1726,6 +1733,9 @@ def build_oracles() -> dict[str, str]:
         "chunk_docs": chunking.sql_chunk_docs(),
         "dup_spans": chunking.sql_dup_spans(),
         "doc_rarity": analysis.sql_doc_rarity(CFG),
+        # join-strategy twins are output-identical → same oracles
+        "doc_rarity_joined": analysis.sql_doc_rarity(CFG),
+        "doc_keywords_joined": analysis.sql_doc_keywords(),
         "pack_token_budget": analysis.sql_pack_token_budget(),
         "stratified_sample": analysis.sql_stratified_sample(),
         "mixture_sample": analysis.sql_mixture_sample(),

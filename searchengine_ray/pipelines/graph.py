@@ -82,32 +82,43 @@ def connected_components(pairs: "ray.data.Dataset",
     # clique-heavy near-dup graphs. Seeds are valid labels (ids of true
     # component members), so the fixpoint is unchanged.
     def local_contract(group: pa.Table) -> pa.Table:
+        # numpy min-label shrink instead of a per-edge Python union-find:
+        # dense-code the partition's nodes (np.unique is sorted, so the
+        # index order IS ascending node-id order and index-min == id-min),
+        # then alternate (a) min over each node's incident edge labels
+        # and (b) full pointer-jump compression lbl = lbl[lbl] until the
+        # fixpoint. Each sweep is O(E) vectorized; sweeps needed =
+        # O(log component-diameter) thanks to the compression step.
         src = group["src"].to_numpy(zero_copy_only=False)
         dst = group["dst"].to_numpy(zero_copy_only=False)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(src.tolist(), dst.tolist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        nodes, codes = np.unique(np.concatenate([src, dst]),
+                                 return_inverse=True)
+        s, d = codes[:len(src)], codes[len(src):]
+        lbl = np.arange(nodes.size, dtype=np.int64)
+        while True:
+            m = np.minimum(lbl[s], lbl[d])
+            new = lbl.copy()
+            np.minimum.at(new, s, m)
+            np.minimum.at(new, d, m)
+            while True:
+                jumped = new[new]
+                if np.array_equal(jumped, new):
+                    break
+                new = jumped
+            if np.array_equal(new, lbl):
+                break
+            lbl = new
         my_part = int(group["part"][0].as_py())
         # every src in this group hashes to my_part by construction
-        # (orient partitions by _part_of(src)) — no per-node re-check
-        uniq = np.unique(src)
-        lbls = np.fromiter((find(int(u)) for u in uniq), dtype=np.int64,
-                           count=uniq.size)
+        # (orient partitions by _part_of(src)) — no per-node re-check;
+        # emit one row per distinct src (dst-only nodes belong to the
+        # partition that owns them as src)
+        src_codes = np.unique(s)
         return pa.table({
-            "part": pa.array(np.full(uniq.size, my_part, dtype=np.int32)),
-            "node": pa.array(uniq.astype(np.int64)),
-            "lbl": pa.array(lbls),
+            "part": pa.array(np.full(src_codes.size, my_part,
+                                     dtype=np.int32)),
+            "node": pa.array(nodes[src_codes].astype(np.int64)),
+            "lbl": pa.array(nodes[lbl[src_codes]].astype(np.int64)),
         })
 
     seeds = edges.groupby("part").map_groups(local_contract,

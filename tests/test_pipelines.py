@@ -1898,3 +1898,105 @@ def test_term_cooccurrence_matches_bruteforce(docs_ds):
                  for r in term_cooccurrence(docs_ds, min_pair=3,
                                             cfg=cfg).take_all())
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# df-strategy switch (round-4: the last O(vocab) broadcasts, de-broadcast)
+# ---------------------------------------------------------------------------
+
+def test_df_join_strategy_identical_and_no_broadcast(docs_ds, monkeypatch):
+    """strategy="join" must (a) never touch the ray.put broadcast hook and
+    (b) produce row-identical output to the broadcast plan."""
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines import analysis
+
+    cfg = IndexConfig()
+    rar_b = sorted(map(tuple, (r.values() for r in
+                   analysis.doc_rarity(docs_ds, cfg,
+                                       strategy="broadcast").take_all())))
+    kw_b = sorted(map(tuple, (r.values() for r in
+                  analysis.doc_keywords(docs_ds, 3, cfg,
+                                        strategy="broadcast").take_all())))
+
+    def boom(dft):
+        raise AssertionError("join strategy must not broadcast the df table")
+
+    monkeypatch.setattr(analysis, "_broadcast_df", boom)
+    rar_j = sorted(map(tuple, (r.values() for r in
+                   analysis.doc_rarity(docs_ds, cfg,
+                                       strategy="join").take_all())))
+    kw_j = sorted(map(tuple, (r.values() for r in
+                  analysis.doc_keywords(docs_ds, 3, cfg,
+                                        strategy="join").take_all())))
+    assert rar_j == rar_b and rar_b
+    assert kw_j == kw_b and kw_b
+
+
+def test_df_auto_strategy_switches_on_vocab_size(docs_ds, monkeypatch):
+    """auto must pick join above the vocab limit (hook untouched) and
+    broadcast below it (hook called exactly once per operator)."""
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines import analysis
+
+    cfg = IndexConfig()
+    calls = []
+    real = analysis._broadcast_df
+
+    def spy(dft):
+        calls.append(dft.num_rows)
+        return real(dft)
+
+    monkeypatch.setattr(analysis, "_broadcast_df", spy)
+    # vocab (50 planted words) > limit 10 → join path, no broadcast
+    out = analysis.doc_rarity(docs_ds, cfg, strategy="auto",
+                              broadcast_vocab_limit=10).take_all()
+    assert out and calls == []
+    # generous limit → broadcast path, hook called once
+    out2 = analysis.doc_rarity(docs_ds, cfg, strategy="auto",
+                               broadcast_vocab_limit=10_000).take_all()
+    assert calls and len(calls) == 1
+    assert sorted(map(tuple, (r.values() for r in out))) == \
+        sorted(map(tuple, (r.values() for r in out2)))
+
+
+def test_no_driver_side_table(ray_session):
+    """The dedup module docstring's claim: NO ray.put / driver-side side
+    table anywhere in the dedup family — per-doc set sizes ride along as
+    explode columns. Source-level guard so a regression that reintroduces
+    an O(N) broadcast fails loudly here."""
+    import inspect
+
+    from searchengine_ray.pipelines import dedup
+    src = inspect.getsource(dedup)
+    assert "ray.put(" not in src.replace("`ray.put`", "")
+    assert ".take_all(" not in src and ".to_pandas(" not in src
+
+
+def test_local_contract_vectorized_clique_and_chain(ray_session):
+    """Dense clique + long chain + isolated nodes through the full CC —
+    stresses the numpy min-label shrink that replaced the per-edge Python
+    union-find in local_contract (round-4 verdict item 3)."""
+    import ray.data
+    from searchengine_ray.pipelines.graph import connected_components
+
+    edges = []
+    clique = list(range(50, 70))
+    edges += [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    edges += [(i, i + 1) for i in range(0, 30)]          # chain 0..30
+    edges += [(100, 101), (101, 102), (100, 102)]         # triangle
+    pairs = pa.table({
+        "a_id": pa.array([a for a, _ in edges], type=pa.int64()),
+        "b_id": pa.array([b for _, b in edges], type=pa.int64()),
+    })
+    nodes = pa.table({"doc_id": pa.array(
+        sorted({v for e in edges for v in e} | {999, 1000}),
+        type=pa.int64())})
+    got = {r["doc_id"]: r["component_id"] for r in
+           connected_components(ray.data.from_arrow(pairs),
+                                ray.data.from_arrow(nodes)).take_all()}
+    for v in clique:
+        assert got[v] == 50
+    for v in range(0, 31):
+        assert got[v] == 0
+    assert got[100] == got[101] == got[102] == 100
+    assert got[999] == 999 and got[1000] == 1000
