@@ -96,6 +96,7 @@ class QueryEngine:
                  qcfg: QueryConfig = QueryConfig(), *,
                  lazy_segments: bool = False,
                  lazy_docstore: bool = False,
+                 preload_segments: bool = False,
                  doc_range: tuple[int, int] | None = None,
                  query_embedder=None):
         """Huge-index modes (results identical to eager — asserted in tests;
@@ -105,6 +106,12 @@ class QueryEngine:
         (row-group stats on the term column — segments are term-sorted, so
         a lookup touches ~1 row group) instead of loading whole partition
         files into memory.
+
+        ``preload_segments=True``: the opposite serving posture — load
+        EVERY segment partition at construction (threaded parquet reads)
+        so the first query per term pays no partition-file I/O. Startup
+        cost ∝ index size; right for a long-lived serving process whose
+        shard fits in memory (pair with doc_range sharding above that).
 
         ``lazy_docstore=True``: only the docstore's doc_id column is
         resident (8 B/doc); the heavy string columns (title/meta/snippet,
@@ -226,6 +233,93 @@ class QueryEngine:
         # server shares one engine, and a check-then-use across an
         # eviction would otherwise KeyError
         self._mask_lock = threading.Lock()
+        self._load_mask_cache()
+        if preload_segments and not lazy_segments:
+            import concurrent.futures as _cf
+            with _cf.ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(self._load_part,
+                              range(self.num_partitions)))
+
+    # -- mask-cache persistence (cold-p95 lever) ----------------------------
+    # The packbits boost masks are deterministic per (field, pattern) given
+    # the resident docstore, so an engine that learned them can write them
+    # next to the index and every FRESH engine (new process, new round)
+    # starts with a warm boost phase instead of re-scanning the fields.
+    def _mask_store_path(self) -> str:
+        tag = ("full" if self.doc_range is None
+               else f"{self.doc_range[0]}-{self.doc_range[1]}")
+        return os.path.join(self.index_dir, "mask_cache",
+                            f"masks-{tag}.parquet")
+
+    def _docstore_fingerprint(self) -> str:
+        """Cheap staleness guard for persisted masks: the docstore file
+        list + byte sizes (any merge/delta rewrite changes both)."""
+        parts = []
+        for f in self._docstore_files:
+            try:
+                parts.append(f"{f}:{os.path.getsize(os.path.join(self._docstore_dir, f))}")
+            except OSError:
+                parts.append(f"{f}:?")
+        return f"n={len(self._doc_ids)};" + ",".join(parts)
+
+    def persist_mask_cache(self) -> int:
+        """Write the accumulated packbits masks to the index dir
+        (atomic tmp→rename; parquet: field int8, pattern string, packed
+        binary). Returns the number of entries written (0 = nothing to
+        persist / lazy docstore). Idempotent; safe to call any time."""
+        if self.lazy_docstore:
+            return 0
+        with self._mask_lock:
+            items = list(self._field_mask_cache.items())
+        if not items:
+            return 0
+        import pyarrow as pa
+        path = self._mask_store_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        t = pa.table({
+            "field": pa.array([k[0] for k, _ in items], type=pa.int8()),
+            "pattern": pa.array([k[1] for k, _ in items],
+                                type=pa.string()),
+            "packed": pa.array([v.tobytes() for _, v in items],
+                               type=pa.binary()),
+        })
+        t = t.replace_schema_metadata(
+            {b"docstore_fingerprint":
+             self._docstore_fingerprint().encode()})
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return len(items)
+
+    def _load_mask_cache(self) -> int:
+        """Seed the mask cache from a persisted file (if present and its
+        docstore fingerprint still matches). Returns entries loaded."""
+        if self.lazy_docstore:
+            return 0
+        path = self._mask_store_path()
+        if not os.path.exists(path):
+            return 0
+        try:
+            t = pq.read_table(path)
+        except Exception:
+            return 0  # unreadable/corrupt → treat as absent
+        meta = (t.schema.metadata or {}).get(b"docstore_fingerprint")
+        if meta is None or meta.decode() != self._docstore_fingerprint():
+            return 0  # docstore changed since persist → stale, ignore
+        want = (len(self._doc_ids) + 7) // 8
+        n = 0
+        with self._mask_lock:
+            for fi, pat, packed in zip(t["field"].to_pylist(),
+                                       t["pattern"].to_pylist(),
+                                       t["packed"].to_pylist()):
+                if len(packed) != want:
+                    continue
+                self._field_mask_cache[(int(fi), pat)] = \
+                    np.frombuffer(packed, dtype=np.uint8)
+                n += 1
+                if n >= self._MASK_CACHE_CAP:
+                    break
+        return n
 
     def _select_range_files(self, dir_path: str, part_base: int,
                             num_parts: int | None) -> list[str]:

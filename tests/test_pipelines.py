@@ -782,6 +782,48 @@ def test_boost_mask_cache_equivalent(built, monkeypatch):
     assert cached._field_mask_cache
 
 
+def test_mask_cache_persisted_path_equivalent(built):
+    """Round-4 cold-p95 lever: a warmed engine persists its packbits masks
+    into the index dir; a FRESH engine loads them at init (before any
+    query) and must return bit-identical results. A stale docstore
+    fingerprint must make the loader ignore the file."""
+    import os
+    import shutil
+
+    from searchengine_ray.query import QueryEngine
+
+    class _Hot(dict):
+        def get(self, k, default=0):
+            return 10 ** 12
+
+    queries = ["queue71", "py org2", "parse token stream", "rust engine",
+               "src/module_96/file_25.py", "hashMap codec"]
+    mask_dir = os.path.join(built.index_dir, "mask_cache")
+    try:
+        warm = QueryEngine(built.index_dir, built.cfg)
+        warm._mask_scan_rows = _Hot()
+        want = {q: warm.search(q, top_k=2000) for q in queries}
+        n = warm.persist_mask_cache()
+        assert n > 0 and n == len(warm._field_mask_cache)
+
+        fresh = QueryEngine(built.index_dir, built.cfg)
+        assert len(fresh._field_mask_cache) == n  # loaded at init
+        for q in queries:
+            assert fresh.search(q, top_k=2000) == want[q], q
+        # idempotent round-trip: persisting the loaded cache is stable
+        assert fresh.persist_mask_cache() >= n
+
+        # staleness guard: fingerprint mismatch → file ignored
+        stale = QueryEngine.__new__(QueryEngine)
+        stale.__dict__.update(fresh.__dict__)
+        stale._field_mask_cache = type(fresh._field_mask_cache)()
+        stale._docstore_fingerprint = lambda: "something-else"
+        assert stale._load_mask_cache() == 0
+        assert not stale._field_mask_cache
+    finally:
+        shutil.rmtree(mask_dir, ignore_errors=True)
+
+
 def test_train_centroids_offset_ids(ray_session):
     """Sampling must work for ANY id scheme (the smallest-ids sample, not
     a 0-based prefix filter): offset ids train fine, empty input raises."""
@@ -2000,3 +2042,17 @@ def test_local_contract_vectorized_clique_and_chain(ray_session):
         assert got[v] == 0
     assert got[100] == got[101] == got[102] == 100
     assert got[999] == 999 and got[1000] == 1000
+
+
+def test_preload_segments_equivalent(built):
+    """preload_segments=True must load every partition at init and return
+    bit-identical results to the lazy-load default."""
+    from searchengine_ray.query import QueryEngine
+
+    lazy = QueryEngine(built.index_dir, built.cfg)
+    eager = QueryEngine(built.index_dir, built.cfg, preload_segments=True)
+    assert len(eager._segments) == eager.num_partitions
+    assert not lazy._segments
+    for q in ["queue71", "py org2", "parse token stream",
+              "src/module_96/file_25.py"]:
+        assert eager.search(q, top_k=50) == lazy.search(q, top_k=50), q
