@@ -1421,9 +1421,29 @@ PMI_SCALE = 1_000_000
 PMI_MIN_PAIR = 5
 
 
+def _run_pair_indices(d_s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered within-run position pairs (i < j) over a run-sorted
+    key array — the shared vectorized pair generator (repeat/arange
+    gather, no Python loop over runs)."""
+    newd = np.empty(len(d_s), dtype=bool)
+    newd[0] = True
+    newd[1:] = d_s[1:] != d_s[:-1]
+    starts = np.flatnonzero(newd)
+    lens = np.diff(np.append(starts, len(d_s)))
+    run_start = np.repeat(starts, lens)
+    pos = np.arange(len(d_s))
+    later = (starts + lens)[np.searchsorted(starts, run_start)] - pos - 1
+    a_idx = np.repeat(pos, later)
+    off = np.arange(later.sum()) - np.repeat(
+        np.concatenate([[0], np.cumsum(later)[:-1]]), later) + 1
+    return a_idx, a_idx + off
+
+
 def term_cooccurrence(ds: "ray.data.Dataset",
                       min_pair: int = PMI_MIN_PAIR,
-                      cfg: IndexConfig = IndexConfig()
+                      cfg: IndexConfig = IndexConfig(),
+                      strategy: str = "auto",
+                      broadcast_vocab_limit: int = VOCAB_BROADCAST_LIMIT
                       ) -> "ray.data.Dataset":
     """Document-level term co-occurrence with scaled-integer PMI:
     for unordered term pairs (a < b) co-occurring in ≥ ``min_pair``
@@ -1434,20 +1454,37 @@ def term_cooccurrence(ds: "ray.data.Dataset",
     Pair generation is vectorized per batch (distinct (doc, term) runs →
     all within-doc pairs via repeat/arange gather — no Python loop over
     docs); per-batch partial pair counts bound the shuffle by the batch
-    pair vocabulary, and the df side rides the same term_df broadcast
-    pattern as doc_keywords. Columns: term_a, term_b, n_ab, pmi_u.
+    pair vocabulary. Columns: term_a, term_b, n_ab, pmi_u.
+
+    Strategy (same switch as :func:`doc_rarity`, output-identical):
+    broadcast fetches the vocab-bounded df table to the driver once
+    (``ray.put``); join keeps term_df DISTRIBUTED and attaches df to the
+    filtered pair table with two union-shuffles keyed by term_a then
+    term_b (pair rows + df rows co-partition; an in-partition
+    ``pc.index_in`` maps each pair key to its df) — nothing O(vocab)
+    ever reaches the driver.
     """
     import ray as _ray
 
     from searchengine_ray.pipelines.common import grouped_aggregate
 
+    assert strategy in ("auto", "broadcast", "join"), strategy
     n_docs = ds.count()
+    dft_ds = None
+    if strategy != "broadcast":
+        dft_ds = term_df(ds, cfg).materialize()
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if dft_ds.count() <= broadcast_vocab_limit else "join")
+
+    if strategy == "join":
+        return _term_cooccurrence_join(ds, dft_ds, n_docs, min_pair, cfg)
+
+    src = dft_ds if dft_ds is not None else term_df(ds, cfg)
     dft = pa.concat_tables(
-        [pa.table(b) for b in
-         term_df(ds, cfg).iter_batches(batch_format="pyarrow")]
+        [pa.table(b) for b in src.iter_batches(batch_format="pyarrow")]
     ).sort_by("term")
-    ref = _ray.put((dft["term"].combine_chunks(),
-                    dft["df"].to_numpy(zero_copy_only=False)))
+    ref = _broadcast_df(dft)
 
     def pairs_partial(batch: pa.Table) -> pa.Table:
         terms, _dfs = _ray.get(ref)
@@ -1505,6 +1542,131 @@ def term_cooccurrence(ds: "ray.data.Dataset",
     return grouped_aggregate(
         ds.map_batches(pairs_partial, batch_format="pyarrow"),
         ["a", "b"], pairs_reduce)
+
+
+def _term_cooccurrence_join(ds: "ray.data.Dataset",
+                            dft_ds: "ray.data.Dataset", n_docs: int,
+                            min_pair: int, cfg: IndexConfig
+                            ) -> "ray.data.Dataset":
+    """The unbounded-vocab PMI plan: pair counts shuffle as STRING pairs
+    (partial-aggregated per batch, min_pair-filtered in the reduce —
+    the pair table is small after the filter), then df attaches with two
+    union-shuffles against the DISTRIBUTED term_df Dataset. The driver
+    never sees a row."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        empty = pa.table({"a": pa.array([], type=pa.string()),
+                          "b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(di) == 0:
+            return empty
+        # distinct (doc, term), term-lexicographic within each doc so the
+        # emitted pairs satisfy a < b by string order (matches the
+        # broadcast path's sorted-vocab code order and the SQL twin)
+        t = (pa.table({"d": pa.array(di), "t": toks})
+             .group_by(["d", "t"], use_threads=False).aggregate([])
+             .sort_by([("d", "ascending"), ("t", "ascending")]))
+        d_s = t["d"].to_numpy(zero_copy_only=False)
+        if len(d_s) == 0:
+            return empty
+        a_idx, b_idx = _run_pair_indices(d_s)
+        pt = pa.table({
+            "a": pc.take(t["t"], pa.array(a_idx)),
+            "b": pc.take(t["t"], pa.array(b_idx)),
+            "n": pa.array(np.ones(len(a_idx), dtype=np.int64)),
+        })
+        g = pt.group_by(["a", "b"], use_threads=False) \
+              .aggregate([("n", "sum")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    def pairs_reduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["a", "b"], use_threads=False) \
+                .aggregate([("n", "sum")])
+        n_ab = pc.cast(g["n_sum"], pa.int64())
+        keep = pc.greater_equal(n_ab, min_pair)
+        t = pa.table({"a": g["a"], "b": g["b"], "n_ab": n_ab}) \
+            .filter(keep)
+        return t
+
+    pairs = grouped_aggregate(
+        ds.map_batches(pairs_partial, batch_format="pyarrow"),
+        ["a", "b"], pairs_reduce)
+
+    def _attach_df(key_col: str, out_col: str):
+        """union-shuffle stage: pair rows keyed by ``key_col`` co-partition
+        with df rows; in-partition pc.index_in maps key → df."""
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            cols = {"k": batch[key_col], "side": pa.array(
+                np.ones(len(batch), dtype=np.int64)), "df": pa.nulls(
+                len(batch), type=pa.int64())}
+            for c in batch.column_names:
+                if c != key_col:
+                    cols[c] = batch[c]
+            return pa.table(cols)
+
+        def tag_df(batch: pa.Table, pair_schema: pa.Schema) -> pa.Table:
+            cols = {"k": pc.cast(batch["term"], pa.string()),
+                    "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                    "df": pc.cast(batch["df"], pa.int64())}
+            for f in pair_schema:
+                if f.name != key_col:
+                    cols[f.name] = pa.nulls(len(batch), type=f.type)
+            return pa.table(cols)
+
+        def attach(part: pa.Table) -> pa.Table:
+            side = part["side"].to_numpy(zero_copy_only=False)
+            dfrows = part.filter(pa.array(side == 0))
+            prows = part.filter(pa.array(side == 1))
+            if len(prows) == 0:
+                drop = prows.drop_columns(["side", "df"])
+                return drop.append_column(
+                    out_col, pa.array([], type=pa.int64())) \
+                    .rename_columns(
+                        [key_col if c == "k" else c
+                         for c in drop.column_names] + [out_col])
+            terms = dfrows["k"].combine_chunks()
+            dfs = dfrows["df"].to_numpy(zero_copy_only=False)
+            idx = pc.index_in(prows["k"], value_set=terms) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            out = prows.drop_columns(["side", "df"])
+            out = out.rename_columns(
+                [key_col if c == "k" else c for c in out.column_names])
+            return out.append_column(out_col, pa.array(dfs[idx]))
+
+        return tag_pairs, tag_df, attach
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n_ab", pa.int64())])
+    tag_p, tag_d, attach = _attach_df("a", "df_a")
+    u1 = (pairs.map_batches(tag_p, batch_format="pyarrow")
+          .union(dft_ds.map_batches(
+              lambda b: tag_d(b, pair_schema), batch_format="pyarrow")))
+    with_a = grouped_aggregate(u1, ["k"], attach)
+
+    pair_schema2 = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_ab", pa.int64()),
+                              ("df_a", pa.int64())])
+    tag_p2, tag_d2, attach2 = _attach_df("b", "df_b")
+    u2 = (with_a.map_batches(tag_p2, batch_format="pyarrow")
+          .union(dft_ds.map_batches(
+              lambda b: tag_d2(b, pair_schema2), batch_format="pyarrow")))
+    with_b = grouped_aggregate(u2, ["k"], attach2)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        da = batch["df_a"].to_numpy(zero_copy_only=False)
+        db = batch["df_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term_a": pc.cast(batch["a"], pa.string()),
+            "term_b": pc.cast(batch["b"], pa.string()),
+            "n_ab": pa.array(n_ab),
+            "pmi_u": pa.array((n_ab * n_docs * PMI_SCALE) // (da * db)),
+        })
+
+    return with_b.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_term_cooccurrence(min_pair: int = PMI_MIN_PAIR,

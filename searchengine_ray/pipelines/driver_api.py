@@ -1680,6 +1680,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["text", "lang"])),
         "term_cooccurrence": lambda sf: analysis.term_cooccurrence(
             _docs(sf, ["doc_id", "text"])),
+        "term_cooccurrence_joined": lambda sf: analysis.term_cooccurrence(
+            _docs(sf, ["doc_id", "text"]), strategy="join"),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1778,6 +1780,8 @@ def build_oracles() -> dict[str, str]:
         "docs_rollup": analysis.sql_docs_rollup(),
         "lang_confusion": sql_lang_confusion(),
         "term_cooccurrence": analysis.sql_term_cooccurrence(),
+        # join-strategy twin (output-identical) → same oracle
+        "term_cooccurrence_joined": analysis.sql_term_cooccurrence(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -2171,3 +2171,27 @@ def test_every_read_parquet_is_column_pruned():
                 if "columns=" not in call and rel not in allow:
                     offenders.append((rel, call.splitlines()[0]))
     assert not offenders, offenders
+
+
+def test_term_cooccurrence_join_strategy_identical(docs_ds, monkeypatch):
+    """PMI join plan (df attached via union-shuffles against the
+    distributed term_df, strings as pair keys) must equal the broadcast
+    plan row-for-row and never touch the ray.put hook."""
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines import analysis
+
+    cfg = IndexConfig()
+    want = sorted(
+        (r["term_a"], r["term_b"], r["n_ab"], r["pmi_u"]) for r in
+        analysis.term_cooccurrence(docs_ds, min_pair=3, cfg=cfg,
+                                   strategy="broadcast").take_all())
+
+    def boom(dft):
+        raise AssertionError("join strategy must not broadcast")
+
+    monkeypatch.setattr(analysis, "_broadcast_df", boom)
+    got = sorted(
+        (r["term_a"], r["term_b"], r["n_ab"], r["pmi_u"]) for r in
+        analysis.term_cooccurrence(docs_ds, min_pair=3, cfg=cfg,
+                                   strategy="join").take_all())
+    assert got == want and want
