@@ -1268,15 +1268,17 @@ class QueryService:
 
     def __init__(self, index_dir: str, cfg: IndexConfig = IndexConfig(),
                  qcfg: QueryConfig = QueryConfig(), num_actors: int = 2,
-                 cache_size: int = 0):
+                 cache_size: int = 0, preload_segments: bool = False):
         """``cache_size`` > 0 enables a serving-tier result LRU keyed by
         (query, top_k) — the reference's search-cache analogue (S9: the
         deployed artifact caches search results per query). The cache
         lives in the SERVICE (not the engines), so cold-path latency
         benchmarks measure the engine, and repeat traffic is absorbed
         here. The index is immutable per service instance, so entries
-        never go stale."""
-        self._actors = [make_query_actor(index_dir, cfg, qcfg)
+        never go stale. ``preload_segments`` warms every actor at spawn
+        (QueryEngine docstring)."""
+        self._actors = [make_query_actor(index_dir, cfg, qcfg,
+                                         preload_segments=preload_segments)
                         for _ in range(num_actors)]
         self._next = 0
         import collections
@@ -1945,16 +1947,20 @@ class ShardedQueryService:
 
 
 def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
-                     qcfg: QueryConfig = QueryConfig()):
+                     qcfg: QueryConfig = QueryConfig(),
+                     preload_segments: bool = False):
     """Long-lived serving actor (reference analogue: the Flask worker that
     lazy-loads the whole index once, app.py:72-102). Returns an actor handle
-    with .search.remote(q, k)."""
+    with .search.remote(q, k). ``preload_segments=True`` front-loads every
+    segment partition into the actor at spawn (the persisted mask cache
+    loads either way), so the actor's first request is already warm."""
     import ray
 
     @ray.remote
     class QueryEngineActor:
         def __init__(self):
-            self.engine = QueryEngine(index_dir, cfg, qcfg)
+            self.engine = QueryEngine(index_dir, cfg, qcfg,
+                                      preload_segments=preload_segments)
 
         def search(self, query: str, top_k: int | None = None):
             return self.engine.search(query, top_k)

@@ -1421,3 +1421,14 @@ def test_http_html_pages(http_server):
     # escaping: a query with markup must come back escaped, never raw
     _, _, esc = _get_text(srv.port, "/web/search?q=%3Cscript%3Ezzz")
     assert "<script" not in esc and "&lt;script" in esc
+
+
+def test_query_service_preload_segments_identical(built):
+    """Actor-pool tier with preload_segments=True must answer identically
+    to the lazy default (the warm state is a superset, never different)."""
+    from searchengine_ray.query import QueryService
+    a = QueryService(built.index_dir, built.cfg, num_actors=1)
+    b = QueryService(built.index_dir, built.cfg, num_actors=1,
+                     preload_segments=True)
+    for q in ["queue71", "py org2", "rust engine"]:
+        assert a.search(q, top_k=10) == b.search(q, top_k=10), q
