@@ -1659,6 +1659,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": lambda sf: analysis.doc_keywords(_docs(sf)),
         "events_global_rank": lambda sf: events.global_value_rank(
             _events(sf, ["event_id", "value"])),
+        # continuous-domain twin: range-bucketed distributed rank table,
+        # driver sees only bucket totals — same oracle, same output
+        "events_global_rank_ranged":
+            lambda sf: events.global_value_rank_ranged(
+                _events(sf, ["event_id", "value"])),
         "events_percent_rank": lambda sf: events.global_percent_rank(
             _events(sf, ["event_id", "value"])),
         "events_value_zscore": lambda sf: events.value_zscore(
@@ -1769,6 +1774,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_cluster_keep": sql_cluster_keep(),
         "doc_keywords": analysis.sql_doc_keywords(),
         "events_global_rank": events.sql_global_value_rank(),
+        "events_global_rank_ranged": events.sql_global_value_rank(),
         "events_percent_rank": events.sql_global_percent_rank(),
         "events_value_zscore": events.sql_value_zscore(),
         "weighted_sample": analysis.sql_weighted_sample(),

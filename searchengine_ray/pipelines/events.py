@@ -1169,6 +1169,161 @@ def sql_global_value_rank() -> str:
             "FROM events")
 
 
+def global_value_rank_ranged(ds: "ray.data.Dataset",
+                             num_buckets: int = 32) -> "ray.data.Dataset":
+    """Output-identical twin of :func:`global_value_rank` for a
+    CONTINUOUS value domain, where the broadcast (value, rank) table
+    would be O(N) (ROADMAP round-5 candidate, landed in round 4).
+
+    Nothing O(distinct-values) ever reaches the driver:
+
+      1. exact (vc, n) histogram — the same digest shuffle, kept as a
+         DISTRIBUTED Dataset;
+      2. histogram rows range-bucket by sampled split points (the splits
+         only steer partitioning — output is independent of them);
+         per-bucket TOTALS are the only driver fetch: ``num_buckets``
+         scalars, whose DESC exclusive prefix gives each bucket its rank
+         offset (broadcast back as a tiny closure constant);
+      3. one grouped pass ranks each bucket's values locally (DESC sort
+         + exclusive prefix + bucket offset) → a DISTRIBUTED (vc, rnk)
+         table;
+      4. events co-partition with the rank table by hash(vc) in a
+         union-shuffle; an in-partition searchsorted assigns every
+         event its rank.
+
+    Columns: event_id, rnk (int64) — bit-identical to the broadcast twin
+    and the SQL oracle (asserted by the ``events_global_rank_ranged``
+    driver entry and tests).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        u, c = np.unique(vc, return_counts=True)
+        return pa.table({"vc": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    def hreduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["vc"], use_threads=False) \
+                .aggregate([("n", "sum")])
+        return pa.table({"vc": g["vc"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    hist = grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                             ["vc"], hreduce).materialize()
+
+    # split points from a bounded per-batch quantile sample (≤ 33 values
+    # per block reach the driver — a SAMPLE, not the table; split quality
+    # affects balance only, never output values)
+    def sample(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        if len(vc) == 0:
+            return pa.table({"s": pa.array([], type=pa.int64())})
+        qs = np.quantile(vc, np.linspace(0, 1, num_buckets + 1),
+                         method="nearest").astype(np.int64)
+        return pa.table({"s": pa.array(np.unique(qs))})
+
+    samp = np.sort(np.unique(np.concatenate(
+        [b["s"].to_numpy(zero_copy_only=False) for b in
+         hist.map_batches(sample, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, dtype=np.int64)])))
+    if len(samp) == 0:
+        def empty(batch: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "rnk": z})
+        return ds.map_batches(empty, batch_format="pyarrow")
+    splits = np.unique(np.quantile(
+        samp, np.linspace(0, 1, num_buckets + 1)[1:-1],
+        method="nearest").astype(np.int64))
+
+    def bucket_of(vc: np.ndarray) -> np.ndarray:
+        return np.searchsorted(splits, vc, side="right").astype(np.int64)
+
+    # per-bucket totals: the ONLY driver fetch — ≤ num_buckets rows
+    def btot(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        b = bucket_of(vc)
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"b": pa.array(u), "t": pa.array(s)})
+
+    tot = np.zeros(len(splits) + 1, dtype=np.int64)
+    for b in hist.map_batches(btot, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        np.add.at(tot, b["b"].to_numpy(zero_copy_only=False),
+                  b["t"].to_numpy(zero_copy_only=False))
+    # DESC rank offsets: bucket k (values ≤ splits[k]) is OUTRANKED by
+    # every value in higher buckets
+    offsets = np.concatenate(
+        [np.cumsum(tot[::-1])[::-1][1:], [0]]).astype(np.int64)
+
+    # distributed (vc, rnk) table: rank locally within each bucket
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        vc = part["vc"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        b = int(bucket_of(vc[:1])[0])
+        order = np.argsort(-vc, kind="stable")
+        vd, nd = vc[order], n[order]
+        r = np.ones(len(vd), dtype=np.int64) + offsets[b]
+        r[1:] += np.cumsum(nd[:-1])
+        return pa.table({"vc": pa.array(vd), "rnk": pa.array(r)})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        return batch.append_column("b", pa.array(bucket_of(vc)))
+
+    ranks = (hist.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("b")
+             .map_groups(lambda g: rank_bucket(g.drop_columns(["b"])),
+                         batch_format="pyarrow"))
+
+    # assign: events + rank rows co-partition by hash(vc)
+    def tag_events(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "vc": pa.array(vc),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "rnk": pa.nulls(len(batch), type=pa.int64()),
+            "side": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vc": batch["vc"],
+            "event_id": pa.nulls(len(batch), type=pa.int64()),
+            "rnk": batch["rnk"],
+            "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    def assign(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        vc = part["vc"].to_numpy(zero_copy_only=False)
+        ev = side == 1
+        if not ev.any():
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "rnk": z})
+        rv = vc[~ev]
+        rr = part["rnk"].to_numpy(zero_copy_only=False)[~ev]
+        order = np.argsort(rv, kind="stable")
+        rv, rr = rv[order], rr[order]
+        pos = np.searchsorted(rv, vc[ev])
+        return pa.table({
+            "event_id": pa.array(part["event_id"]
+                                 .to_numpy(zero_copy_only=False)[ev]),
+            "rnk": pa.array(rr[pos]),
+        })
+
+    unioned = (ds.map_batches(tag_events, batch_format="pyarrow")
+               .union(ranks.map_batches(tag_ranks,
+                                        batch_format="pyarrow")))
+    return grouped_aggregate(unioned, ["vc"], assign)
+
+
 def value_zscore(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-event z-score of value within its event_type — feature
     normalization as a two-phase broadcast-stats pipeline: phase 1

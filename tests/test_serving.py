@@ -1432,3 +1432,37 @@ def test_query_service_preload_segments_identical(built):
                      preload_segments=True)
     for q in ["queue71", "py org2", "rust engine"]:
         assert a.search(q, top_k=10) == b.search(q, top_k=10), q
+
+
+def test_global_value_rank_ranged_identical_and_bounded_fetch(events_ds,
+                                                              monkeypatch):
+    """The continuous-domain twin must (a) equal the broadcast operator
+    row-for-row, (b) never fetch O(distinct-values) rows to the driver —
+    only the histogram SAMPLE and the per-bucket totals (≤ 33/block and
+    ≤ num_buckets rows respectively), (c) hold under a tiny bucket count
+    (heavy ties per bucket) and bucket count ≥ distinct values."""
+    import numpy as np
+    import ray.data
+    from searchengine_ray.pipelines import events as ev
+
+    want = sorted((r["event_id"], r["rnk"]) for r in
+                  ev.global_value_rank(events_ds).take_all())
+
+    # spy on driver-side fetches inside the ranged operator: iter_batches
+    # is its only driver fetch surface
+    fetched = []
+    real_iter = ray.data.Dataset.iter_batches
+
+    def spy(self, *a, **kw):
+        for b in real_iter(self, *a, **kw):
+            fetched.append(len(b))
+            yield b
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy)
+    for nb in (2, 4, 1000):
+        got = sorted((r["event_id"], r["rnk"]) for r in
+                     ev.global_value_rank_ranged(
+                         events_ds, num_buckets=nb).take_all())
+        assert got == want, nb
+    n_events = events_ds.count()
+    assert fetched and max(fetched) < max(n_events // 2, 1100), fetched
