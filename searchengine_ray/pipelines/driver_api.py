@@ -1666,6 +1666,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 _events(sf, ["event_id", "value"])),
         "events_percent_rank": lambda sf: events.global_percent_rank(
             _events(sf, ["event_id", "value"])),
+        "events_percent_rank_ranged":
+            lambda sf: events.global_percent_rank_ranged(
+                _events(sf, ["event_id", "value"])),
         "events_value_zscore": lambda sf: events.value_zscore(
             _events(sf, ["event_id", "event_type", "value"])),
         "weighted_sample": lambda sf: analysis.weighted_sample(_docs(sf)),
@@ -1776,6 +1779,7 @@ def build_oracles() -> dict[str, str]:
         "events_global_rank": events.sql_global_value_rank(),
         "events_global_rank_ranged": events.sql_global_value_rank(),
         "events_percent_rank": events.sql_global_percent_rank(),
+        "events_percent_rank_ranged": events.sql_global_percent_rank(),
         "events_value_zscore": events.sql_value_zscore(),
         "weighted_sample": analysis.sql_weighted_sample(),
         "cap_per_source": analysis.sql_cap_per_source(),

@@ -1657,6 +1657,28 @@ def global_percent_rank(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def global_percent_rank_ranged(ds: "ray.data.Dataset",
+                               num_buckets: int = 32
+                               ) -> "ray.data.Dataset":
+    """Continuous-domain twin of :func:`global_percent_rank`: composes
+    :func:`global_value_rank_ranged` (no O(distinct-values) broadcast)
+    with the identical float finisher ((rank−1)/(N−1), round 6 — same op
+    order as the broadcast twin and the SQL oracle). N is the dataset
+    row count (parquet metadata — one scalar). Columns: event_id,
+    prank_r."""
+    n_total = ds.count()
+    denom = float(max(n_total - 1, 1))
+    ranked = global_value_rank_ranged(ds, num_buckets)
+
+    def to_pr(batch: pa.Table) -> pa.Table:
+        rnk = batch["rnk"].to_numpy(zero_copy_only=False)
+        pr = np.round((rnk - 1).astype(np.float64) / denom, 6)
+        return pa.table({"event_id": batch["event_id"],
+                         "prank_r": pa.array(pr)})
+
+    return ranked.map_batches(to_pr, batch_format="pyarrow")
+
+
 def sql_global_percent_rank() -> str:
     return ("SELECT event_id, round(percent_rank() OVER (ORDER BY "
             "CAST(round(value * 100) AS BIGINT) DESC), 6) AS prank_r "

@@ -1466,3 +1466,14 @@ def test_global_value_rank_ranged_identical_and_bounded_fetch(events_ds,
         assert got == want, nb
     n_events = events_ds.count()
     assert fetched and max(fetched) < max(n_events // 2, 1100), fetched
+
+
+def test_global_percent_rank_ranged_identical(events_ds):
+    from searchengine_ray.pipelines.events import (
+        global_percent_rank, global_percent_rank_ranged)
+    want = sorted((r["event_id"], r["prank_r"]) for r in
+                  global_percent_rank(events_ds).take_all())
+    got = sorted((r["event_id"], r["prank_r"]) for r in
+                 global_percent_rank_ranged(events_ds,
+                                            num_buckets=3).take_all())
+    assert got == want and want
