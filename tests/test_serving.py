@@ -1477,3 +1477,36 @@ def test_global_percent_rank_ranged_identical(events_ds):
                  global_percent_rank_ranged(events_ds,
                                             num_buckets=3).take_all())
     assert got == want and want
+
+
+def test_global_value_rank_ranged_adversarial_domains(ray_session):
+    """Continuous/negative/tie-heavy value domains through the ranged
+    operator must match exact rank() semantics (brute force): uniform
+    floats (all-distinct — the O(N) case the twin exists for), negative
+    values, one giant tie run, and a single-value corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import global_value_rank_ranged
+
+    rng = np.random.default_rng(11)
+    domains = {
+        "continuous": rng.uniform(-500, 500, size=3000),
+        "negative_ints": rng.integers(-50, 0, size=2000).astype(float),
+        "giant_tie": np.concatenate([np.full(1500, 7.25),
+                                     rng.uniform(0, 10, size=500)]),
+        "single_value": np.full(64, -3.13),
+    }
+    for name, vals in domains.items():
+        t = pa.table({
+            "event_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+            "value": pa.array(vals.astype(np.float64)),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = {r["event_id"]: r["rnk"] for r in
+               global_value_rank_ranged(ds, num_buckets=7).take_all()}
+        vc = np.round(vals * 100.0).astype(np.int64)
+        assert len(got) == len(vals), name
+        for eid in range(0, len(vals), 17):
+            want = int((vc > vc[eid]).sum()) + 1
+            assert got[eid] == want, (name, eid)
