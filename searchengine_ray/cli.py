@@ -121,7 +121,8 @@ def cmd_serve(args) -> int:
     cfg = IndexConfig(num_partitions=args.partitions,
                       num_length_partitions=max(2, args.partitions // 8),
                       stemmer=args.stemmer)
-    eng = QueryEngine(args.index, cfg)
+    eng = QueryEngine(args.index, cfg,
+                      preload_segments=args.preload)
     app = SearchApp(eng, mode="hybrid" if args.hybrid else "bm25",
                     results_per_page=args.per_page)
     srv = SearchHTTPServer(app, host=args.host, port=args.port)
@@ -201,6 +202,10 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--per-page", type=int, default=15)
     sv.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
     sv.add_argument("--hybrid", action="store_true")
+    sv.add_argument("--preload", action="store_true",
+                    help="load every segment partition at startup so the "
+                         "first request per term pays no file I/O "
+                         "(persisted boost masks load either way)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -1510,3 +1510,23 @@ def test_global_value_rank_ranged_adversarial_domains(ray_session):
         for eid in range(0, len(vals), 17):
             want = int((vc > vc[eid]).sum()) + 1
             assert got[eid] == want, (name, eid)
+
+
+def test_cli_serve_preload_flag_plumbs(built, monkeypatch, capsys):
+    """`cli serve --preload` must construct the engine with
+    preload_segments=True and serve on it (serve_forever stubbed)."""
+    from searchengine_ray import cli, query, serve
+
+    captured = {}
+    real_engine = query.QueryEngine
+
+    def spy_engine(index_dir, cfg, **kw):
+        captured.update(kw)
+        return real_engine(index_dir, cfg, **kw)
+
+    monkeypatch.setattr(query, "QueryEngine", spy_engine)
+    monkeypatch.setattr(serve.SearchHTTPServer, "serve_forever",
+                        lambda self: None)
+    rc = cli.main(["serve", "--index", built.index_dir,
+                   "--partitions", "8", "--port", "0", "--preload"])
+    assert rc == 0 and captured.get("preload_segments") is True
