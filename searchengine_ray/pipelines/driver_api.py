@@ -1690,6 +1690,17 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf, ["doc_id", "text"])),
         "term_cooccurrence_joined": lambda sf: analysis.term_cooccurrence(
             _docs(sf, ["doc_id", "text"]), strategy="join"),
+        # exact twin of events_hll_users — combiner-cascade distinct
+        "events_distinct_users": lambda sf: events.distinct_users_exact(
+            _events(sf, ["event_type", "user_id"])),
+        "events_running_total": lambda sf: events.running_total(
+            _events(sf, ["event_id", "user_id", "ts", "value"])),
+        "events_value_histogram": lambda sf: events.value_histogram(
+            _events(sf, ["event_type", "value"])),
+        # iterative distributed selection — exact twin of the quantile
+        # sketch; driver sees only (type, bucket, count) digests
+        "events_value_median": lambda sf: events.value_median_exact(
+            _events(sf, ["event_type", "value"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1792,6 +1803,10 @@ def build_oracles() -> dict[str, str]:
         "term_cooccurrence": analysis.sql_term_cooccurrence(),
         # join-strategy twin (output-identical) → same oracle
         "term_cooccurrence_joined": analysis.sql_term_cooccurrence(),
+        "events_distinct_users": events.sql_distinct_users_exact(),
+        "events_running_total": events.sql_running_total(),
+        "events_value_histogram": events.sql_value_histogram(),
+        "events_value_median": events.sql_value_median_exact(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1683,3 +1683,309 @@ def sql_global_percent_rank() -> str:
     return ("SELECT event_id, round(percent_rank() OVER (ORDER BY "
             "CAST(round(value * 100) AS BIGINT) DESC), 6) AS prank_r "
             "FROM events")
+
+
+def distinct_users_exact(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """EXACT distinct users per event_type — the exact twin of
+    :func:`hll_distinct_users` (reference A10 cardinality stats,
+    app.py:246-274 health counts, restated as a distributed op).
+
+    Three-level combiner cascade, never a row-level global shuffle of
+    the raw events: (1) per-batch dedup of (type, user) pairs inside
+    ``map_batches`` (the partial/combiner discipline — repeat users
+    collapse before anything moves); (2) ONE hash(type, user) shuffle of
+    the already-deduped pairs, per-partition dedup + per-type partial
+    counts (a pair lands in exactly one partition, so partials are
+    disjoint); (3) a tiny final sum over ≤ partitions × |types| rows.
+    At 100 TB the exchanged table is bounded by the true pair
+    cardinality, not the event count. Columns: event_type,
+    distinct_users (int64).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return (batch.select(["event_type", "user_id"])
+                .group_by(["event_type", "user_id"], use_threads=False)
+                .aggregate([]))
+
+    def partial_counts(part: pa.Table) -> pa.Table:
+        d = part.group_by(["event_type", "user_id"],
+                          use_threads=False).aggregate([])
+        c = d.group_by(["event_type"], use_threads=False) \
+             .aggregate([("user_id", "count")])
+        return pa.table({"event_type": c["event_type"],
+                         "partial": pc.cast(c["user_id_count"], pa.int64())})
+
+    partials = grouped_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], partial_counts)
+
+    def final_sum(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type"], use_threads=False) \
+                .aggregate([("partial", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "distinct_users": pc.cast(g["partial_sum"],
+                                                   pa.int64())})
+
+    return grouped_aggregate(partials, ["event_type"], final_sum)
+
+
+def sql_distinct_users_exact() -> str:
+    return ("SELECT event_type, count(DISTINCT user_id)::BIGINT AS "
+            "distinct_users FROM events GROUP BY event_type")
+
+
+def running_total(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-user RUNNING cumulative value (``sum() OVER (PARTITION BY
+    user ORDER BY ts)`` semantics) — the unbounded-preceding window
+    twin of :func:`rolling_user_window`. Integer cents throughout
+    (order-insensitive sums). One coarse hash(user) shuffle; every user
+    in a partition resolves in one lexsort + cumsum with vectorized
+    group-boundary rebase. Columns: event_id, running_c (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def project(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "vc": pa.array(vc),
+        })
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].to_numpy(zero_copy_only=False)
+        vc = part["vc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, e_s, v_s = uid[order], eid[order], vc[order]
+        cs = np.cumsum(v_s)
+        if len(order):
+            starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+            base = np.repeat(np.r_[np.int64(0), cs[starts[1:] - 1]],
+                             np.diff(np.r_[starts, len(order)]))
+            run = cs - base
+        else:
+            run = cs
+        return pa.table({"event_id": pa.array(e_s),
+                         "running_c": pa.array(run.astype(np.int64))})
+
+    return grouped_aggregate(ds.map_batches(project, batch_format="pyarrow"),
+                             ["user_id"], per_part)
+
+
+def sql_running_total() -> str:
+    return """
+SELECT event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS running_c
+FROM events
+"""
+
+
+def value_histogram(ds: "ray.data.Dataset",
+                    bin_width_c: int = 500) -> "ray.data.Dataset":
+    """Fixed-width value histogram per event_type (bin = floor(cents /
+    width)) — the profiling op that sizes the quantile/median bucket
+    machinery. Pure combiner shape: per-batch partial histograms (the
+    only thing that ever moves is (type, bin, n) digests), then ONE
+    hash(type, bin) shuffle summing disjoint partials. Columns:
+    event_type, bin, n (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        b = np.floor_divide(vc, bin_width_c)
+        t = batch.select(["event_type"]).append_column("bin", pa.array(b))
+        g = t.group_by(["event_type", "bin"], use_threads=False) \
+             .aggregate([("bin", "count")])
+        return pa.table({"event_type": g["event_type"], "bin": g["bin"],
+                         "n": pc.cast(g["bin_count"], pa.int64())})
+
+    def hsum(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type", "bin"], use_threads=False) \
+                .aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "bin": g["bin"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    return grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                             ["event_type", "bin"], hsum)
+
+
+def sql_value_histogram(bin_width_c: int = 500) -> str:
+    return (f"SELECT event_type, CAST(floor(CAST(round(value * 100) AS "
+            f"BIGINT) / {bin_width_c}.0) AS BIGINT) AS bin, "
+            f"count(*)::BIGINT AS n FROM events GROUP BY event_type, bin")
+
+
+def value_median_exact(ds: "ray.data.Dataset", num_buckets: int = 32,
+                       fetch_threshold: int = 4096) -> "ray.data.Dataset":
+    """EXACT per-type lower median — the k-th smallest cents value with
+    k = (n+1)//2 — by ITERATIVE DISTRIBUTED SELECTION, never a sort and
+    never an O(distinct-values) structure on the driver (the exact twin
+    of the :func:`value_quantiles` sketch, built for a continuous value
+    domain the broadcast-histogram cut can't carry).
+
+    Each refinement round is ONE streaming column scan: every batch
+    bins its in-interval values into ``num_buckets`` sub-buckets of the
+    current per-type interval and emits (type, bucket, count) digests —
+    the ONLY thing the driver ever accumulates (≤ |types| × buckets
+    scalars per block). The driver walks the cumulative counts to find
+    the sub-bucket holding the k-th value, narrows the interval, and
+    re-scans. A type stops refining when its interval holds ≤
+    ``fetch_threshold`` values (fetched once, ``np.partition`` gives
+    the exact order statistic) or collapses to a single integer.
+    Rounds are O(log_buckets(value_range)); at 100 TB each round
+    re-streams two id-width columns from storage rather than pinning a
+    projection in the object store. Columns: event_type, median_c
+    (int64)."""
+    proj_cols = ["event_type", "value"]
+
+    def project(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "vc": pa.array(vc)})
+
+    proj = ds.select_columns(proj_cols) \
+             .map_batches(project, batch_format="pyarrow")
+
+    # round 0: per-type (n, min, max) — digest-sized partials
+    def stats_part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"], use_threads=False).aggregate(
+            [("vc", "count"), ("vc", "min"), ("vc", "max")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["vc_count"], pa.int64()),
+                         "lo": g["vc_min"], "hi": g["vc_max"]})
+
+    agg: dict[str, list[int]] = {}
+    for b in proj.map_batches(stats_part, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for ty, n, lo, hi in zip(b["event_type"].to_pylist(),
+                                 b["n"].to_pylist(), b["lo"].to_pylist(),
+                                 b["hi"].to_pylist()):
+            cur = agg.setdefault(ty, [0, lo, hi])
+            cur[0] += n
+            cur[1] = min(cur[1], lo)
+            cur[2] = max(cur[2], hi)
+
+    # active[ty] = (lo_excl, hi_incl, k) — the k-th smallest in (lo, hi]
+    active = {ty: (int(lo) - 1, int(hi), (int(n) + 1) // 2)
+              for ty, (n, lo, hi) in agg.items()}
+    result: dict[str, int] = {}
+    to_fetch: dict[str, tuple[int, int, int]] = {}
+
+    counts = {ty: int(n) for ty, (n, _, _) in agg.items()}
+    while active:
+        for ty in list(active):
+            lo, hi, k = active[ty]
+            if hi - lo == 1:          # single integer left — done
+                result[ty] = hi
+                del active[ty]
+            elif counts[ty] <= fetch_threshold:
+                to_fetch[ty] = active.pop(ty)
+        if not active:
+            break
+        # integer sub-edges per active type (inner edges, ascending)
+        spec = {}
+        for ty, (lo, hi, _k) in active.items():
+            edges = np.unique(np.linspace(lo, hi, num_buckets + 1)
+                              .astype(np.int64))[1:-1]
+            spec[ty] = (lo, hi, edges)
+
+        def bucket_pass(batch: pa.Table, _spec=spec) -> pa.Table:
+            vc = batch["vc"].to_numpy(zero_copy_only=False)
+            tys, bks, cts = [], [], []
+            for ty, (lo, hi, edges) in _spec.items():
+                tm = pc.equal(batch["event_type"], ty).to_numpy(
+                    zero_copy_only=False)
+                m = tm & (vc > lo) & (vc <= hi)
+                if not m.any():
+                    continue
+                bk = np.searchsorted(edges, vc[m], side="left")
+                u, c = np.unique(bk, return_counts=True)
+                tys.extend([ty] * len(u))
+                bks.append(u.astype(np.int64))
+                cts.append(c.astype(np.int64))
+            if not tys:
+                z = pa.array([], type=pa.int64())
+                return pa.table({"event_type":
+                                 pa.array([], type=pa.string()),
+                                 "bk": z, "c": z})
+            return pa.table({"event_type": pa.array(tys),
+                             "bk": pa.array(np.concatenate(bks)),
+                             "c": pa.array(np.concatenate(cts))})
+
+        hist: dict[str, np.ndarray] = {
+            ty: np.zeros(len(spec[ty][2]) + 1, dtype=np.int64)
+            for ty in spec}
+        for b in proj.map_batches(bucket_pass, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+            for ty, bk, c in zip(b["event_type"].to_pylist(),
+                                 b["bk"].to_pylist(), b["c"].to_pylist()):
+                hist[ty][bk] += c
+        for ty in list(active):
+            lo, hi, k = active[ty]
+            edges = spec[ty][2]
+            cum = np.cumsum(hist[ty])
+            j = int(np.searchsorted(cum, k, side="left"))
+            k_new = k - (int(cum[j - 1]) if j else 0)
+            all_edges = np.concatenate([[lo], edges, [hi]])
+            active[ty] = (int(all_edges[j]), int(all_edges[j + 1]), k_new)
+            counts[ty] = int(hist[ty][j])
+
+    if to_fetch:
+        fspec = dict(to_fetch)
+
+        def fetch(batch: pa.Table, _f=fspec) -> pa.Table:
+            vc = batch["vc"].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(vc), dtype=bool)
+            for ty, (lo, hi, _k) in _f.items():
+                tm = pc.equal(batch["event_type"], ty).to_numpy(
+                    zero_copy_only=False)
+                keep |= tm & (vc > lo) & (vc <= hi)
+            return pa.table({"event_type":
+                             pc.filter(batch["event_type"],
+                                       pa.array(keep)),
+                             "vc": pa.array(vc[keep])})
+
+        vals: dict[str, list[np.ndarray]] = {ty: [] for ty in fspec}
+        for b in proj.map_batches(fetch, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+            t = b["event_type"].to_numpy(zero_copy_only=False)
+            v = b["vc"].to_numpy(zero_copy_only=False)
+            for ty in fspec:
+                m = t == ty
+                if m.any():
+                    vals[ty].append(v[m])
+        for ty, (_lo, _hi, k) in fspec.items():
+            v = (np.concatenate(vals[ty]) if vals[ty]
+                 else np.empty(0, dtype=np.int64))
+            result[ty] = int(np.partition(v, k - 1)[k - 1])
+
+    tys = sorted(result)
+    return _table_dataset(pa.table({
+        "event_type": pa.array(tys, type=pa.string()),
+        "median_c": pa.array([result[t] for t in tys], type=pa.int64()),
+    }))
+
+
+def _table_dataset(tbl: pa.Table) -> "ray.data.Dataset":
+    import ray
+    return ray.data.from_arrow(tbl)
+
+
+def sql_value_median_exact() -> str:
+    return """
+SELECT event_type, vc AS median_c FROM (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vc, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM (SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+) WHERE rn = (n + 1) // 2
+"""

@@ -1530,3 +1530,106 @@ def test_cli_serve_preload_flag_plumbs(built, monkeypatch, capsys):
     rc = cli.main(["serve", "--index", built.index_dir,
                    "--partitions", "8", "--port", "0", "--preload"])
     assert rc == 0 and captured.get("preload_segments") is True
+
+
+def test_distinct_users_exact(events_ds):
+    from searchengine_ray.pipelines.events import distinct_users_exact
+    got = {r["event_type"]: r["distinct_users"]
+           for r in distinct_users_exact(events_ds).take_all()}
+    df = events_df()
+    want = df.groupby("event_type")["user_id"].nunique().to_dict()
+    assert got == {k: int(v) for k, v in want.items()} and got
+
+
+def test_running_total(events_ds):
+    from searchengine_ray.pipelines.events import running_total
+    got = {r["event_id"]: r["running_c"]
+           for r in running_total(events_ds).take_all()}
+    df = events_df().sort_values(["user_id", "ts", "event_id"])
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    run = pd.Series(vc).groupby(df["user_id"].to_numpy()).cumsum()
+    want = dict(zip(df["event_id"].astype("int64"),
+                    run.astype("int64")))
+    assert got == want and len(got) == len(df)
+
+
+def test_value_histogram(events_ds):
+    from searchengine_ray.pipelines.events import value_histogram
+    got = {(r["event_type"], r["bin"]): r["n"]
+           for r in value_histogram(events_ds).take_all()}
+    df = events_df()
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    bins = np.floor_divide(vc, 500)
+    want: dict = {}
+    for t, b in zip(df["event_type"], bins):
+        k = (t, int(b))
+        want[k] = want.get(k, 0) + 1
+    assert got == want and sum(got.values()) == len(df)
+
+
+def _median_want(df: pd.DataFrame) -> dict:
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    out = {}
+    for t in df["event_type"].unique():
+        v = np.sort(vc[(df["event_type"] == t).to_numpy()])
+        out[t] = int(v[(len(v) + 1) // 2 - 1])
+    return out
+
+
+def test_value_median_exact(events_ds):
+    from searchengine_ray.pipelines.events import value_median_exact
+    got = {r["event_type"]: r["median_c"]
+           for r in value_median_exact(events_ds).take_all()}
+    assert got == _median_want(events_df()) and got
+
+
+def test_value_median_exact_adversarial_domains(ray_session):
+    """Tie-heavy / negative / constant / tiny domains, with a tiny
+    fetch_threshold so the refinement loop actually iterates, across
+    bucket counts (output must be independent of both knobs)."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import value_median_exact
+    rng = np.random.default_rng(7)
+    domains = {
+        "ties": np.repeat([-5.0, 0.0, 0.25, 7.5], 250),
+        "negative": rng.normal(-1e4, 5e3, size=1001),
+        "constant": np.full(37, 3.14),
+        "two": np.array([1.0, 2.0]),
+        "one": np.array([-0.41]),
+        "spread": rng.uniform(-1e6, 1e6, size=2000),
+    }
+    for name, vals in domains.items():
+        types = np.where(np.arange(len(vals)) % 3 == 0, "a", "b")
+        tbl = pa.table({"event_type": pa.array(types),
+                        "value": pa.array(vals.astype(np.float64))})
+        df = pd.DataFrame({"event_type": types, "value": vals})
+        want = _median_want(df)
+        for nb, thr in ((3, 4), (32, 1), (8, 100000)):
+            got = {r["event_type"]: r["median_c"] for r in
+                   value_median_exact(ray.data.from_arrow(tbl),
+                                      num_buckets=nb,
+                                      fetch_threshold=thr).take_all()}
+            assert got == want, (name, nb, thr)
+
+
+def test_value_median_exact_bounded_fetch(events_ds, monkeypatch):
+    """With a small fetch_threshold the driver must never fetch a batch
+    anywhere near the event count — digests + ≤ threshold values only."""
+    import ray.data
+    from searchengine_ray.pipelines import events as ev
+    fetched = []
+    real_iter = ray.data.Dataset.iter_batches
+
+    def spy(self, *a, **kw):
+        for b in real_iter(self, *a, **kw):
+            fetched.append(len(b))
+            yield b
+
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy)
+    got = {r["event_type"]: r["median_c"] for r in
+           ev.value_median_exact(events_ds,
+                                 fetch_threshold=64).take_all()}
+    assert got == _median_want(events_df())
+    n = events_ds.count()
+    assert fetched and max(fetched) < max(n // 4, 1100), max(fetched)
