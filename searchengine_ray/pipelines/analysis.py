@@ -514,6 +514,50 @@ def sql_stratified_sample(rates: dict[str, float] | None = None,
     )
 
 
+# integer split fences: floor(0.8·2^32), floor(0.9·2^32) — exact in both
+# engines, no float thresholds anywhere
+_SPLIT_TRAIN_HI = (8 << 32) // 10
+_SPLIT_VAL_HI = (9 << 32) // 10
+
+
+def train_split(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic 80/10/10 train/val/test assignment: each doc goes
+    to exactly ONE split by the top 32 bits of md5(doc_id) against
+    integer fences (the partition-function sibling of the md5-threshold
+    samplers — same hash, so split membership is stable across re-runs,
+    resumable shards, and engines). No RNG, no state, no shuffle; a
+    100 TB corpus splits in one embarrassingly-parallel pass and any
+    subset re-processed later lands in the same split. Columns: doc_id
+    (int64), split (string)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") for i in ids),
+            dtype=np.int64, count=len(ids))
+        split = np.where(h < _SPLIT_TRAIN_HI, "train",
+                         np.where(h < _SPLIT_VAL_HI, "val", "test"))
+        return pa.table({"doc_id": pa.array(ids),
+                         "split": pa.array(split.tolist(),
+                                           type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_train_split() -> str:
+    return (
+        f"SELECT doc_id, CASE WHEN "
+        f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < "
+        f"{_SPLIT_TRAIN_HI} THEN 'train' WHEN "
+        f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < "
+        f"{_SPLIT_VAL_HI} THEN 'val' ELSE 'test' END AS split "
+        f"FROM documents"
+    )
+
+
 def top_docs_per_group(ds: "ray.data.Dataset", k: int = 3,
                        group_col: str = "source") -> "ray.data.Dataset":
     """Grouped top-k (curation staple: best documents per source/domain):

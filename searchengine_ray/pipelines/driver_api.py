@@ -1701,6 +1701,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # sketch; driver sees only (type, bucket, count) digests
         "events_value_median": lambda sf: events.value_median_exact(
             _events(sf, ["event_type", "value"])),
+        "docs_train_split": lambda sf: analysis.train_split(
+            _docs(sf, ["doc_id"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1807,6 +1809,7 @@ def build_oracles() -> dict[str, str]:
         "events_running_total": events.sql_running_total(),
         "events_value_histogram": events.sql_value_histogram(),
         "events_value_median": events.sql_value_median_exact(),
+        "docs_train_split": analysis.sql_train_split(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

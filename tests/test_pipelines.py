@@ -2195,3 +2195,28 @@ def test_term_cooccurrence_join_strategy_identical(docs_ds, monkeypatch):
         analysis.term_cooccurrence(docs_ds, min_pair=3, cfg=cfg,
                                    strategy="join").take_all())
     assert got == want and want
+
+
+def test_train_split_brute_force_and_partition_properties(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.analysis import (
+        _SPLIT_TRAIN_HI, _SPLIT_VAL_HI, train_split)
+    ids = np.arange(1, 2001, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    got = {r["doc_id"]: r["split"] for r in train_split(ds).take_all()}
+    # exhaustive + exclusive: every doc in exactly one split
+    assert len(got) == len(ids)
+    want = {}
+    for i in ids:
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+        want[int(i)] = ("train" if h < _SPLIT_TRAIN_HI
+                        else "val" if h < _SPLIT_VAL_HI else "test")
+    assert got == want
+    # fractions near 80/10/10, idempotent across re-runs
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.75 < c["train"] / len(ids) < 0.85
+    assert 0.06 < c["val"] / len(ids) < 0.14
+    assert 0.06 < c["test"] / len(ids) < 0.14
+    again = {r["doc_id"]: r["split"] for r in train_split(ds).take_all()}
+    assert again == got
