@@ -281,3 +281,170 @@ SELECT doc_id::BIGINT AS doc_id, min(s)::BIGINT AS span_start,
        count(*)::BIGINT AS n_windows
 FROM isl GROUP BY doc_id, grp
 """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup rewrite
+# ---------------------------------------------------------------------------
+
+DEDUP_CHUNK_WINDOW = 10
+
+
+def chunk_dedup_rewrite(ds: "ray.data.Dataset",
+                        window: int = DEDUP_CHUNK_WINDOW,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Corpus REWRITE dropping globally-duplicate chunks (the rewrite
+    step of ExactSubstr dedup, Lee et al. ACL'22): split every doc into
+    consecutive ``window``-token chunks (last may be short), keep a
+    chunk iff its exact token sequence has not occurred earlier in the
+    corpus — "earlier" = lexicographic (doc_id, chunk_idx) — and
+    re-join each doc's kept chunks in order.
+
+    Two exchanges, TEXT RIDES EXACTLY ONE: the winner election shuffles
+    only id-width (md5-128, doc_id, idx) rows (one per chunk, grouped
+    by hash; the argmin per hash is vectorized lexsort+first — md5-128
+    keying follows the docstore-sha collision discipline); the
+    reconstruct union-shuffles chunk text ONCE keyed by doc_id, marks
+    winners with a structured-key searchsorted, and rejoins per doc via
+    ``pc.binary_join`` (no Python join loop). Docs whose every chunk
+    was seen earlier (and empty docs, which have no chunks) emit no
+    row — identical to the oracle's inner join.
+
+    Columns: doc_id, clean_text (string), n_kept, n_dropped (int64).
+    """
+    import hashlib
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    exploded = chunk_docs(ds, window=window, stride=window,
+                          text_col=text_col, id_col=id_col) \
+        .select_columns(["doc_id", "chunk_id", "chunk_text"])
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        texts = batch["chunk_text"].to_pylist()
+        h0 = np.empty(len(texts), dtype=np.int64)
+        h1 = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            d = hashlib.md5(s.encode()).digest()
+            h0[i] = int.from_bytes(d[:8], "big", signed=True)
+            h1[i] = int.from_bytes(d[8:], "big", signed=True)
+        return pa.table({"h0": pa.array(h0), "h1": pa.array(h1),
+                         "doc_id": batch["doc_id"],
+                         "idx": batch["chunk_id"]})
+
+    def winners_part(part: pa.Table) -> pa.Table:
+        h0 = part["h0"].to_numpy(zero_copy_only=False)
+        h1 = part["h1"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        ix = part["idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ix, d, h1, h0))
+        h0s, h1s = h0[order], h1[order]
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = (h0s[1:] != h0s[:-1]) | (h1s[1:] != h1s[:-1])
+        return pa.table({"doc_id": pa.array(d[order][first]),
+                         "idx": pa.array(ix[order][first])})
+
+    winners = grouped_aggregate(
+        exploded.map_batches(to_hash, batch_format="pyarrow"),
+        ["h0", "h1"], winners_part)
+
+    def tag_chunks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "idx": pc.cast(batch["chunk_id"], pa.int64()),
+            "chunk": batch["chunk_text"],
+            "side": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    def tag_winners(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "idx": pc.cast(batch["idx"], pa.int64()),
+            "chunk": pa.nulls(len(batch), type=pa.string()),
+            "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        k = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+        k["a"], k["b"] = a, b
+        return k
+
+    def reconstruct(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "clean_text": pa.array([], type=pa.string()),
+            "n_kept": pa.array([], type=pa.int64()),
+            "n_dropped": pa.array([], type=pa.int64()),
+        })
+        side = part["side"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        ix = part["idx"].to_numpy(zero_copy_only=False)
+        cm = side == 1
+        if not cm.any():
+            return empty
+        kw = np.sort(_pack(d[~cm], ix[~cm]))
+        kc = _pack(d[cm], ix[cm])
+        pos = np.searchsorted(kw, kc)
+        pos_c = np.minimum(pos, max(len(kw) - 1, 0))
+        kept = (pos < len(kw)) & (kw[pos_c] == kc) if len(kw) \
+            else np.zeros(len(kc), dtype=bool)
+        if not kept.any():
+            return empty
+        texts = pc.filter(part["chunk"], pa.array(cm))
+        dk, ixk = d[cm][kept], ix[cm][kept]
+        tk = pc.filter(texts, pa.array(kept))
+        order = np.lexsort((ixk, dk))
+        dk = dk[order]
+        tk = pc.take(tk, pa.array(order))
+        starts = np.flatnonzero(np.r_[True, dk[1:] != dk[:-1]])
+        n_kept = np.diff(np.r_[starts, len(dk)])
+        offsets = pa.array(np.r_[starts, len(dk)].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, tk.combine_chunks()
+                                         if isinstance(tk, pa.ChunkedArray)
+                                         else tk)
+        clean = pc.binary_join(lists, " ")
+        docs = dk[starts]
+        ud, utot = np.unique(d[cm], return_counts=True)
+        tot = utot[np.searchsorted(ud, docs)]
+        return pa.table({
+            "doc_id": pa.array(docs),
+            "clean_text": clean,
+            "n_kept": pa.array(n_kept.astype(np.int64)),
+            "n_dropped": pa.array((tot - n_kept).astype(np.int64)),
+        })
+
+    unioned = (exploded.map_batches(tag_chunks, batch_format="pyarrow")
+               .union(winners.map_batches(tag_winners,
+                                          batch_format="pyarrow")))
+    return grouped_aggregate(unioned, ["doc_id"], reconstruct)
+
+
+def sql_chunk_dedup_rewrite(window: int = DEDUP_CHUNK_WINDOW) -> str:
+    """Exact twin of chunk_dedup_rewrite over the documents table."""
+    return f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS L FROM documents),
+c AS (SELECT doc_id, L, len(L) AS n FROM t),
+s AS (SELECT doc_id, L, n, unnest(range(0, n, {window})) AS st FROM c),
+chunks AS (SELECT doc_id::BIGINT AS doc_id, (st // {window})::BIGINT AS idx,
+                  array_to_string(L[st + 1:least(st + {window}, n)], ' ')
+                      AS chunk
+           FROM s),
+winners AS (SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, idx) AS rn
+    FROM chunks) WHERE rn = 1),
+totals AS (SELECT doc_id, count(*)::BIGINT AS n_total
+           FROM chunks GROUP BY doc_id)
+SELECT c.doc_id,
+       string_agg(c.chunk, ' ' ORDER BY c.idx) AS clean_text,
+       count(*)::BIGINT AS n_kept,
+       (any_value(t2.n_total) - count(*))::BIGINT AS n_dropped
+FROM chunks c
+JOIN winners w USING (doc_id, idx)
+JOIN totals t2 USING (doc_id)
+GROUP BY c.doc_id
+"""

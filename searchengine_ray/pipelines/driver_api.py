@@ -1703,6 +1703,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_type", "value"])),
         "docs_train_split": lambda sf: analysis.train_split(
             _docs(sf, ["doc_id"])),
+        # ExactSubstr rewrite: drop globally-duplicate chunks, text
+        # rides exactly one exchange (winner election is id-width)
+        "dedup_chunk_rewrite": lambda sf: chunking.chunk_dedup_rewrite(
+            _docs(sf)),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1810,6 +1814,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_histogram": events.sql_value_histogram(),
         "events_value_median": events.sql_value_median_exact(),
         "docs_train_split": analysis.sql_train_split(),
+        "dedup_chunk_rewrite": chunking.sql_chunk_dedup_rewrite(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

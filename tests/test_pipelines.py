@@ -2220,3 +2220,64 @@ def test_train_split_brute_force_and_partition_properties(ray_session):
     assert 0.06 < c["test"] / len(ids) < 0.14
     again = {r["doc_id"]: r["split"] for r in train_split(ds).take_all()}
     assert again == got
+
+
+def _chunk_rewrite_want(texts: dict[int, str], w: int = 10) -> dict:
+    seen: set[str] = set()
+    want = {}
+    for did in sorted(texts):
+        toks = texts[did].split()
+        kept, dropped = [], 0
+        for i in range(0, len(toks), w):
+            ch = " ".join(toks[i:i + w])
+            if ch in seen:
+                dropped += 1
+            else:
+                seen.add(ch)
+                kept.append(ch)
+        if kept:
+            want[did] = (" ".join(kept), len(kept), dropped)
+    return want
+
+
+def test_chunk_dedup_rewrite_adversarial(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.chunking import chunk_dedup_rewrite
+    base = " ".join(f"w{i % 13}x{i % 7}" for i in range(25))  # 3 chunks
+    texts = {
+        1: base,                                   # all kept (first)
+        2: base,                                   # exact dup -> absent
+        3: base + " uniq1 uniq2",                  # tail chunk survives
+        7: " ".join(base.split()[:10]),            # == chunk 0 -> absent
+        8: "solo",                                 # short single chunk
+        9: "",                                     # empty -> absent
+        11: "solo " + base,                        # shifted: new chunks
+    }
+    want = _chunk_rewrite_want(texts)
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                    "text": pa.array([texts[k] for k in sorted(texts)])})
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in chunk_dedup_rewrite(
+               ray.data.from_arrow(tbl)).take_all()}
+    assert got == want
+    assert 2 not in got and 7 not in got and 9 not in got
+    assert got[1][0] == base
+
+
+def test_chunk_dedup_rewrite_vs_brute_force_testdata(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.chunking import chunk_dedup_rewrite
+    import pandas as pd
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    want = _chunk_rewrite_want(dict(zip(df["doc_id"].astype(int),
+                                        df["text"])))
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in chunk_dedup_rewrite(ds).take_all()}
+    assert got == want and got
+    # conservation: kept + dropped = ceil(tokens/10) for surviving docs
+    for did, (_txt, k, dr) in got.items():
+        n = len(df.set_index("doc_id").loc[did, "text"].split())
+        assert k + dr == -(-n // 10)
