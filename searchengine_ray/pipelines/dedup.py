@@ -668,3 +668,142 @@ def neardup_cluster_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                          "keep": pa.array(keep)})
 
     return grouped_aggregate(joined, ["component_id"], pick)
+
+
+def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
+                       num_perm: int = 64, bands: int = 16,
+                       tau: float = 0.5, seed: int = 42,
+                       max_bucket: int = 500, tau_u: int = 500_000,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       family: str = "wrap64") -> "ray.data.Dataset":
+    """The PRODUCTION near-dup pipeline: MinHash-LSH candidate
+    generation followed by EXACT n-gram-Jaccard verification of just
+    the candidates (SlimPajama/RefinedWeb's two-phase recipe — the
+    sketch recalls, the exact check decides).
+
+    Candidate cost is :func:`minhash_lsh_pairs` (banded, capped);
+    verification ships each candidate pair's a-side shingle rows ONCE
+    (an int64 equi-join pairs × shingles/doc expansion — the inherent
+    verify cost), then ONE (doc, shingle)-keyed union-shuffle marks
+    which of those shingles the b-side also holds (in-partition
+    dictionary-encode + structured-key searchsorted, no Python loop),
+    partial (a, b) counts reduce to exact intersections, and per-doc
+    set sizes attach by two more int64 equi-joins to finish
+    ``jaccard_u = inter·10^6 // uni ≥ tau_u``. Pairs whose true overlap
+    is empty vanish in the inner join — same as the oracle.
+
+    Columns: a_id, b_id, inter, uni, jaccard_u (int64).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join
+
+    cands = minhash_lsh_pairs(ds, n, num_perm, bands, tau, seed,
+                              max_bucket, text_col, id_col, family)
+    sh = shingles(ds, n, text_col, id_col)
+
+    # per-doc distinct-shingle sizes (one row per doc after the reduce)
+    def size_part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["doc_id"], use_threads=False) \
+                 .aggregate([("shingle", "count")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "psz": pc.cast(g["shingle_count"], pa.int64())})
+
+    def size_sum(part: pa.Table) -> pa.Table:
+        g = part.group_by(["doc_id"], use_threads=False) \
+                .aggregate([("psz", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "sz": pc.cast(g["psz_sum"], pa.int64())})
+
+    sizes = grouped_aggregate(sh.map_batches(size_part,
+                                             batch_format="pyarrow"),
+                              ["doc_id"], size_sum)
+
+    # expand: each candidate pair picks up the a-side's shingle rows
+    expanded = equi_join(cands, sh, "a_id", "doc_id",
+                         ["b_id"], ["shingle"])
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": pc.cast(batch["b_id"], pa.int64()),
+            "shingle": batch["shingle"],
+            "a_id": pc.cast(batch["key"], pa.int64()),
+            "side": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": pc.cast(batch["doc_id"], pa.int64()),
+            "shingle": batch["shingle"],
+            "a_id": pa.nulls(len(batch), type=pa.int64()),
+            "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    def _pack2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        k = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+        k["a"], k["b"] = a, b
+        return k
+
+    def mark(part: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "pinter": pa.array([], type=pa.int64())})
+        side = part["side"].to_numpy(zero_copy_only=False)
+        probe = side == 1
+        if not probe.any() or probe.all():
+            return empty
+        doc = part["doc"].to_numpy(zero_copy_only=False)
+        code = pc.dictionary_encode(part["shingle"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        corpus_keys = np.sort(_pack2(doc[~probe], code[~probe]))
+        probe_keys = _pack2(doc[probe], code[probe])
+        pos = np.searchsorted(corpus_keys, probe_keys)
+        pos_c = np.minimum(pos, len(corpus_keys) - 1)
+        hit = (pos < len(corpus_keys)) & (corpus_keys[pos_c] == probe_keys)
+        if not hit.any():
+            return empty
+        a = part["a_id"].to_numpy(zero_copy_only=False)[probe][hit]
+        b = doc[probe][hit]
+        u, c = np.unique(_pack2(a, b), return_counts=True)
+        return pa.table({"a_id": pa.array(u["a"]), "b_id": pa.array(u["b"]),
+                         "pinter": pa.array(c.astype(np.int64))})
+
+    unioned = (expanded.map_batches(tag_probe, batch_format="pyarrow")
+               .union(sh.map_batches(tag_corpus, batch_format="pyarrow")))
+    partials = grouped_aggregate(unioned, ["doc", "shingle"], mark)
+
+    def inter_sum(part: pa.Table) -> pa.Table:
+        g = part.group_by(["a_id", "b_id"], use_threads=False) \
+                .aggregate([("pinter", "sum")])
+        return pa.table({"a_id": g["a_id"], "b_id": g["b_id"],
+                         "inter": pc.cast(g["pinter_sum"], pa.int64())})
+
+    inter = grouped_aggregate(partials, ["a_id", "b_id"], inter_sum)
+
+    j1 = equi_join(inter, sizes, "a_id", "doc_id",
+                   ["b_id", "inter"], ["sz"])
+
+    def rename1(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_id": batch["key"], "b_id": batch["b_id"],
+                         "inter": batch["inter"], "sz_a": batch["sz"]})
+
+    j2 = equi_join(j1.map_batches(rename1, batch_format="pyarrow"),
+                   sizes, "b_id", "doc_id",
+                   ["a_id", "inter", "sz_a"], ["sz"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter_v = batch["inter"].to_numpy(zero_copy_only=False)
+        uni = (batch["sz_a"].to_numpy(zero_copy_only=False)
+               + batch["sz"].to_numpy(zero_copy_only=False) - inter_v)
+        jac = (inter_v * JACCARD_SCALE) // uni
+        keep = jac >= tau_u
+        return pa.table({
+            "a_id": pa.array(batch["a_id"]
+                             .to_numpy(zero_copy_only=False)[keep]),
+            "b_id": pa.array(batch["key"]
+                             .to_numpy(zero_copy_only=False)[keep]),
+            "inter": pa.array(inter_v[keep]),
+            "uni": pa.array(uni[keep]),
+            "jaccard_u": pa.array(jac[keep]),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -817,20 +817,16 @@ FROM j WHERE (inter * {dedup.JACCARD_SCALE}) // uni >= {tau_u}
 """
 
 
-def sql_minhash_lsh(n: int = 3, num_perm: int = 64, bands: int = 16,
-                    tau: float = 0.5, seed: int = 42,
-                    max_bucket: int = 500) -> str:
-    """Exact SQL restatement of the m31 MinHash+LSH pipeline: md5-32
-    shingle hashes, (a·x+b) mod 2^31−1 perms (all arithmetic < 2^62 —
-    exact in BIGINT), banded buckets via list-equality self-join with the
-    same bucket-size cap, signature-estimate filter."""
+def _sql_minhash_prefix(n: int, num_perm: int, bands: int, seed: int,
+                        max_bucket: int) -> str:
+    """Shared CTE chain (perms → … → est) of the m31 MinHash+LSH
+    restatement — the prefix of sql_minhash_lsh and sql_lsh_verified."""
     from searchengine_ray.pipelines.dedup import (MERSENNE31,
                                                   _minhash_params_m31)
     a, b = _minhash_params_m31(num_perm, seed)
     perms = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
                       for j in range(num_perm))
     r = num_perm // bands
-    min_matches = int(np.ceil(tau * num_perm))
     toks = sql_tokens_expr("text")
     return f"""
 WITH perms(j, a, b) AS (VALUES {perms}),
@@ -869,9 +865,48 @@ est AS (
   FROM cand c
   JOIN mins ma ON ma.doc_id = c.a_id
   JOIN mins mb ON mb.doc_id = c.b_id AND mb.j = ma.j
-  GROUP BY c.a_id, c.b_id)
+  GROUP BY c.a_id, c.b_id)"""
+
+
+def sql_minhash_lsh(n: int = 3, num_perm: int = 64, bands: int = 16,
+                    tau: float = 0.5, seed: int = 42,
+                    max_bucket: int = 500) -> str:
+    """Exact SQL restatement of the m31 MinHash+LSH pipeline: md5-32
+    shingle hashes, (a·x+b) mod 2^31−1 perms (all arithmetic < 2^62 —
+    exact in BIGINT), banded buckets via list-equality self-join with the
+    same bucket-size cap, signature-estimate filter."""
+    min_matches = int(np.ceil(tau * num_perm))
+    prefix = _sql_minhash_prefix(n, num_perm, bands, seed, max_bucket)
+    return f"""{prefix}
 SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, est_matches
 FROM est WHERE est_matches >= {min_matches}
+"""
+
+
+def sql_lsh_verified(n: int = 3, num_perm: int = 64, bands: int = 16,
+                     tau: float = 0.5, seed: int = 42,
+                     max_bucket: int = 500, tau_u: int = 500_000) -> str:
+    """Exact twin of dedup.lsh_verified_pairs: the LSH candidate CTEs
+    composed with exact shingle-set intersection/union and the
+    integer-Jaccard threshold."""
+    min_matches = int(np.ceil(tau * num_perm))
+    prefix = _sql_minhash_prefix(n, num_perm, bands, seed, max_bucket)
+    return f"""{prefix},
+ver AS (
+  SELECT e.a_id, e.b_id, count(*)::BIGINT AS inter
+  FROM est e
+  JOIN sh sa ON sa.doc_id = e.a_id
+  JOIN sh sb ON sb.doc_id = e.b_id AND sb.shingle = sa.shingle
+  WHERE e.est_matches >= {min_matches}
+  GROUP BY e.a_id, e.b_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+vj AS (
+  SELECT a_id, b_id, inter, (sa.sz + sb.sz - inter)::BIGINT AS uni
+  FROM ver JOIN sizes sa ON sa.doc_id = a_id
+           JOIN sizes sb ON sb.doc_id = b_id)
+SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, inter, uni,
+       ((inter * {dedup.JACCARD_SCALE}) // uni)::BIGINT AS jaccard_u
+FROM vj WHERE (inter * {dedup.JACCARD_SCALE}) // uni >= {tau_u}
 """
 
 
@@ -1707,6 +1742,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # rides exactly one exchange (winner election is id-width)
         "dedup_chunk_rewrite": lambda sf: chunking.chunk_dedup_rewrite(
             _docs(sf)),
+        # two-phase production dedup: LSH recall + exact-Jaccard verify
+        "dedup_lsh_verified": lambda sf: dedup.lsh_verified_pairs(
+            _docs(sf), family="m31"),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1815,6 +1853,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_median": events.sql_value_median_exact(),
         "docs_train_split": analysis.sql_train_split(),
         "dedup_chunk_rewrite": chunking.sql_chunk_dedup_rewrite(),
+        "dedup_lsh_verified": sql_lsh_verified(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

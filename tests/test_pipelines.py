@@ -2281,3 +2281,41 @@ def test_chunk_dedup_rewrite_vs_brute_force_testdata(ray_session):
     for did, (_txt, k, dr) in got.items():
         n = len(df.set_index("doc_id").loc[did, "text"].split())
         assert k + dr == -(-n // 10)
+
+
+def test_lsh_verified_pairs_vs_brute_force(ray_session):
+    """Verified pairs must be exactly {LSH candidates with TRUE shingle
+    Jaccard >= tau_u}, with inter/uni computed on the real sets."""
+    import ray.data
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+    from searchengine_ray.pipelines.dedup import (
+        JACCARD_SCALE, lsh_verified_pairs, minhash_lsh_pairs)
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    cands = {(r["a_id"], r["b_id"])
+             for r in minhash_lsh_pairs(ds, family="m31").take_all()}
+    got = {(r["a_id"], r["b_id"]): (r["inter"], r["uni"], r["jaccard_u"])
+           for r in lsh_verified_pairs(ds, family="m31").take_all()}
+    assert set(got) <= cands and got
+
+    import pandas as pd
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    sets: dict[int, set] = {}
+    for did, txt in zip(df["doc_id"].astype(int), df["text"]):
+        tbl = pa.table({"t": pa.array([txt])})
+        _, toks = tokenize_column(tbl["t"], None, apply_filter=False)
+        words = toks.to_pylist()
+        sets[did] = {" ".join(words[i:i + 3])
+                     for i in range(len(words) - 2)}
+    want = {}
+    for a, b in cands:
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        uni = len(sets[a] | sets[b])
+        jac = (inter * JACCARD_SCALE) // uni
+        if jac >= 500_000:
+            want[(a, b)] = (inter, uni, jac)
+    assert got == want
