@@ -1745,6 +1745,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # two-phase production dedup: LSH recall + exact-Jaccard verify
         "dedup_lsh_verified": lambda sf: dedup.lsh_verified_pairs(
             _docs(sf), family="m31"),
+        "events_top_n": lambda sf: events.top_n_by_value(
+            _events(sf, ["event_id", "value"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1854,6 +1856,7 @@ def build_oracles() -> dict[str, str]:
         "docs_train_split": analysis.sql_train_split(),
         "dedup_chunk_rewrite": chunking.sql_chunk_dedup_rewrite(),
         "dedup_lsh_verified": sql_lsh_verified(),
+        "events_top_n": events.sql_top_n_by_value(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

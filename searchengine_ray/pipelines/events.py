@@ -1989,3 +1989,52 @@ SELECT event_type, vc AS median_c FROM (
                CAST(round(value * 100) AS BIGINT) AS vc FROM events)
 ) WHERE rn = (n + 1) // 2
 """
+
+
+TOP_N_DEFAULT = 100
+
+
+def top_n_by_value(ds: "ray.data.Dataset",
+                   n: int = TOP_N_DEFAULT) -> "ray.data.Dataset":
+    """Global top-N events by value (DESC, event_id ASC tie-break)
+    WITHOUT a global sort: every batch pre-aggregates its own top-N
+    (lexsort + head — ≤ N rows leave each batch), one single-key reduce
+    finishes. The shuffle moves ≤ N × blocks digest rows; the corpus is
+    never re-ordered. Columns: rnk, event_id, vc (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def _head(eid: np.ndarray, vc: np.ndarray, emit_rank: bool
+              ) -> pa.Table:
+        order = np.lexsort((eid, -vc))[:n]
+        cols = {}
+        if emit_rank:
+            cols["rnk"] = pa.array(np.arange(1, len(order) + 1,
+                                             dtype=np.int64))
+        cols["event_id"] = pa.array(eid[order])
+        cols["vc"] = pa.array(vc[order])
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        eid = pc.cast(batch["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = _head(eid, vc, emit_rank=False)
+        return t.append_column("k", pa.array(
+            np.zeros(len(t), dtype=np.int64)))
+
+    def final(part: pa.Table) -> pa.Table:
+        return _head(part["event_id"].to_numpy(zero_copy_only=False),
+                     part["vc"].to_numpy(zero_copy_only=False),
+                     emit_rank=True)
+
+    return grouped_aggregate(ds.map_batches(partial,
+                                            batch_format="pyarrow"),
+                             ["k"], final)
+
+
+def sql_top_n_by_value(n: int = TOP_N_DEFAULT) -> str:
+    return (f"SELECT CAST(row_number() OVER (ORDER BY "
+            f"CAST(round(value * 100) AS BIGINT) DESC, event_id) AS BIGINT)"
+            f" AS rnk, event_id, CAST(round(value * 100) AS BIGINT) AS vc "
+            f"FROM events ORDER BY rnk LIMIT {n}")

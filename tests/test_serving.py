@@ -1633,3 +1633,17 @@ def test_value_median_exact_bounded_fetch(events_ds, monkeypatch):
     assert got == _median_want(events_df())
     n = events_ds.count()
     assert fetched and max(fetched) < max(n // 4, 1100), max(fetched)
+
+
+def test_top_n_by_value(events_ds):
+    from searchengine_ray.pipelines.events import top_n_by_value
+    rows = sorted(top_n_by_value(events_ds, n=37).take_all(),
+                  key=lambda r: r["rnk"])
+    df = events_df()
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    eid = df["event_id"].to_numpy().astype("int64")
+    order = np.lexsort((eid, -vc))[:37]
+    want = [(i + 1, int(eid[o]), int(vc[o]))
+            for i, o in enumerate(order)]
+    assert [(r["rnk"], r["event_id"], r["vc"]) for r in rows] == want
+    assert len(rows) == 37
