@@ -1747,6 +1747,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), family="m31"),
         "events_top_n": lambda sf: events.top_n_by_value(
             _events(sf, ["event_id", "value"])),
+        # the selection machinery generalizes to any quantile — exact
+        # p90 pairs with the p90 entry of the value_quantiles sketch
+        "events_value_p90": lambda sf: events.value_quantile_exact(
+            _events(sf, ["event_type", "value"]), 9, 10, "p90_c"),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1857,6 +1861,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_chunk_rewrite": chunking.sql_chunk_dedup_rewrite(),
         "dedup_lsh_verified": sql_lsh_verified(),
         "events_top_n": events.sql_top_n_by_value(),
+        "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -1823,9 +1823,22 @@ def sql_value_histogram(bin_width_c: int = 500) -> str:
 
 def value_median_exact(ds: "ray.data.Dataset", num_buckets: int = 32,
                        fetch_threshold: int = 4096) -> "ray.data.Dataset":
-    """EXACT per-type lower median — the k-th smallest cents value with
-    k = (n+1)//2 — by ITERATIVE DISTRIBUTED SELECTION, never a sort and
-    never an O(distinct-values) structure on the driver (the exact twin
+    """EXACT per-type lower median (q = 1/2; see
+    :func:`value_quantile_exact` for the algorithm). Columns:
+    event_type, median_c (int64)."""
+    return value_quantile_exact(ds, 1, 2, "median_c",
+                                num_buckets, fetch_threshold)
+
+
+def value_quantile_exact(ds: "ray.data.Dataset", q_num: int = 1,
+                         q_den: int = 2, out_col: str = "median_c",
+                         num_buckets: int = 32,
+                         fetch_threshold: int = 4096
+                         ) -> "ray.data.Dataset":
+    """EXACT per-type q-quantile — the k-th smallest cents value with
+    k = ceil(q·n) = (q_num·n + q_den − 1) // q_den — by ITERATIVE
+    DISTRIBUTED SELECTION, never a sort and never an
+    O(distinct-values) structure on the driver (the exact twin
     of the :func:`value_quantiles` sketch, built for a continuous value
     domain the broadcast-histogram cut can't carry).
 
@@ -1873,7 +1886,8 @@ def value_median_exact(ds: "ray.data.Dataset", num_buckets: int = 32,
             cur[2] = max(cur[2], hi)
 
     # active[ty] = (lo_excl, hi_incl, k) — the k-th smallest in (lo, hi]
-    active = {ty: (int(lo) - 1, int(hi), (int(n) + 1) // 2)
+    active = {ty: (int(lo) - 1, int(hi),
+                   (q_num * int(n) + q_den - 1) // q_den)
               for ty, (n, lo, hi) in agg.items()}
     result: dict[str, int] = {}
     to_fetch: dict[str, tuple[int, int, int]] = {}
@@ -1969,7 +1983,7 @@ def value_median_exact(ds: "ray.data.Dataset", num_buckets: int = 32,
     tys = sorted(result)
     return _table_dataset(pa.table({
         "event_type": pa.array(tys, type=pa.string()),
-        "median_c": pa.array([result[t] for t in tys], type=pa.int64()),
+        out_col: pa.array([result[t] for t in tys], type=pa.int64()),
     }))
 
 
@@ -1979,15 +1993,20 @@ def _table_dataset(tbl: pa.Table) -> "ray.data.Dataset":
 
 
 def sql_value_median_exact() -> str:
-    return """
-SELECT event_type, vc AS median_c FROM (
+    return sql_value_quantile_exact(1, 2, "median_c")
+
+
+def sql_value_quantile_exact(q_num: int = 1, q_den: int = 2,
+                             out_col: str = "median_c") -> str:
+    return f"""
+SELECT event_type, vc AS {out_col} FROM (
   SELECT event_type, vc,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY vc, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM (SELECT event_id, event_type,
                CAST(round(value * 100) AS BIGINT) AS vc FROM events)
-) WHERE rn = (n + 1) // 2
+) WHERE rn = ({q_num} * n + {q_den} - 1) // {q_den}
 """
 
 

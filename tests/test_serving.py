@@ -1647,3 +1647,28 @@ def test_top_n_by_value(events_ds):
             for i, o in enumerate(order)]
     assert [(r["rnk"], r["event_id"], r["vc"]) for r in rows] == want
     assert len(rows) == 37
+
+
+def test_value_quantile_exact_p90_and_extremes(ray_session):
+    """q generalization: p90, p10, max (q=1) across domains, tiny
+    thresholds — vs brute-force k = ceil(q*n)."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import value_quantile_exact
+    rng = np.random.default_rng(11)
+    vals = np.r_[rng.normal(0, 1e4, 997), np.repeat([42.0, -42.0], 100)]
+    types = np.where(np.arange(len(vals)) % 2 == 0, "a", "b")
+    tbl = pa.table({"event_type": pa.array(types),
+                    "value": pa.array(vals.astype(np.float64))})
+    vc = np.round(vals * 100).astype(np.int64)
+    for q_num, q_den in ((9, 10), (1, 10), (1, 1)):
+        want = {}
+        for t in ("a", "b"):
+            v = np.sort(vc[types == t])
+            k = (q_num * len(v) + q_den - 1) // q_den
+            want[t] = int(v[k - 1])
+        got = {r["event_type"]: r["q_c"] for r in
+               value_quantile_exact(ray.data.from_arrow(tbl), q_num,
+                                    q_den, "q_c", num_buckets=4,
+                                    fetch_threshold=8).take_all()}
+        assert got == want, (q_num, q_den)
