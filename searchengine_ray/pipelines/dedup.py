@@ -697,9 +697,16 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
     from searchengine_ray.pipelines.common import grouped_aggregate
     from searchengine_ray.pipelines.join import equi_join
 
+    # both intermediates are consumed by MULTIPLE downstream stages —
+    # materialize once or every consumer re-executes the whole upstream
+    # DAG (measured 60 s → 9 s at sf0.1). cands is candidate-bounded;
+    # sh is O(corpus tokens) but spill-safe, and three lazy recomputes
+    # of the tokenize+shingle pass cost strictly more than one pinned
+    # copy at any scale.
     cands = minhash_lsh_pairs(ds, n, num_perm, bands, tau, seed,
-                              max_bucket, text_col, id_col, family)
-    sh = shingles(ds, n, text_col, id_col)
+                              max_bucket, text_col, id_col,
+                              family).materialize()
+    sh = shingles(ds, n, text_col, id_col).materialize()
 
     # per-doc distinct-shingle sizes (one row per doc after the reduce)
     def size_part(batch: pa.Table) -> pa.Table:
@@ -714,13 +721,18 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
         return pa.table({"doc_id": g["doc_id"],
                          "sz": pc.cast(g["psz_sum"], pa.int64())})
 
+    # id-width (doc, sz) rows, consumed by TWO joins — pin it (the
+    # groupby-chain re-execution hazard: each downstream groupby
+    # samples + shuffles its lazy upstream AGAIN; see graph.py:334)
     sizes = grouped_aggregate(sh.map_batches(size_part,
                                              batch_format="pyarrow"),
-                              ["doc_id"], size_sum)
+                              ["doc_id"], size_sum).materialize()
 
-    # expand: each candidate pair picks up the a-side's shingle rows
+    # expand: each candidate pair picks up the a-side's shingle rows —
+    # candidate-bounded (pairs × shingles/doc), pinned for the same
+    # re-execution reason
     expanded = equi_join(cands, sh, "a_id", "doc_id",
-                         ["b_id"], ["shingle"])
+                         ["b_id"], ["shingle"]).materialize()
 
     def tag_probe(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -769,7 +781,8 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
 
     unioned = (expanded.map_batches(tag_probe, batch_format="pyarrow")
                .union(sh.map_batches(tag_corpus, batch_format="pyarrow")))
-    partials = grouped_aggregate(unioned, ["doc", "shingle"], mark)
+    partials = grouped_aggregate(unioned, ["doc", "shingle"],
+                                 mark).materialize()
 
     def inter_sum(part: pa.Table) -> pa.Table:
         g = part.group_by(["a_id", "b_id"], use_threads=False) \
@@ -777,7 +790,10 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
         return pa.table({"a_id": g["a_id"], "b_id": g["b_id"],
                          "inter": pc.cast(g["pinter_sum"], pa.int64())})
 
-    inter = grouped_aggregate(partials, ["a_id", "b_id"], inter_sum)
+    # candidate-bounded (a, b, inter) rows — pin before the join chain
+    # so the two equi_joins don't re-execute the mark/shuffle lineage
+    inter = grouped_aggregate(partials, ["a_id", "b_id"],
+                              inter_sum).materialize()
 
     j1 = equi_join(inter, sizes, "a_id", "doc_id",
                    ["b_id", "inter"], ["sz"])
@@ -786,7 +802,8 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
         return pa.table({"a_id": batch["key"], "b_id": batch["b_id"],
                          "inter": batch["inter"], "sz_a": batch["sz"]})
 
-    j2 = equi_join(j1.map_batches(rename1, batch_format="pyarrow"),
+    j2 = equi_join(j1.map_batches(rename1,
+                                  batch_format="pyarrow").materialize(),
                    sizes, "b_id", "doc_id",
                    ["a_id", "inter", "sz_a"], ["sz"])
 
