@@ -1751,6 +1751,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # p90 pairs with the p90 entry of the value_quantiles sketch
         "events_value_p90": lambda sf: events.value_quantile_exact(
             _events(sf, ["event_type", "value"]), 9, 10, "p90_c"),
+        # grouped window rank (PARTITION BY type), continuous domain
+        "events_type_rank": lambda sf: events.type_value_rank_ranged(
+            _events(sf, ["event_id", "event_type", "value"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1862,6 +1865,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_lsh_verified": sql_lsh_verified(),
         "events_top_n": events.sql_top_n_by_value(),
         "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
+        "events_type_rank": events.sql_type_value_rank(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -2057,3 +2057,172 @@ def sql_top_n_by_value(n: int = TOP_N_DEFAULT) -> str:
             f"CAST(round(value * 100) AS BIGINT) DESC, event_id) AS BIGINT)"
             f" AS rnk, event_id, CAST(round(value * 100) AS BIGINT) AS vc "
             f"FROM events ORDER BY rnk LIMIT {n}")
+
+
+def type_value_rank_ranged(ds: "ray.data.Dataset",
+                           num_buckets: int = 32) -> "ray.data.Dataset":
+    """GROUPED window rank — ``rank() OVER (PARTITION BY event_type
+    ORDER BY value DESC)`` — for a CONTINUOUS value domain, same
+    driver-surface discipline as :func:`global_value_rank_ranged`:
+
+      1. exact (type, vc, n) histogram digest, kept DISTRIBUTED;
+      2. histogram rows range-bucket by sampled global splits (splits
+         steer partitioning only — output independent of them);
+         per-(type, bucket) TOTALS are the only driver fetch
+         (≤ |types| × num_buckets scalars), whose per-type DESC
+         exclusive prefix gives each bucket its in-type rank offset;
+      3. one grouped pass ranks each (type, bucket) locally → a
+         DISTRIBUTED (type, vc, rnk) table;
+      4. events co-partition with the rank table by hash(type, vc);
+         an in-partition per-type searchsorted assigns ranks.
+
+    Columns: event_id, rnk (int64).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def hpart(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vc": pa.array(vc)})
+        g = t.group_by(["event_type", "vc"], use_threads=False) \
+             .aggregate([("vc", "count")])
+        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
+                         "n": pc.cast(g["vc_count"], pa.int64())})
+
+    def hreduce(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type", "vc"], use_threads=False) \
+                .aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    hist = grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
+                             ["event_type", "vc"], hreduce).materialize()
+
+    # global split points from a bounded per-block sample (balance only)
+    def sample(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        if len(vc) == 0:
+            return pa.table({"s": pa.array([], type=pa.int64())})
+        qs = np.quantile(vc, np.linspace(0, 1, num_buckets + 1),
+                         method="nearest").astype(np.int64)
+        return pa.table({"s": pa.array(np.unique(qs))})
+
+    samp = np.sort(np.unique(np.concatenate(
+        [b["s"].to_numpy(zero_copy_only=False) for b in
+         hist.map_batches(sample, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, dtype=np.int64)])))
+    if len(samp) == 0:
+        def empty(batch: pa.Table) -> pa.Table:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "rnk": z})
+        return ds.map_batches(empty, batch_format="pyarrow")
+    splits = np.unique(np.quantile(
+        samp, np.linspace(0, 1, num_buckets + 1)[1:-1],
+        method="nearest").astype(np.int64))
+
+    def bucket_of(vc: np.ndarray) -> np.ndarray:
+        return np.searchsorted(splits, vc, side="right").astype(np.int64)
+
+    # per-(type, bucket) totals — the ONLY driver fetch
+    def btot(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        t = batch.select(["event_type"]) \
+            .append_column("b", pa.array(bucket_of(vc))) \
+            .append_column("n", batch["n"])
+        g = t.group_by(["event_type", "b"], use_threads=False) \
+             .aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "b": g["b"],
+                         "t": pc.cast(g["n_sum"], pa.int64())})
+
+    tot: dict[str, np.ndarray] = {}
+    nb = len(splits) + 1
+    for b in hist.map_batches(btot, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for ty, bk, n in zip(b["event_type"].to_pylist(),
+                             b["b"].to_pylist(), b["t"].to_pylist()):
+            tot.setdefault(ty, np.zeros(nb, dtype=np.int64))[bk] += n
+    # per-type DESC rank offsets
+    offsets = {ty: np.concatenate([np.cumsum(t[::-1])[::-1][1:], [0]])
+               .astype(np.int64) for ty, t in tot.items()}
+
+    def rank_bucket(part: pa.Table) -> pa.Table:
+        vc = part["vc"].to_numpy(zero_copy_only=False)
+        n = part["n"].to_numpy(zero_copy_only=False)
+        ty = part["event_type"][0].as_py()
+        b = int(bucket_of(vc[:1])[0])
+        order = np.argsort(-vc, kind="stable")
+        vd, nd = vc[order], n[order]
+        r = np.ones(len(vd), dtype=np.int64) + offsets[ty][b]
+        r[1:] += np.cumsum(nd[:-1])
+        return pa.table({"event_type": pa.array([ty] * len(vd),
+                                                type=pa.string()),
+                         "vc": pa.array(vd), "rnk": pa.array(r)})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vc = batch["vc"].to_numpy(zero_copy_only=False)
+        return batch.append_column("b", pa.array(bucket_of(vc)))
+
+    ranks = (hist.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby(["event_type", "b"])
+             .map_groups(lambda g: rank_bucket(g.drop_columns(["b"])),
+                         batch_format="pyarrow"))
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vc": pa.array(vc),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "rnk": pa.nulls(len(batch), type=pa.int64()),
+            "side": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vc": batch["vc"],
+            "event_id": pa.nulls(len(batch), type=pa.int64()),
+            "rnk": batch["rnk"],
+            "side": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    def assign(part: pa.Table) -> pa.Table:
+        side = part["side"].to_numpy(zero_copy_only=False)
+        vc = part["vc"].to_numpy(zero_copy_only=False)
+        ev = side == 1
+        if not ev.any():
+            z = pa.array([], type=pa.int64())
+            return pa.table({"event_id": z, "rnk": z})
+        out_eid, out_rnk = [], []
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        rnk = part["rnk"].to_numpy(zero_copy_only=False)
+        types = part["event_type"]
+        for ty in pc.unique(types).to_pylist():  # |types| is bounded
+            tm = pc.equal(types, ty).to_numpy(zero_copy_only=False)
+            evm, rm = tm & ev, tm & ~ev
+            if not evm.any():
+                continue
+            rv, rr = vc[rm], rnk[rm]
+            order = np.argsort(rv, kind="stable")
+            rv, rr = rv[order], rr[order]
+            pos = np.searchsorted(rv, vc[evm])
+            out_eid.append(eid[evm])
+            out_rnk.append(rr[pos])
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_eid)),
+            "rnk": pa.array(np.concatenate(out_rnk)),
+        })
+
+    unioned = (ds.map_batches(tag_events, batch_format="pyarrow")
+               .union(ranks.map_batches(tag_ranks,
+                                        batch_format="pyarrow")))
+    return grouped_aggregate(unioned, ["event_type", "vc"], assign)
+
+
+def sql_type_value_rank() -> str:
+    return ("SELECT event_id, CAST(rank() OVER (PARTITION BY event_type "
+            "ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT)"
+            " AS rnk FROM events")

@@ -1672,3 +1672,31 @@ def test_value_quantile_exact_p90_and_extremes(ray_session):
                                     q_den, "q_c", num_buckets=4,
                                     fetch_threshold=8).take_all()}
         assert got == want, (q_num, q_den)
+
+
+def test_type_value_rank_ranged_adversarial(ray_session):
+    """Grouped ranged rank vs brute force: tie-heavy, negative,
+    single-value and singleton groups, across bucket counts (output
+    independent of the knob)."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import type_value_rank_ranged
+    rng = np.random.default_rng(3)
+    vals = np.r_[np.repeat([5.0, -5.0, 0.0], 200), rng.normal(0, 100, 401),
+                 [7.25]]
+    types = np.array(["a", "b", "c", "d"])[np.arange(len(vals)) % 4]
+    types[-1] = "solo"
+    eids = np.arange(len(vals), dtype=np.int64)
+    tbl = pa.table({"event_id": pa.array(eids),
+                    "event_type": pa.array(types.tolist()),
+                    "value": pa.array(vals.astype(np.float64))})
+    vc = np.round(vals * 100).astype(np.int64)
+    want = {}
+    for i in range(len(vals)):
+        m = types == types[i]
+        want[int(eids[i])] = int((vc[m] > vc[i]).sum()) + 1
+    for nb in (2, 5, 64):
+        got = {r["event_id"]: r["rnk"] for r in
+               type_value_rank_ranged(ray.data.from_arrow(tbl),
+                                      num_buckets=nb).take_all()}
+        assert got == want, nb
