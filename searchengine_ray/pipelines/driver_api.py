@@ -1754,6 +1754,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # grouped window rank (PARTITION BY type), continuous domain
         "events_type_rank": lambda sf: events.type_value_rank_ranged(
             _events(sf, ["event_id", "event_type", "value"])),
+        # vector aggregate: per-label mean-embedding centroid (integer
+        # partial sums — only labels × dim digests ever move)
+        "embedding_centroids": lambda sf: similarity.label_centroids(
+            _embs(sf, ["label", "embedding"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1866,6 +1870,7 @@ def build_oracles() -> dict[str, str]:
         "events_top_n": events.sql_top_n_by_value(),
         "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
         "events_type_rank": events.sql_type_value_rank(),
+        "embedding_centroids": similarity.sql_label_centroids(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

@@ -783,3 +783,65 @@ def int8_topk(ds: "ray.data.Dataset", query_ids: list[int], k: int = 10,
         })
 
     return _topk_reduce(ds.map_batches(score, batch_format="pyarrow"), k)
+
+
+CENTROID_SCALE = 1_000_000
+
+
+def label_centroids(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-label mean-embedding centroid — the vector AGGREGATE of the
+    embedding family (class prototypes / cluster profiling): every batch
+    emits per-label integer partial sums (floor(v·10^6 + 0.5), the
+    int8_topk round-half-up shared with DuckDB) plus counts — a
+    labels × dim digest, the only thing that ever moves — then ONE tiny
+    (label, dim)-keyed reduce finishes ``mean_u = trunc(Σ / n)``
+    (TRUNCATING integer division — DuckDB ``//`` truncates toward zero
+    while numpy ``//`` floors, so the engine truncates explicitly;
+    order-insensitive integer sums designed out the
+    float-accumulation-order hazard). Columns: label, dim, mean_u
+    (int64)."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        lab = pc.cast(batch["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.floor(mat.astype(np.float64) * CENTROID_SCALE
+                      + 0.5).astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = vi.shape[1]
+        sums = np.zeros((len(u), d), dtype=np.int64)
+        np.add.at(sums, inv, vi)
+        cnts = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(u, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(u))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnts, d)),
+        })
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        g = part.group_by(["label", "dim"], use_threads=False) \
+                .aggregate([("s", "sum"), ("n", "sum")])
+        s = g["s_sum"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        mean_u = np.sign(s) * (np.abs(s) // n)  # trunc = DuckDB //
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "mean_u": pa.array(mean_u.astype(np.int64))})
+
+    return grouped_aggregate(ds.map_batches(partial,
+                                            batch_format="pyarrow"),
+                             ["label", "dim"], reduce_part)
+
+
+def sql_label_centroids() -> str:
+    return f"""
+SELECT label::BIGINT AS label, i::BIGINT AS dim,
+       (sum(CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                       * {CENTROID_SCALE} + 0.5)
+                 AS BIGINT)) // count(*))::BIGINT AS mean_u
+FROM (SELECT label, embedding,
+             unnest(range(0, len(embedding))) AS i FROM embeddings)
+GROUP BY label, i
+"""

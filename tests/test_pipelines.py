@@ -2319,3 +2319,27 @@ def test_lsh_verified_pairs_vs_brute_force(ray_session):
         if jac >= 500_000:
             want[(a, b)] = (inter, uni, jac)
     assert got == want
+
+
+def test_label_centroids_matches_bruteforce(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (
+        CENTROID_SCALE, label_centroids)
+    import pandas as pd
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["label", "embedding"])
+    got = {(r["label"], r["dim"]): r["mean_u"]
+           for r in label_centroids(ray.data.read_parquet(
+               "/root/testdata/sf0.001/embeddings.parquet",
+               columns=["label", "embedding"])).take_all()}
+    want = {}
+    for lab, grp in df.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        vi = np.floor(mat * CENTROID_SCALE + 0.5).astype(np.int64)
+        s = vi.sum(axis=0)
+        m = np.sign(s) * (np.abs(s) // len(grp))
+        for d in range(mat.shape[1]):
+            want[(int(lab), d)] = int(m[d])
+    assert got == want and got
+    # sanity: negative-sum truncation semantics actually exercised
+    assert any(v < 0 for v in got.values())
