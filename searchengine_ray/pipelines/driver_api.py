@@ -38,7 +38,8 @@ from searchengine_ray.functions.tokenizer import (
 )
 from searchengine_ray.pipelines import (analysis, chunking, classify, curate,
                                         decontam, dedup, events, graph,
-                                        multimodal, prepare, similarity)
+                                        multimodal, prepare, relational,
+                                        similarity)
 from searchengine_ray.sources.corpus import adapt_documents
 
 CFG = IndexConfig()
@@ -90,6 +91,21 @@ def _embs(sf_dir: str,
 def _events(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                  columns=list(columns))
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str]) -> "ray.data.Dataset":
+    """Column-pruned reader for the relational (TPC-H-ish) tables."""
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=list(columns))
+
+
+def q_tpch_q3(sf_dir: str):
+    return relational.top_unshipped_orders(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        _tbl(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
 # ---------------------------------------------------------------------------
@@ -1758,6 +1774,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # partial sums — only labels × dim digests ever move)
         "embedding_centroids": lambda sf: similarity.label_centroids(
             _embs(sf, ["label", "embedding"])),
+        # generic-primitive composition demos over the LARGEST tables
+        # (lineitem): pure-combiner aggregate and semi+inner join + top-N
+        "tpch_q1_pricing": lambda sf: relational.pricing_summary(
+            _tbl(sf, "lineitem",
+                 ["l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])),
+        "tpch_q3_toporders": q_tpch_q3,
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1871,6 +1894,8 @@ def build_oracles() -> dict[str, str]:
         "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
         "events_type_rank": events.sql_type_value_rank(),
         "embedding_centroids": similarity.sql_label_centroids(),
+        "tpch_q1_pricing": relational.sql_pricing_summary(),
+        "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

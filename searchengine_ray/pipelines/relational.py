@@ -1,0 +1,259 @@
+"""Generic relational pipelines over the TPC-H-ish tables.
+
+The reference engine's relational surface is implicit (its index build is
+a join+aggregate in disguise); these operators demonstrate that the
+engine's GENERIC primitives — ``common.grouped_aggregate`` (coarse
+hash-partitioned Arrow-native aggregation) and ``join.equi_join``
+(tag→union→shuffle sort-merge) — compose into classic warehouse queries
+over the largest tables in the testdata (lineitem is 60k/600k/6M rows at
+sf0.01/0.1/1), with no operator code specific to these queries.
+
+Scale shape:
+  pricing_summary       pure combiner — per-batch Arrow group_by partials,
+                        one tiny (flag × status)-row exchange; never raw rows.
+  top_unshipped_orders  dimension semi-join (customer→orders) + fact join
+                        (lineitem→orders) + grouped sum + sort-free global
+                        top-N digest reduce; text never shuffles, only the
+                        id/date/priority/revenue columns.
+
+Monetary doubles cross engines as scaled integers with HALF-UP cents:
+``floor(x·100 + 0.5)`` — the same IEEE double ops in numpy and DuckDB
+(inputs are non-negative), so sums are order-insensitive and bit-exact.
+numpy ``round`` (banker's) would diverge from DuckDB's half-away — the
+measured pitfall this form avoids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15 00:00:00"
+
+
+def _ts_us(sql_ts: str) -> int:
+    return int(np.datetime64(sql_ts.replace(" ", "T"), "us").astype(np.int64))
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """HALF-UP integer cents: floor(x·100 + 0.5) — bit-identical to the
+    DuckDB twin (same double multiply/add/floor; values non-negative)."""
+    x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def pricing_summary(ds: "ray.data.Dataset",
+                    cutoff: str = Q1_CUTOFF) -> "ray.data.Dataset":
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) pricing summary
+    over lineitem rows shipped on/before ``cutoff``.
+
+    Columns: l_returnflag, l_linestatus, n_rows, sum_qty,
+    sum_base_c (Σ cents), sum_disc_e4 (Σ cents·(100−disc%)),
+    sum_charge_e6 (Σ cents·(100−disc%)·(100+tax%)) — all int64, exact.
+
+    Pure combiner: each batch pre-aggregates with Arrow's C++ group_by,
+    so the exchange moves ≤ |flags × statuses| rows per batch. At 100 TB
+    this is the cheapest wide shape the engine has — no raw row ever
+    crosses the network.
+    """
+    cut_us = _ts_us(cutoff)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = ship <= cut_us
+        batch = batch.filter(pa.array(keep))
+        qty = pc.cast(batch["l_quantity"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        price_c = _cents(batch["l_extendedprice"])
+        disc_p = _cents(batch["l_discount"])      # 0.04 → 4
+        tax_p = _cents(batch["l_tax"])
+        disc_e4 = price_c * (100 - disc_p)
+        t = pa.table({
+            "l_returnflag": pc.cast(batch["l_returnflag"], pa.string()),
+            "l_linestatus": pc.cast(batch["l_linestatus"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "q": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+            "b": pa.array(price_c),
+            "d": pa.array(disc_e4),
+            "c": pa.array(disc_e4 * (100 + tax_p)),
+        })
+        return (t.group_by(["l_returnflag", "l_linestatus"],
+                           use_threads=False)
+                 .aggregate([("n", "sum"), ("q", "sum"), ("b", "sum"),
+                             ("d", "sum"), ("c", "sum")])
+                 .rename_columns(["l_returnflag", "l_linestatus",
+                                  "n", "q", "b", "d", "c"]))
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["l_returnflag", "l_linestatus"],
+                           use_threads=False)
+             .aggregate([("n", "sum"), ("q", "sum"), ("b", "sum"),
+                         ("d", "sum"), ("c", "sum")]))
+        return pa.table({
+            "l_returnflag": pc.cast(g["l_returnflag"], pa.string()),
+            "l_linestatus": pc.cast(g["l_linestatus"], pa.string()),
+            "n_rows": pc.cast(g["n_sum"], pa.int64()),
+            "sum_qty": pc.cast(g["q_sum"], pa.int64()),
+            "sum_base_c": pc.cast(g["b_sum"], pa.int64()),
+            "sum_disc_e4": pc.cast(g["d_sum"], pa.int64()),
+            "sum_charge_e6": pc.cast(g["c_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["l_returnflag", "l_linestatus"],
+                             final)
+
+
+def sql_pricing_summary(cutoff: str = Q1_CUTOFF) -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    t = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_rows,
+       sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS sum_qty,
+       sum({c})::BIGINT AS sum_base_c,
+       sum({c} * (100 - {d}))::BIGINT AS sum_disc_e4,
+       sum({c} * (100 - {d}) * (100 + {t}))::BIGINT AS sum_charge_e6
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_unshipped_orders(lineitem: "ray.data.Dataset",
+                         orders: "ray.data.Dataset",
+                         customer: "ray.data.Dataset",
+                         segment: str = Q3_SEGMENT,
+                         date: str = Q3_DATE,
+                         n: int = 10) -> "ray.data.Dataset":
+    """TPC-H Q3 shape: top-``n`` orders by revenue among orders placed
+    before ``date`` by customers in ``segment`` with lineitems shipped
+    after ``date``.
+
+    Columns: rnk, l_orderkey, o_orderdate_us, o_orderpriority,
+    revenue_e4 (Σ cents·(100−disc%), int64 exact).
+
+    Plan: (1) customer filters to the segment and SEMI-joins orders on
+    custkey (``join.equi_join`` how="semi" — dimension side never
+    expands); (2) lineitem filters by shipdate, pre-projects to
+    (orderkey, revenue) id-width rows, and INNER-joins the surviving
+    orders on orderkey; (3) ``grouped_aggregate`` sums revenue per
+    order; (4) a per-partition top-``n`` digest + single-key reduce
+    finds the global top-``n`` WITHOUT a global sort (same discipline
+    as events.top_n_by_value). Every exchanged row is id-width; the
+    result ships ≤ n × partitions digest rows to the final stage.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join
+
+    date_us = _ts_us(date)
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_orderdate_us": pa.array(od),
+            "o_orderpriority": pc.cast(batch["o_orderpriority"],
+                                       pa.string()),
+        })
+        return t.filter(pa.array(od < date_us))
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+        })
+        return t.filter(pc.equal(batch["c_mktsegment"], segment))
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ship > date_us))
+        rev = _cents(batch["l_extendedprice"]) \
+            * (100 - _cents(batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "rev_e4": pa.array(rev),
+        })
+
+    ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
+    custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
+    # semi join: orders of segment customers, emitted once each
+    ord_semi = equi_join(ordsel, custsel, "o_custkey", "c_custkey",
+                         ["o_orderkey", "o_orderdate_us",
+                          "o_orderpriority"], [], how="semi")
+    linesel = lineitem.map_batches(prep_line, batch_format="pyarrow")
+    joined = equi_join(linesel, ord_semi, "l_orderkey", "o_orderkey",
+                       ["rev_e4"], ["o_orderdate_us", "o_orderpriority"])
+
+    def sum_orders(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["key", "o_orderdate_us", "o_orderpriority"],
+                           use_threads=False)
+             .aggregate([("rev_e4", "sum")]))
+        okey = pc.cast(g["key"], pa.int64()).to_numpy(zero_copy_only=False)
+        odate = pc.cast(g["o_orderdate_us"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        rev = pc.cast(g["rev_e4_sum"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, odate, -rev))[:n]
+        t = pa.table({
+            "l_orderkey": pa.array(okey[order]),
+            "o_orderdate_us": pa.array(odate[order]),
+            "o_orderpriority": g["o_orderpriority"].take(
+                pa.array(order)),
+            "revenue_e4": pa.array(rev[order]),
+        })
+        return t.append_column("k", pa.array(
+            np.zeros(len(t), dtype=np.int64)))
+
+    def final_topn(part: pa.Table) -> pa.Table:
+        okey = part["l_orderkey"].to_numpy(zero_copy_only=False)
+        odate = part["o_orderdate_us"].to_numpy(zero_copy_only=False)
+        rev = part["revenue_e4"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, odate, -rev))[:n]
+        return pa.table({
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "l_orderkey": pa.array(okey[order]),
+            "o_orderdate_us": pa.array(odate[order]),
+            "o_orderpriority": part["o_orderpriority"].take(
+                pa.array(order)),
+            "revenue_e4": pa.array(rev[order]),
+        })
+
+    # per-order sums + per-partition top-n digest, then one-key reduce
+    digests = grouped_aggregate(joined, ["key"], sum_orders)
+    return grouped_aggregate(digests, ["k"], final_topn)
+
+
+def sql_top_unshipped_orders(segment: str = Q3_SEGMENT,
+                             date: str = Q3_DATE, n: int = 10) -> str:
+    rev = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+           "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{date}'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = '{segment}')),
+g AS (
+  SELECT l.l_orderkey, o.o_orderdate_us, o.o_orderpriority,
+         sum({rev})::BIGINT AS revenue_e4
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '{date}'
+  GROUP BY 1, 2, 3)
+SELECT CAST(row_number() OVER (ORDER BY revenue_e4 DESC, o_orderdate_us,
+                               l_orderkey) AS BIGINT) AS rnk,
+       l_orderkey, o_orderdate_us, o_orderpriority, revenue_e4
+FROM g ORDER BY rnk LIMIT {n}
+"""

@@ -2343,3 +2343,83 @@ def test_label_centroids_matches_bruteforce(ray_session):
     assert got == want and got
     # sanity: negative-sum truncation semantics actually exercised
     assert any(v < 0 for v in got.values())
+
+
+def test_pricing_summary_matches_pandas(ray_session):
+    """TPC-H Q1 shape over sf0.001 lineitem vs a pandas brute force with
+    the same half-up cents discipline."""
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.relational import (
+        Q1_CUTOFF, pricing_summary)
+    cols = ["l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = {(r["l_returnflag"], r["l_linestatus"]):
+           (r["n_rows"], r["sum_qty"], r["sum_base_c"],
+            r["sum_disc_e4"], r["sum_charge_e6"])
+           for r in pricing_summary(
+               ray.data.read_parquet(path, columns=cols)).take_all()}
+    df = pd.read_parquet(path, columns=cols)
+    df = df[df["l_shipdate"] <= pd.Timestamp(Q1_CUTOFF)]
+    c = np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+    d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype("int64")
+    t = np.floor(df["l_tax"].to_numpy() * 100 + 0.5).astype("int64")
+    q = np.floor(df["l_quantity"].to_numpy() + 0.5).astype("int64")
+    disc = c * (100 - d)
+    want = {}
+    keys = list(zip(df["l_returnflag"], df["l_linestatus"]))
+    for i, k in enumerate(keys):
+        n0, q0, b0, d0, c0 = want.get(k, (0, 0, 0, 0, 0))
+        want[k] = (n0 + 1, q0 + int(q[i]), b0 + int(c[i]),
+                   d0 + int(disc[i]), c0 + int(disc[i] * (100 + t[i])))
+    assert got == want and len(got) >= 4
+
+
+def test_top_unshipped_orders_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.relational import (
+        Q3_DATE, Q3_SEGMENT, top_unshipped_orders)
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_orderpriority"])
+    cu = pd.read_parquet(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    date = pd.Timestamp(Q3_DATE)
+    cust = set(cu[cu["c_mktsegment"] == Q3_SEGMENT]["c_custkey"])
+    od = od[(od["o_orderdate"] < date) & od["o_custkey"].isin(cust)]
+    li = li[li["l_shipdate"] > date]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    rev = (np.floor(m["l_extendedprice"].to_numpy() * 100 + 0.5)
+           .astype("int64")
+           * (100 - np.floor(m["l_discount"].to_numpy() * 100 + 0.5)
+              .astype("int64")))
+    m = m.assign(rev_e4=rev,
+                 o_orderdate_us=m["o_orderdate"].astype("int64"))
+    g = (m.groupby(["l_orderkey", "o_orderdate_us", "o_orderpriority"],
+                   as_index=False)["rev_e4"].sum())
+    g = g.sort_values(["rev_e4", "o_orderdate_us", "l_orderkey"],
+                      ascending=[False, True, True]).head(10)
+    want = [(i + 1, int(r.l_orderkey), int(r.o_orderdate_us),
+             r.o_orderpriority, int(r.rev_e4))
+            for i, r in enumerate(g.itertuples())]
+    ds_li = ray.data.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    ds_od = ray.data.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    ds_cu = ray.data.read_parquet(
+        f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    rows = sorted(top_unshipped_orders(ds_li, ds_od, ds_cu).take_all(),
+                  key=lambda r: r["rnk"])
+    got = [(r["rnk"], r["l_orderkey"], r["o_orderdate_us"],
+            r["o_orderpriority"], r["revenue_e4"]) for r in rows]
+    assert got == want and len(got) == 10
