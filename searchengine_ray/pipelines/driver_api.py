@@ -1774,6 +1774,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # partial sums — only labels × dim digests ever move)
         "embedding_centroids": lambda sf: similarity.label_centroids(
             _embs(sf, ["label", "embedding"])),
+        # PIVOT/crosstab: event log → per-user feature matrix
+        "events_pivot_counts": lambda sf: events.pivot_type_counts(
+            _events(sf, ["user_id", "event_type"])),
+        # grouped exact median at HIGH key cardinality (one coarse
+        # shuffle + vectorized segmented selection; no per-group loop)
+        "events_user_median": lambda sf: events.user_value_median(
+            _events(sf, ["user_id", "value"])),
         # generic-primitive composition demos over the LARGEST tables
         # (lineitem): pure-combiner aggregate and semi+inner join + top-N
         "tpch_q1_pricing": lambda sf: relational.pricing_summary(
@@ -1894,6 +1901,8 @@ def build_oracles() -> dict[str, str]:
         "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
         "events_type_rank": events.sql_type_value_rank(),
         "embedding_centroids": similarity.sql_label_centroids(),
+        "events_pivot_counts": events.sql_pivot_type_counts(),
+        "events_user_median": events.sql_user_value_median(),
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
     }

@@ -2226,3 +2226,101 @@ def sql_type_value_rank() -> str:
     return ("SELECT event_id, CAST(rank() OVER (PARTITION BY event_type "
             "ORDER BY CAST(round(value * 100) AS BIGINT) DESC) AS BIGINT)"
             " AS rnk FROM events")
+
+
+PIVOT_TYPES = ("signup", "click", "error", "view", "purchase")
+
+
+def pivot_type_counts(ds: "ray.data.Dataset",
+                      types: tuple[str, ...] = PIVOT_TYPES
+                      ) -> "ray.data.Dataset":
+    """PIVOT / one-hot feature matrix: one row per user with one count
+    column per event type (``n_<type>``) plus ``n_total`` — the classic
+    crosstab used to turn an event log into a per-entity feature table.
+
+    Pure combiner: each batch pre-aggregates indicator columns with
+    Arrow's C++ group_by, so the exchange moves ≤ |users-in-batch| rows
+    of int64 counts per batch and the final ``grouped_aggregate`` sums
+    partials per coarse hash(user) partition. The pivoted type set is a
+    fixed argument (as in SQL PIVOT) — unknown types count only toward
+    ``n_total``, keeping the output schema static at any scale.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        d = {"user_id": pc.cast(batch["user_id"], pa.int64())}
+        for t, c in zip(types, cols):
+            d[c] = pc.cast(pc.equal(et, t), pa.int64())
+        d["n_total"] = pa.array(np.ones(len(batch), dtype=np.int64))
+        t_ = pa.table(d)
+        g = (t_.group_by(["user_id"], use_threads=False)
+             .aggregate([(c, "sum") for c in cols + ["n_total"]]))
+        return g.rename_columns(["user_id"] + cols + ["n_total"])
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["user_id"], use_threads=False)
+             .aggregate([(c, "sum") for c in cols + ["n_total"]]))
+        out = {"user_id": pc.cast(g["user_id"], pa.int64())}
+        for c in cols + ["n_total"]:
+            out[c] = pc.cast(g[f"{c}_sum"], pa.int64())
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["user_id"], final)
+
+
+def sql_pivot_type_counts(types: tuple[str, ...] = PIVOT_TYPES) -> str:
+    filt = ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in types)
+    return (f"SELECT user_id, {filt}, count(*)::BIGINT AS n_total "
+            f"FROM events GROUP BY user_id")
+
+
+def user_value_median(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """GROUPED exact median at HIGH key cardinality — ``median(value)
+    GROUP BY user_id`` — the shape where per-group iterative selection
+    (value_median_exact's per-TYPE loop) would not amortize.
+
+    One coarse hash(user) shuffle; inside each partition ALL users'
+    medians compute in a single vectorized pass (lexsort by (user, vc),
+    run-length segment bounds, gather the two middle elements per run).
+    Groups never span partitions, so this is exact; the driver never
+    sees raw rows. Columns: user_id, median_c2 (int64 — the median in
+    HALF-cents: lo+hi of the two middles, = 2·median, so even-count
+    averages stay integers and order-insensitive).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def med(part: pa.Table) -> pa.Table:
+        uid = pc.cast(part["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vc = np.round(part["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        if uid.size == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"user_id": z, "median_c2": z})
+        order = np.lexsort((vc, uid))
+        uid, vc = uid[order], vc[order]
+        new = np.empty(uid.size, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, uid.size])
+        lo = vc[starts + (counts - 1) // 2]
+        hi = vc[starts + counts // 2]
+        return pa.table({"user_id": pa.array(uid[starts]),
+                         "median_c2": pa.array(lo + hi)})
+
+    return grouped_aggregate(ds, ["user_id"], med)
+
+
+def sql_user_value_median() -> str:
+    # 2·median of integer cents == the sum of the two middle elements,
+    # integer-exact on both engines (DuckDB median interpolates halves)
+    return ("SELECT user_id, CAST(round(2 * median("
+            "CAST(round(value * 100) AS BIGINT))) AS BIGINT) AS median_c2 "
+            "FROM events GROUP BY user_id")

@@ -1700,3 +1700,63 @@ def test_type_value_rank_ranged_adversarial(ray_session):
                type_value_rank_ranged(ray.data.from_arrow(tbl),
                                       num_buckets=nb).take_all()}
         assert got == want, nb
+
+
+def test_pivot_type_counts(events_ds):
+    from searchengine_ray.pipelines.events import (PIVOT_TYPES,
+                                                   pivot_type_counts)
+    rows = pivot_type_counts(events_ds).take_all()
+    df = events_df()
+    want_total = df.groupby("user_id").size().to_dict()
+    got = {r["user_id"]: r for r in rows}
+    assert set(got) == set(want_total)
+    for uid, r in got.items():
+        sub = df[df["user_id"] == uid]
+        assert r["n_total"] == len(sub)
+        per = sub["event_type"].value_counts().to_dict()
+        for t in PIVOT_TYPES:
+            assert r[f"n_{t}"] == per.get(t, 0), (uid, t)
+        # pivoted columns partition the whole log (all types known here)
+        assert sum(r[f"n_{t}"] for t in PIVOT_TYPES) == r["n_total"]
+
+
+def test_pivot_unknown_type_counts_only_total(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import pivot_type_counts
+    t = pa.table({"user_id": pa.array([1, 1, 2], type=pa.int64()),
+                  "event_type": pa.array(["click", "mystery", "mystery"])})
+    rows = {r["user_id"]: r for r in
+            pivot_type_counts(ray.data.from_arrow(t)).take_all()}
+    assert rows[1]["n_click"] == 1 and rows[1]["n_total"] == 2
+    assert rows[2]["n_total"] == 1
+    assert sum(v for k, v in rows[2].items()
+               if k.startswith("n_") and k != "n_total") == 0
+
+
+def test_user_value_median(events_ds):
+    from searchengine_ray.pipelines.events import user_value_median
+    got = {r["user_id"]: r["median_c2"]
+           for r in user_value_median(events_ds).take_all()}
+    df = events_df()
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    want = {}
+    for uid, grp in pd.Series(vc).groupby(df["user_id"].to_numpy()):
+        v = np.sort(grp.to_numpy())
+        want[int(uid)] = int(v[(len(v) - 1) // 2] + v[len(v) // 2])
+    assert got == want and got
+
+
+def test_user_value_median_adversarial(ray_session):
+    """Even/odd counts, negatives, ties, singleton users."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import user_value_median
+    uids = [1, 1, 1, 2, 2, 3, 4, 4, 4, 4]
+    vals = [-1.0, 5.0, 2.0, 0.0, 0.01, -7.77, 3.0, 3.0, 3.0, 9.0]
+    t = pa.table({"user_id": pa.array(uids, type=pa.int64()),
+                  "value": pa.array(vals, type=pa.float64())})
+    got = {r["user_id"]: r["median_c2"] for r in
+           user_value_median(ray.data.from_arrow(t).repartition(4))
+           .take_all()}
+    assert got == {1: 400, 2: 1, 3: -1554, 4: 600}
