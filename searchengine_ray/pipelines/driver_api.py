@@ -1252,16 +1252,14 @@ FROM scored WHERE cos_r >= {tau}
 """
 
 
-def sql_ann_ivf_topk(query_ids: list[int], k: int, n_centroids: int = 16,
-                     n_probe: int = 4, sample_rows: int = 512,
-                     lloyd_iters: int = 2) -> str:
-    """Exact SQL restatement of similarity.ivf_topk INCLUDING the k-means
-    training (similarity.train_centroids): id-prefix sample, stride-seeded
-    centroids, unrolled Lloyd iterations. Centroid coordinates are
-    round(·, 6) after every update and every assignment/probe/rank compares
-    round(dot, 6) (ties → lowest centroid index / vec_id), so the trained
-    centroids and the final top-k are bit-identical to the numpy path."""
-    ids = ", ".join(str(i) for i in query_ids)
+def _sql_kmeans_assign(n_centroids: int = 16, sample_rows: int = 512,
+                       lloyd_iters: int = 2) -> str:
+    """Shared CTE chain: unit vectors + the UNROLLED deterministic k-means
+    (similarity.train_centroids — id-prefix sample, stride-seeded
+    centroids, round(·, 6) after every update) ending in ``alldots``
+    (every vector's rounded dot against every final centroid) and
+    ``assign`` (nearest centroid, ties → lowest index). Consumed by the
+    IVF and semantic-dedup oracles."""
     # initial centroids: every stride-th sample row (by vec_id order)
     parts = [f"""
 WITH {_sql_unit_vectors()},
@@ -1309,7 +1307,21 @@ assign AS (
   SELECT vec_id, j FROM (
     SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
                                          ORDER BY dot DESC, j) AS rnk
-    FROM alldots) WHERE rnk = 1),
+    FROM alldots) WHERE rnk = 1)""")
+    return "".join(parts)
+
+
+def sql_ann_ivf_topk(query_ids: list[int], k: int, n_centroids: int = 16,
+                     n_probe: int = 4, sample_rows: int = 512,
+                     lloyd_iters: int = 2) -> str:
+    """Exact SQL restatement of similarity.ivf_topk INCLUDING the k-means
+    training (similarity.train_centroids): id-prefix sample, stride-seeded
+    centroids, unrolled Lloyd iterations. Centroid coordinates are
+    round(·, 6) after every update and every assignment/probe/rank compares
+    round(dot, 6) (ties → lowest centroid index / vec_id), so the trained
+    centroids and the final top-k are bit-identical to the numpy path."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return _sql_kmeans_assign(n_centroids, sample_rows, lloyd_iters) + f""",
 qprobe AS (
   SELECT vec_id AS query_id, j FROM (
     SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
@@ -1330,8 +1342,29 @@ ranked AS (
   FROM scored)
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos_r
 FROM ranked WHERE rn <= {k}
-""")
-    return "".join(parts)
+"""
+
+
+def sql_semantic_dedup(tau: float, n_centroids: int = 16,
+                       sample_rows: int = 512,
+                       lloyd_iters: int = 2) -> str:
+    """Exact SQL restatement of similarity.semantic_dedup: the shared
+    unrolled k-means assignment, then within each cluster a vector is
+    dropped iff some LOWER vec_id in the same cluster has
+    round(cos, 6) ≥ tau."""
+    return _sql_kmeans_assign(n_centroids, sample_rows, lloyd_iters) + f""",
+pairs AS (
+  SELECT a.vec_id AS hi_id, round(sum(ua.u * ub.u), 6) AS cos_r
+  FROM assign a
+  JOIN assign b ON b.j = a.j AND b.vec_id < a.vec_id
+  JOIN uv ua ON ua.vec_id = a.vec_id
+  JOIN uv ub ON ub.vec_id = b.vec_id AND ub.d = ua.d
+  GROUP BY a.vec_id, b.vec_id),
+dups AS (SELECT DISTINCT hi_id FROM pairs WHERE cos_r >= {tau})
+SELECT a.vec_id::BIGINT AS vec_id, a.j::BIGINT AS cluster,
+       a.vec_id NOT IN (SELECT hi_id FROM dups) AS keep
+FROM assign a
+"""
 
 
 def q_doc_embedding_join(sf_dir: str):
@@ -1774,6 +1807,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # partial sums — only labels × dim digests ever move)
         "embedding_centroids": lambda sf: similarity.label_centroids(
             _embs(sf, ["label", "embedding"])),
+        # SemDeDup composite: deterministic k-means + within-cluster
+        # lowest-id-representative near-dup drop (blocked pairwise)
+        "semantic_dedup": lambda sf: similarity.semantic_dedup(_embs(sf)),
         # PIVOT/crosstab: event log → per-user feature matrix
         "events_pivot_counts": lambda sf: events.pivot_type_counts(
             _events(sf, ["user_id", "event_type"])),
@@ -1901,6 +1937,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_p90": events.sql_value_quantile_exact(9, 10, "p90_c"),
         "events_type_rank": events.sql_type_value_rank(),
         "embedding_centroids": similarity.sql_label_centroids(),
+        "semantic_dedup": sql_semantic_dedup(similarity.SEMDEDUP_TAU),
         "events_pivot_counts": events.sql_pivot_type_counts(),
         "events_user_median": events.sql_user_value_median(),
         "tpch_q1_pricing": relational.sql_pricing_summary(),

@@ -845,3 +845,77 @@ FROM (SELECT label, embedding,
              unnest(range(0, len(embedding))) AS i FROM embeddings)
 GROUP BY label, i
 """
+
+
+SEMDEDUP_TAU = 0.3
+
+
+def semantic_dedup(ds: "ray.data.Dataset", tau: float = SEMDEDUP_TAU,
+                   n_centroids: int = 16, sample_rows: int = 512,
+                   lloyd_iters: int = 2, max_cluster: int = 200_000,
+                   pair_block: int = 2048,
+                   id_col: str = "vec_id", col: str = "embedding",
+                   centroids: np.ndarray | None = None
+                   ) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): k-means-cluster the embeddings, then WITHIN each cluster drop
+    every vector that has a LOWER-id neighbor with round(cos, 6) ≥ tau.
+    Columns: vec_id, cluster, keep (bool). The kept set is exactly the
+    per-cluster lowest-id representatives — deterministic, order-free.
+
+    Scale shape: clustering reuses the shared deterministic k-means
+    (``train_centroids`` here; ``train_centroids_distributed`` for 10^9+
+    vectors — pass its result via ``centroids=``). The pairwise phase is
+    the paper's own cost model: Σᵢ cᵢ² ≈ N²/k, held ~constant per cluster
+    by scaling ``n_centroids`` ∝ N (SemDeDup uses 50k-100k clusters at
+    LAION scale). Each cluster is ONE vectorized numpy pass, blocked in
+    ``pair_block`` row strips so peak memory is O(block × cluster), and
+    ``max_cluster`` guards the quadratic LOUDLY instead of silently
+    capping (which would break output determinism).
+    """
+    cents = np.asarray(centroids) if centroids is not None else \
+        train_centroids(ds, n_centroids, sample_rows, lloyd_iters,
+                        id_col=id_col, col=col)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        unit = _normalize(_emb_matrix(batch, col))
+        j = (assign_centroids(unit, ray.get(cref)) if len(unit)
+             else np.empty(0, dtype=np.int64)).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(batch[id_col], pa.int64()),
+            "cluster": pa.array(j),
+            "u": _float_list_array(unit),
+        })
+
+    def cluster_keep(group: pa.Table) -> pa.Table:
+        ids = pc.cast(group["vec_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if ids.size > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {ids.size} rows exceeds "
+                f"max_cluster={max_cluster}; raise n_centroids (SemDeDup "
+                f"scales clusters with N) or max_cluster")
+        order = np.argsort(ids)
+        ids = ids[order]
+        U = _emb_matrix(group, "u")[order]
+        dup = np.zeros(ids.size, dtype=bool)
+        for s in range(0, ids.size, pair_block):
+            e = min(s + pair_block, ids.size)
+            sims = np.round(U[s:e] @ U[:e].T, COS_ROUND)
+            hit = sims >= tau
+            # only strictly-lower GLOBAL row index counts as a neighbor
+            rows = np.arange(s, e)[:, None]
+            cols = np.arange(e)[None, :]
+            dup[s:e] = (hit & (cols < rows)).any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(np.full(
+                ids.size, int(group["cluster"][0].as_py()),
+                dtype=np.int64)),
+            "keep": pa.array(~dup),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(
+        cluster_keep, batch_format="pyarrow")

@@ -2423,3 +2423,50 @@ def test_top_unshipped_orders_matches_pandas(ray_session):
     got = [(r["rnk"], r["l_orderkey"], r["o_orderdate_us"],
             r["o_orderpriority"], r["revenue_e4"]) for r in rows]
     assert got == want and len(got) == 10
+
+
+def _semantic_brute(mat, ids, assign, tau):
+    keep = {}
+    for c in np.unique(assign):
+        sel = np.flatnonzero(assign == c)
+        sel = sel[np.argsort(ids[sel])]
+        U, I = mat[sel], ids[sel]
+        sims = np.round(U @ U.T, 6)
+        dup = np.tril(sims >= tau, -1).any(axis=1)
+        for i, d in zip(I, dup):
+            keep[int(i)] = (int(c), not bool(d))
+    return keep
+
+
+def test_semantic_dedup_matches_brute(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (
+        SEMDEDUP_TAU, _normalize, assign_centroids, semantic_dedup,
+        train_centroids)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    df = pd.read_parquet(path).sort_values("vec_id")
+    ids = df["vec_id"].to_numpy().astype("int64")
+    mat = _normalize(np.stack(df["embedding"].to_numpy())
+                     .astype(np.float64))
+    cents = train_centroids(ds)
+    assign = assign_centroids(mat, cents)
+    want = _semantic_brute(mat, ids, assign, SEMDEDUP_TAU)
+    for blk in (4096, 7):  # pair_block smaller than clusters too
+        got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+               semantic_dedup(ds, pair_block=blk).take_all()}
+        assert got == want, blk
+    # non-trivial: both kept and dropped rows exist
+    assert any(k for _, k in want.values()) \
+        and any(not k for _, k in want.values())
+
+
+def test_semantic_dedup_max_cluster_guard(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.similarity import semantic_dedup
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    with pytest.raises((ValueError, Exception)) as ei:
+        semantic_dedup(ds, max_cluster=3).take_all()
+    assert "max_cluster" in str(ei.value)
