@@ -108,6 +108,17 @@ def q_tpch_q3(sf_dir: str):
         _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
+def q_tpch_q5(sf_dir: str):
+    return relational.local_supplier_revenue(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _tbl(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        _tbl(sf_dir, "region", ["r_regionkey", "r_name"]))
+
+
 # ---------------------------------------------------------------------------
 # index build/cache over the adapted documents table
 # ---------------------------------------------------------------------------
@@ -1824,6 +1835,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                  ["l_returnflag", "l_linestatus", "l_quantity",
                   "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])),
         "tpch_q3_toporders": q_tpch_q3,
+        "tpch_q5_local_supplier": q_tpch_q5,
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1942,6 +1954,7 @@ def build_oracles() -> dict[str, str]:
         "events_user_median": events.sql_user_value_median(),
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
+        "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

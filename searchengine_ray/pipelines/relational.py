@@ -257,3 +257,148 @@ SELECT CAST(row_number() OVER (ORDER BY revenue_e4 DESC, o_orderdate_us,
        l_orderkey, o_orderdate_us, o_orderpriority, revenue_e4
 FROM g ORDER BY rnk LIMIT {n}
 """
+
+
+Q5_REGION = "ASIA"
+Q5_LO = "1996-01-01 00:00:00"
+Q5_HI = "1999-01-01 00:00:00"
+
+
+def local_supplier_revenue(lineitem: "ray.data.Dataset",
+                           orders: "ray.data.Dataset",
+                           customer: "ray.data.Dataset",
+                           supplier: "ray.data.Dataset",
+                           nation: "ray.data.Dataset",
+                           region: "ray.data.Dataset",
+                           region_name: str = Q5_REGION,
+                           date_lo: str = Q5_LO,
+                           date_hi: str = Q5_HI) -> "ray.data.Dataset":
+    """TPC-H Q5 shape: revenue per nation from orders in ``region`` within
+    a date range where the lineitem's SUPPLIER sits in the CUSTOMER's
+    nation. Columns: n_name, n_rows, revenue_e4.
+
+    Scale plan — exactly ONE big exchange pattern, everything else
+    broadcast:
+      * nation ⋈ region resolves on the driver (≤ |nations| rows by
+        schema — a bounded dimension, not data);
+      * supplier broadcasts as two sorted int64 arrays via ``ray.put``
+        (TPC-H supplier is SF×10k rows ⇒ ~1.6 MB at SF=100; above the
+        broadcast threshold it would route through ``equi_join`` exactly
+        like customer below) and lineitem resolves s_nationkey with a
+        vectorized searchsorted INSIDE map_batches — no shuffle;
+      * customer (the largest dimension) joins orders through the
+        distributed hash ``equi_join``; the joined id-width rows then
+        join the pre-filtered, pre-projected lineitem side on orderkey.
+    Every exchanged row is id-width (orderkey, nationkey, revenue).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join
+
+    lo_us, hi_us = _ts_us(date_lo), _ts_us(date_hi)
+
+    # bounded dimension resolution (≤ |nations| + |regions| rows total)
+    rkeys = {r["r_regionkey"] for r in region.take_all()
+             if r["r_name"] == region_name}
+    nat_name = {int(r["n_nationkey"]): r["n_name"]
+                for r in nation.take_all()
+                if int(r["n_regionkey"]) in rkeys}
+    nat_keys = np.array(sorted(nat_name), dtype=np.int64)
+
+    sup = supplier.take_all()   # SF×10k — the documented broadcast side
+    sk = np.array([int(r["s_suppkey"]) for r in sup], dtype=np.int64)
+    sn = np.array([int(r["s_nationkey"]) for r in sup], dtype=np.int64)
+    o = np.argsort(sk)
+    sup_ref = ray.put((sk[o], sn[o]))
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+        })
+        return t.filter(pa.array((od >= lo_us) & (od < hi_us)))
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        cn = pc.cast(batch["c_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nationkey": pa.array(cn),
+        })
+        return t.filter(pa.array(np.isin(cn, nat_keys)))
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sup_ref)
+        lsk = pc.cast(batch["l_suppkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lsk)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        found = keys[pos] == lsk
+        s_nat = np.where(found, nats[pos], -1)
+        keep = np.isin(s_nat, nat_keys)
+        rev = _cents(batch["l_extendedprice"]) \
+            * (100 - _cents(batch["l_discount"]))
+        t = pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "s_nationkey": pa.array(s_nat),
+            "rev_e4": pa.array(rev),
+        })
+        return t.filter(pa.array(keep))
+
+    ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
+    custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
+    # orders ⋈ customer (distributed): (key=custkey, o_orderkey, c_nationkey)
+    oc = equi_join(ordsel, custsel, "o_custkey", "c_custkey",
+                   ["o_orderkey"], ["c_nationkey"])
+    linesel = lineitem.map_batches(prep_line, batch_format="pyarrow")
+    joined = equi_join(linesel, oc, "l_orderkey", "o_orderkey",
+                       ["s_nationkey", "rev_e4"], ["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn_ = pc.cast(batch["s_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cn_ = pc.cast(batch["c_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(sn_ == cn_))
+        g = (pa.table({
+                "nk": pc.cast(t["s_nationkey"], pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "v": pc.cast(t["rev_e4"], pa.int64()),
+             }).group_by(["nk"], use_threads=False)
+               .aggregate([("n", "sum"), ("v", "sum")]))
+        return g.rename_columns(["nk", "n", "v"])
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["nk"], use_threads=False)
+             .aggregate([("n", "sum"), ("v", "sum")]))
+        nk = pc.cast(g["nk"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nat_name[int(k)] for k in nk],
+                               type=pa.string()),
+            "n_rows": pc.cast(g["n_sum"], pa.int64()),
+            "revenue_e4": pc.cast(g["v_sum"], pa.int64()),
+        })
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["nk"], final)
+
+
+def sql_local_supplier_revenue(region_name: str = Q5_REGION,
+                               date_lo: str = Q5_LO,
+                               date_hi: str = Q5_HI) -> str:
+    rev = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+           "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+    return f"""
+SELECT n_name, count(*)::BIGINT AS n_rows, sum({rev})::BIGINT AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{date_lo}'
+  AND o_orderdate < TIMESTAMP '{date_hi}'
+GROUP BY n_name
+"""

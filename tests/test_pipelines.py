@@ -2470,3 +2470,45 @@ def test_semantic_dedup_max_cluster_guard(ray_session):
     with pytest.raises((ValueError, Exception)) as ei:
         semantic_dedup(ds, max_cluster=3).take_all()
     assert "max_cluster" in str(ei.value)
+
+
+def test_local_supplier_revenue_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.relational import (
+        Q5_HI, Q5_LO, Q5_REGION, local_supplier_revenue)
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf}/orders.parquet")
+    cu = pd.read_parquet(f"{sf}/customer.parquet")
+    su = pd.read_parquet(f"{sf}/supplier.parquet")
+    na = pd.read_parquet(f"{sf}/nation.parquet")
+    re_ = pd.read_parquet(f"{sf}/region.parquet")
+    rk = set(re_[re_["r_name"] == Q5_REGION]["r_regionkey"])
+    nat = na[na["n_regionkey"].isin(rk)]
+    od = od[(od["o_orderdate"] >= pd.Timestamp(Q5_LO))
+            & (od["o_orderdate"] < pd.Timestamp(Q5_HI))]
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cu, left_on="o_custkey", right_on="c_custkey")
+           .merge(su, left_on="l_suppkey", right_on="s_suppkey")
+           .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+    m = m[m["c_nationkey"] == m["s_nationkey"]]
+    rev = (np.floor(m["l_extendedprice"].to_numpy() * 100 + 0.5)
+           .astype("int64")
+           * (100 - np.floor(m["l_discount"].to_numpy() * 100 + 0.5)
+              .astype("int64")))
+    m = m.assign(rev_e4=rev)
+    g = m.groupby("n_name")["rev_e4"].agg(["count", "sum"])
+    want = {n: (int(r["count"]), int(r["sum"])) for n, r in g.iterrows()}
+    tb = lambda t, cols: ray.data.read_parquet(f"{sf}/{t}.parquet",
+                                               columns=cols)
+    rows = local_supplier_revenue(
+        tb("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        tb("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        tb("customer", ["c_custkey", "c_nationkey"]),
+        tb("supplier", ["s_suppkey", "s_nationkey"]),
+        tb("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        tb("region", ["r_regionkey", "r_name"])).take_all()
+    got = {r["n_name"]: (r["n_rows"], r["revenue_e4"]) for r in rows}
+    assert got == want and got
