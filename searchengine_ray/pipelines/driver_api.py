@@ -1836,6 +1836,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                   "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])),
         "tpch_q3_toporders": q_tpch_q3,
         "tpch_q5_local_supplier": q_tpch_q5,
+        # aggregate→HAVING→join-back composition: the qualifying set is
+        # produced and filtered inside the shuffle, never on the driver
+        "tpch_q18_large_orders": lambda sf: relational.large_orders(
+            _tbl(sf, "lineitem", ["l_orderkey", "l_quantity"]),
+            _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            _tbl(sf, "customer", ["c_custkey", "c_name"])),
     }
     for name, text in BM25_QUERIES.items():
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
@@ -1955,6 +1961,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "tpch_q18_large_orders": relational.sql_large_orders(),
     }
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)

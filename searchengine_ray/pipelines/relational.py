@@ -402,3 +402,106 @@ WHERE c_nationkey = s_nationkey AND r_name = '{region_name}'
   AND o_orderdate < TIMESTAMP '{date_hi}'
 GROUP BY n_name
 """
+
+
+Q18_MIN_QTY = 150
+
+
+def large_orders(lineitem: "ray.data.Dataset",
+                 orders: "ray.data.Dataset",
+                 customer: "ray.data.Dataset",
+                 min_qty: int = Q18_MIN_QTY) -> "ray.data.Dataset":
+    """TPC-H Q18 shape: orders whose TOTAL lineitem quantity exceeds
+    ``min_qty``, joined back to orders and customer for display columns —
+    the aggregate→HAVING→join-back composition (a grouped aggregate
+    produced mid-pipeline feeds further joins, not the driver).
+
+    Columns: c_name, o_orderkey, o_orderdate_us, sum_qty.
+
+    Plan: per-batch combiner sums quantity by orderkey (id-width
+    partials), ``grouped_aggregate`` finishes and applies the HAVING
+    filter INSIDE the partition task (the qualifying set never touches
+    the driver), then two distributed hash joins attach order columns
+    and the customer name. All exchanged rows are id-width.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch["l_quantity"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "q": pa.array(np.floor(qty + 0.5).astype(np.int64)),
+        })
+        g = t.group_by(["l_orderkey"], use_threads=False) \
+             .aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q"])
+
+    def final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["l_orderkey"], use_threads=False) \
+                .aggregate([("q", "sum")])
+        q = pc.cast(g["q_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_orderkey": pc.cast(g["l_orderkey"], pa.int64()),
+            "sum_qty": pa.array(q),
+        })
+        return t.filter(pa.array(q > min_qty))     # HAVING, in-task
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+        })
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_name": pc.cast(batch["c_name"], pa.string()),
+        })
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    qualifying = grouped_aggregate(partials, ["l_orderkey"], final)
+    ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
+    with_orders = equi_join(qualifying, ordsel,
+                            "l_orderkey", "o_orderkey",
+                            ["sum_qty"], ["o_custkey", "o_orderdate_us"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        # the first join's key column IS the orderkey; give it its
+        # public name before it rides the second join as payload
+        return batch.rename_columns(
+            ["o_orderkey" if c == "key" else c
+             for c in batch.column_names])
+
+    custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
+    joined = equi_join(with_orders.map_batches(rekey,
+                                               batch_format="pyarrow"),
+                       custsel, "o_custkey", "c_custkey",
+                       ["o_orderkey", "sum_qty", "o_orderdate_us"],
+                       ["c_name"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": pc.cast(batch["c_name"], pa.string()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_orderdate_us": pc.cast(batch["o_orderdate_us"], pa.int64()),
+            "sum_qty": pc.cast(batch["sum_qty"], pa.int64()),
+        })
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def sql_large_orders(min_qty: int = Q18_MIN_QTY) -> str:
+    return f"""
+WITH q AS (
+  SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {min_qty})
+SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       q.sum_qty
+FROM q JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""

@@ -2512,3 +2512,34 @@ def test_local_supplier_revenue_matches_pandas(ray_session):
         tb("region", ["r_regionkey", "r_name"])).take_all()
     got = {r["n_name"]: (r["n_rows"], r["revenue_e4"]) for r in rows}
     assert got == want and got
+
+
+def test_large_orders_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.relational import (Q18_MIN_QTY,
+                                                       large_orders)
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    od = pd.read_parquet(f"{sf}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cu = pd.read_parquet(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    q = np.floor(li["l_quantity"].to_numpy() + 0.5).astype("int64")
+    sums = pd.Series(q).groupby(li["l_orderkey"].to_numpy()).sum()
+    qual = sums[sums > Q18_MIN_QTY]
+    m = (od[od["o_orderkey"].isin(qual.index)]
+         .merge(cu, left_on="o_custkey", right_on="c_custkey"))
+    want = {(r.c_name, int(r.o_orderkey),
+             int(pd.Timestamp(r.o_orderdate).value // 1000),
+             int(qual[r.o_orderkey])) for r in m.itertuples()}
+    tb = lambda t, cols: ray.data.read_parquet(f"{sf}/{t}.parquet",
+                                               columns=cols)
+    rows = large_orders(
+        tb("lineitem", ["l_orderkey", "l_quantity"]),
+        tb("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        tb("customer", ["c_custkey", "c_name"])).take_all()
+    got = {(r["c_name"], r["o_orderkey"], r["o_orderdate_us"],
+            r["sum_qty"]) for r in rows}
+    assert got == want and len(rows) == len(want) and got
