@@ -1838,6 +1838,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # broadcast-dimension conditional aggregate (promo share)
+        "tpch_q14_promo_share": lambda sf:
+            relational.promo_revenue_by_month(
+                _tbl(sf, "lineitem", ["l_partkey", "l_shipdate",
+                                      "l_extendedprice", "l_discount"]),
+                _tbl(sf, "part", ["p_partkey", "p_type"])),
         "tpch_q18_large_orders": lambda sf: relational.large_orders(
             _tbl(sf, "lineitem", ["l_orderkey", "l_quantity"]),
             _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
@@ -1961,6 +1967,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
         "tpch_q18_large_orders": relational.sql_large_orders(),
     }
     for name, text in BM25_QUERIES.items():

@@ -505,3 +505,78 @@ SELECT c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
 FROM q JOIN orders ON o_orderkey = q.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """
+
+
+def promo_revenue_by_month(lineitem: "ray.data.Dataset",
+                           part: "ray.data.Dataset",
+                           promo_type: str = "PROMO"
+                           ) -> "ray.data.Dataset":
+    """TPC-H Q14 shape: per ship-month promo vs total revenue — the
+    broadcast-dimension CONDITIONAL aggregate. Columns: month_us
+    (month-start epoch µs), n_rows, promo_rev_e4, total_rev_e4 (the
+    promo share is the caller's division — emitting both integer sums
+    keeps the entry hash-exact instead of float-rounded).
+
+    part broadcasts as a sorted (p_partkey, is_promo) pair of arrays
+    (TPC-H part is SF×200k rows ⇒ ~3 MB at SF=100; larger catalogs
+    route through ``equi_join``); lineitem resolves the flag with a
+    searchsorted INSIDE map_batches and pre-aggregates per month, so
+    the only exchange is |months| digest rows per batch.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    rows = part.take_all()   # the documented broadcast side
+    pk = np.array([int(r["p_partkey"]) for r in rows], dtype=np.int64)
+    promo = np.array([r["p_type"] == promo_type for r in rows],
+                     dtype=bool)
+    o = np.argsort(pk)
+    part_ref = ray.put((pk[o], promo[o]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, flags = ray.get(part_ref)
+        lpk = pc.cast(batch["l_partkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+        is_promo = (keys[pos] == lpk) & flags[pos]
+        ship = pc.cast(batch["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        month = (ship.astype("datetime64[us]").astype("datetime64[M]")
+                 .astype("datetime64[us]").astype(np.int64))
+        rev = _cents(batch["l_extendedprice"]) \
+            * (100 - _cents(batch["l_discount"]))
+        t = pa.table({
+            "month_us": pa.array(month),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "p": pa.array(np.where(is_promo, rev, 0)),
+            "v": pa.array(rev),
+        })
+        return (t.group_by(["month_us"], use_threads=False)
+                 .aggregate([("n", "sum"), ("p", "sum"), ("v", "sum")])
+                 .rename_columns(["month_us", "n", "p", "v"]))
+
+    def final(partn: pa.Table) -> pa.Table:
+        g = (partn.group_by(["month_us"], use_threads=False)
+             .aggregate([("n", "sum"), ("p", "sum"), ("v", "sum")]))
+        return pa.table({
+            "month_us": pc.cast(g["month_us"], pa.int64()),
+            "n_rows": pc.cast(g["n_sum"], pa.int64()),
+            "promo_rev_e4": pc.cast(g["p_sum"], pa.int64()),
+            "total_rev_e4": pc.cast(g["v_sum"], pa.int64()),
+        })
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["month_us"], final)
+
+
+def sql_promo_revenue_by_month(promo_type: str = "PROMO") -> str:
+    rev = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * "
+           "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+    return f"""
+SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN p_type = '{promo_type}' THEN {rev} ELSE 0 END)::BIGINT
+         AS promo_rev_e4,
+       sum({rev})::BIGINT AS total_rev_e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+"""

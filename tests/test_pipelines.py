@@ -2543,3 +2543,37 @@ def test_large_orders_matches_pandas(ray_session):
     got = {(r["c_name"], r["o_orderkey"], r["o_orderdate_us"],
             r["sum_qty"]) for r in rows}
     assert got == want and len(rows) == len(want) and got
+
+
+def test_promo_revenue_by_month_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.relational import promo_revenue_by_month
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    pt = pd.read_parquet(f"{sf}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    m = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    rev = (np.floor(m["l_extendedprice"].to_numpy() * 100 + 0.5)
+           .astype("int64")
+           * (100 - np.floor(m["l_discount"].to_numpy() * 100 + 0.5)
+              .astype("int64")))
+    month = (m["l_shipdate"].to_numpy().astype("datetime64[M]")
+             .astype("datetime64[us]").astype("int64"))
+    promo = (m["p_type"] == "PROMO").to_numpy()
+    want: dict = {}
+    for mo, p, r in zip(month, promo, rev):
+        n0, p0, v0 = want.get(int(mo), (0, 0, 0))
+        want[int(mo)] = (n0 + 1, p0 + (int(r) if p else 0), v0 + int(r))
+    tb = lambda t, cols: ray.data.read_parquet(f"{sf}/{t}.parquet",
+                                               columns=cols)
+    rows = promo_revenue_by_month(
+        tb("lineitem", ["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"]),
+        tb("part", ["p_partkey", "p_type"])).take_all()
+    got = {r["month_us"]: (r["n_rows"], r["promo_rev_e4"],
+                           r["total_rev_e4"]) for r in rows}
+    assert got == want and got
+    assert any(p > 0 for _, p, _ in got.values())   # promo share non-zero
