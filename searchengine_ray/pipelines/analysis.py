@@ -1735,3 +1735,115 @@ FROM pairs
 JOIN df da ON da.term = pairs.term_a
 JOIN df db ON db.term = pairs.term_b
 """
+
+
+def source_term_drift(ds: "ray.data.Dataset",
+                      cfg: IndexConfig = IndexConfig()
+                      ) -> "ray.data.Dataset":
+    """Per-source term-distribution DRIFT vs the whole corpus — the
+    data-mixture diagnostic (which sources are distributionally far from
+    the blend they feed). Exact scaled-integer L1 distance:
+
+        drift_scaled(s) = Σ_t |c(s,t)·N − g(t)·n(s)|
+                          (terms absent from s contribute g(t)·n(s))
+
+    where c = per-source term count, g = corpus term count, n = source
+    token count, N = corpus token count — i.e. N·n(s) × the total
+    variation between p(t|s) and p(t). Columns: source, n_tokens,
+    drift_scaled (all int64, order-insensitive).
+
+    Scale shape: ONE pass over text produces per-batch (source, term)
+    partial counts; everything after moves digest rows only —
+    (source×vocab) exact counts, then g(t) computed INSIDE a term-keyed
+    shuffle (each (s,t) row exists exactly once, the df-join discipline),
+    then a source-keyed reduce. N is one driver scalar (Dataset.sum on
+    the materialized digest). The missing-term mass folds in closed form
+    (n·(N − Σ_{t∈s} g)) so the full-vocab L1 never enumerates absent
+    terms.
+    """
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        di, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        src = pc.cast(batch["source"], pa.string()).take(pa.array(di))
+        g = (pa.table({"source": src, "term": toks})
+             .group_by(["source", "term"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"source": g["source"], "term": g["term"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    def reduce_st(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["source", "term"], use_threads=False)
+             .aggregate([("c", "sum")]))
+        return pa.table({"source": pc.cast(g["source"], pa.string()),
+                         "term": pc.cast(g["term"], pa.string()),
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    st = grouped_aggregate(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["source", "term"], reduce_st).materialize()
+    n_total = int(st.sum("c"))   # ONE scalar to the driver
+
+    def attach_g(part: pa.Table) -> pa.Table:
+        # the partition holds MANY terms (coarse hash partitions); every
+        # (source, term) row exists exactly once, so each term's corpus
+        # count is the per-term segment sum (df-join discipline),
+        # vectorized via dictionary codes
+        c = pc.cast(part["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        codes_arr = pc.dictionary_encode(
+            part["term"].combine_chunks()
+            if isinstance(part["term"], pa.ChunkedArray) else part["term"])
+        if isinstance(codes_arr, pa.ChunkedArray):
+            codes_arr = codes_arr.combine_chunks()
+        codes = np.asarray(codes_arr.indices, dtype=np.int64)
+        sums = np.zeros(len(codes_arr.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, c)
+        return part.append_column("g", pa.array(sums[codes]))
+
+    def per_source(group: pa.Table) -> pa.Table:
+        gsrc = group["source"]
+        c = pc.cast(group["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        gg = pc.cast(group["g"], pa.int64()).to_numpy(zero_copy_only=False)
+        srcs = gsrc.to_numpy(zero_copy_only=False)
+        order = np.argsort(srcs, kind="stable")
+        c, gg, srcs = c[order], gg[order], srcs[order]
+        new = np.empty(len(srcs), dtype=bool)
+        if len(srcs):
+            new[0] = True
+            new[1:] = srcs[1:] != srcs[:-1]
+        starts = np.flatnonzero(new)
+        n = np.add.reduceat(c, starts) if len(starts) else np.empty(0)
+        sum_g = np.add.reduceat(gg, starts) if len(starts) else np.empty(0)
+        sid = np.cumsum(new) - 1
+        present = np.abs(c * n_total - gg * n[sid])
+        drift = (np.add.reduceat(present, starts)
+                 + n * (n_total - sum_g)) if len(starts) else np.empty(0)
+        return pa.table({
+            "source": pa.array(srcs[starts]),
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "drift_scaled": pa.array(drift.astype(np.int64)),
+        })
+
+    # g(t) attaches inside a TERM-keyed pass over the digest rows…
+    with_g = grouped_aggregate(st, ["term"], attach_g)
+    # …then one SOURCE-keyed reduce emits the per-source scalars; the
+    # per_source kernel handles multiple sources per coarse partition
+    return grouped_aggregate(with_g, ["source"], per_source)
+
+
+def sql_source_term_drift(cfg: IndexConfig = IndexConfig()) -> str:
+    from searchengine_ray.functions.tokenizer import sql_filtered_tokens_expr
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return f"""
+WITH toklists AS (SELECT source, {toks} AS L FROM documents),
+tok AS (SELECT source, unnest(L) AS term FROM toklists),
+st AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+g AS (SELECT term, sum(c)::BIGINT AS g FROM st GROUP BY term),
+ns AS (SELECT source, sum(c)::BIGINT AS n FROM st GROUP BY source),
+tot AS (SELECT sum(c)::BIGINT AS nn FROM st)
+SELECT st.source, ns.n AS n_tokens,
+       (sum(abs(st.c * tot.nn - g.g * ns.n))
+        + ns.n * (tot.nn - sum(g.g)))::BIGINT AS drift_scaled
+FROM st JOIN g USING (term) JOIN ns USING (source) CROSS JOIN tot
+GROUP BY st.source, ns.n, tot.nn
+"""

@@ -1838,6 +1838,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # data-mixture diagnostic: exact scaled-integer L1 drift of each
+        # source's term distribution vs the corpus blend
+        "source_term_drift": lambda sf: analysis.source_term_drift(
+            _docs(sf, ["source", "text"]), CFG),
         # broadcast-dimension conditional aggregate (promo share)
         "tpch_q14_promo_share": lambda sf:
             relational.promo_revenue_by_month(
@@ -1967,6 +1971,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
         "tpch_q18_large_orders": relational.sql_large_orders(),
     }

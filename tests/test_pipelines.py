@@ -2577,3 +2577,35 @@ def test_promo_revenue_by_month_matches_pandas(ray_session):
                            r["total_rev_e4"]) for r in rows}
     assert got == want and got
     assert any(p > 0 for _, p, _ in got.values())   # promo share non-zero
+
+
+def test_source_term_drift_matches_brute(ray_session):
+    """Exact scaled-integer L1 drift vs a Counter brute force, including
+    the absent-term mass."""
+    import collections
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import source_term_drift
+    cfg = IndexConfig()
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["source", "text"])
+    per_src: dict = collections.defaultdict(collections.Counter)
+    for s, txt in zip(df["source"], df["text"]):
+        per_src[s].update(filter_tokens(tokenize(txt), cfg))
+    glob = collections.Counter()
+    for cnt in per_src.values():
+        glob.update(cnt)
+    N = sum(glob.values())
+    want = {}
+    for s, cnt in per_src.items():
+        n = sum(cnt.values())
+        drift = sum(abs(cnt.get(t, 0) * N - g * n)
+                    for t, g in glob.items())
+        want[s] = (n, drift)
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["source", "text"])
+    got = {r["source"]: (r["n_tokens"], r["drift_scaled"])
+           for r in source_term_drift(ds, cfg).take_all()}
+    assert got == want and got
