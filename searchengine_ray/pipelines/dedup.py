@@ -824,3 +824,60 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+PAIR_PACK = np.int64(1) << np.int64(32)
+
+
+def consensus_pairs(docs: "ray.data.Dataset",
+                    max_hamming: int = 3,
+                    cfg: "IndexConfig | None" = None,
+                    family: str = "m31") -> "ray.data.Dataset":
+    """Two-family CONSENSUS near-dup pairs: (a, b) flagged by BOTH the
+    MinHash-LSH (shingle-set space) and the SimHash banding (weighted
+    bit-fingerprint space) — the production pattern where one cheap
+    recall family is confirmed by an independent one before destructive
+    dedup, suppressing each family's solo false positives.
+    Columns: a_id, b_id, est_matches, hamming.
+
+    The two pair sets join on a PACKED int64 key (a·2³² + b) through the
+    generic hash ``equi_join`` — pair-set intersection is an id-width
+    inner join, no pairwise work, one shuffle over digest rows. Requires
+    ids < 2³¹ (checked loudly); wider id spaces route the same join on a
+    two-column key via ``common.grouped_aggregate``'s multi-column hash.
+
+    (An embedding-modality twin would be the same join against
+    ``similarity.embedding_neardup_lsh`` — degenerate on this testdata,
+    whose embeddings are independent of the text duplicates.)
+    """
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines.join import equi_join
+    cfg = cfg or IndexConfig()
+
+    def pack(batch: pa.Table, payload: str) -> pa.Table:
+        a = pc.cast(batch["a_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(batch["b_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(a) and (a.max() >= PAIR_PACK // 2
+                       or b.max() >= PAIR_PACK // 2):
+            raise ValueError("consensus_pairs: id >= 2^31; use a "
+                             "two-column-key join for this id space")
+        return pa.table({"pk": pa.array(a * PAIR_PACK + b),
+                         payload: pc.cast(batch[payload], pa.int64())})
+
+    mh = minhash_lsh_pairs(docs, family=family).map_batches(
+        lambda b: pack(b, "est_matches"), batch_format="pyarrow")
+    sh = simhash_neardup_pairs(docs, max_hamming, cfg,
+                               max_bucket=1 << 30).map_batches(
+        lambda b: pack(b, "hamming"), batch_format="pyarrow")
+    joined = equi_join(mh, sh, "pk", "pk", ["est_matches"], ["hamming"])
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch["key"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a_id": pa.array(k // PAIR_PACK),
+            "b_id": pa.array(k % PAIR_PACK),
+            "est_matches": pc.cast(batch["est_matches"], pa.int64()),
+            "hamming": pc.cast(batch["hamming"], pa.int64()),
+        })
+
+    return joined.map_batches(unpack, batch_format="pyarrow")

@@ -1838,6 +1838,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # two-family consensus dedup: MinHash-LSH pairs ∩ SimHash pairs
+        # via a packed-key id-width join
+        "dedup_consensus_pairs": lambda sf: dedup.consensus_pairs(
+            _docs(sf), cfg=CFG),
         # data-mixture diagnostic: exact scaled-integer L1 drift of each
         # source's term distribution vs the corpus blend
         "source_term_drift": lambda sf: analysis.source_term_drift(
@@ -1971,6 +1975,11 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "dedup_consensus_pairs": (
+            f"SELECT m.a_id, m.b_id, m.est_matches, s.hamming "
+            f"FROM ({sql_minhash_lsh()}) m "
+            f"JOIN ({sql_simhash_neardup()}) s "
+            f"USING (a_id, b_id)"),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
         "tpch_q18_large_orders": relational.sql_large_orders(),

@@ -2609,3 +2609,39 @@ def test_source_term_drift_matches_brute(ray_session):
     got = {r["source"]: (r["n_tokens"], r["drift_scaled"])
            for r in source_term_drift(ds, cfg).take_all()}
     assert got == want and got
+
+
+def test_consensus_pairs_is_exact_intersection(ray_session):
+    import ray.data
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.pipelines.dedup import (consensus_pairs,
+                                                  minhash_lsh_pairs,
+                                                  simhash_neardup_pairs)
+    cfg = IndexConfig()
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    mh = {(r["a_id"], r["b_id"]): r["est_matches"]
+          for r in minhash_lsh_pairs(docs, family="m31").take_all()}
+    sh = {(r["a_id"], r["b_id"]): r["hamming"]
+          for r in simhash_neardup_pairs(docs, 3, cfg,
+                                         max_bucket=1 << 30).take_all()}
+    want = {k: (mh[k], sh[k]) for k in set(mh) & set(sh)}
+    got = {(r["a_id"], r["b_id"]): (r["est_matches"], r["hamming"])
+           for r in consensus_pairs(docs, cfg=cfg).take_all()}
+    assert got == want and got
+    # consensus must be a STRICT filter of at least one family here
+    assert len(got) < max(len(mh), len(sh))
+
+
+def test_consensus_pairs_id_guard(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.dedup import PAIR_PACK, consensus_pairs
+    big = int(PAIR_PACK)  # 2^32 > 2^31 guard
+    t = pa.table({"doc_id": pa.array([big, big + 1], type=pa.int64()),
+                  "text": pa.array(["dup text here words",
+                                    "dup text here words"])})
+    with pytest.raises(Exception) as ei:
+        consensus_pairs(ray.data.from_arrow(t)).take_all()
+    assert "2^31" in str(ei.value)
