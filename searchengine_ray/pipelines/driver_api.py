@@ -1838,6 +1838,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # Markov transition matrix of consecutive per-user event types
+        "events_type_transitions": lambda sf: events.type_transitions(
+            _events(sf, ["user_id", "ts", "event_id", "event_type"])),
         # two-family consensus dedup: MinHash-LSH pairs ∩ SimHash pairs
         # via a packed-key id-width join
         "dedup_consensus_pairs": lambda sf: dedup.consensus_pairs(
@@ -1975,6 +1978,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_type_transitions": events.sql_type_transitions(),
         "dedup_consensus_pairs": (
             f"SELECT m.a_id, m.b_id, m.est_matches, s.hamming "
             f"FROM ({sql_minhash_lsh()}) m "

@@ -2324,3 +2324,68 @@ def sql_user_value_median() -> str:
     return ("SELECT user_id, CAST(round(2 * median("
             "CAST(round(value * 100) AS BIGINT))) AS BIGINT) AS median_c2 "
             "FROM events GROUP BY user_id")
+
+
+def type_transitions(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Markov TRANSITION MATRIX of consecutive event types per user —
+    ``(event_type, lead(event_type) OVER (PARTITION BY user ORDER BY
+    ts, event_id))`` counted globally. Columns: prev_type, next_type, n.
+
+    One coarse hash(user) shuffle (a user's events co-locate, so every
+    consecutive pair is visible in exactly one partition); inside each
+    partition ALL users' transitions extract in a single lexsorted
+    shift-compare pass, pre-counted per partition, then a tiny
+    (type × type)-row reduce. The sequence step never leaves the
+    partition — only the ≤ |types|² digest rows move twice.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = pc.cast(part["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(part["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = part["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if uid.size == 0:
+            e = pa.array([], type=pa.string())
+            return pa.table({"prev_type": e, "next_type": e,
+                             "pn": pa.array([], type=pa.int64())})
+        order = np.lexsort((eid, ts, uid))
+        same_user = uid[order][1:] == uid[order][:-1]
+        oa = pa.array(order)
+        t = pa.table({
+            "prev_type": et.take(oa[:-1]),
+            "next_type": et.take(oa[1:]),
+        }).filter(pa.array(same_user))
+        g = (t.group_by(["prev_type", "next_type"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"prev_type": g["prev_type"],
+                         "next_type": g["next_type"],
+                         "pn": pc.cast(g["count_all"], pa.int64())})
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["prev_type", "next_type"], use_threads=False)
+             .aggregate([("pn", "sum")]))
+        return pa.table({
+            "prev_type": pc.cast(g["prev_type"], pa.string()),
+            "next_type": pc.cast(g["next_type"], pa.string()),
+            "n": pc.cast(g["pn_sum"], pa.int64()),
+        })
+
+    partials = grouped_aggregate(ds, ["user_id"], per_part)
+    return grouped_aggregate(partials, ["prev_type", "next_type"], final)
+
+
+def sql_type_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS prev_type, nxt AS next_type, count(*)::BIGINT AS n
+FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""

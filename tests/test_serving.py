@@ -1760,3 +1760,19 @@ def test_user_value_median_adversarial(ray_session):
            user_value_median(ray.data.from_arrow(t).repartition(4))
            .take_all()}
     assert got == {1: 400, 2: 1, 3: -1554, 4: 600}
+
+
+def test_type_transitions(events_ds):
+    from searchengine_ray.pipelines.events import type_transitions
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for r in type_transitions(events_ds).take_all()}
+    df = events_df().sort_values(["user_id", "ts", "event_id"])
+    want: dict = {}
+    prev_u = prev_t = None
+    for u, t in zip(df["user_id"], df["event_type"]):
+        if u == prev_u:
+            k = (prev_t, t)
+            want[k] = want.get(k, 0) + 1
+        prev_u, prev_t = u, t
+    assert got == want and got
+    assert sum(got.values()) == len(df) - df["user_id"].nunique()
