@@ -881,3 +881,55 @@ def consensus_pairs(docs: "ray.data.Dataset",
         })
 
     return joined.map_batches(unpack, batch_format="pyarrow")
+
+
+def triangle_count(docs: "ray.data.Dataset",
+                   family: str = "m31") -> "ray.data.Dataset":
+    """TRIANGLE COUNT over the near-dup pair graph — the classic
+    distributed graph aggregate (cluster-density / transitivity check on
+    dedup candidates: triangles ⇒ true duplicate groups, open wedges ⇒
+    likely LSH false positives). Columns: one row, n_triangles (int64).
+
+    Plan (all digest-width): edges (a<b) from MinHash-LSH materialize
+    once; a self ``equi_join`` on the lower endpoint expands each node's
+    neighbor set into wedges (b, c), b < c (the in-partition cross
+    product is bounded by the LSH bucket caps upstream); wedges then
+    SEMI-join the packed edge set (b·2³²+c) — a wedge that is itself an
+    edge closes a triangle, counted once by its lowest vertex. The
+    driver receives ONE scalar.
+    """
+    from searchengine_ray.pipelines.join import equi_join
+
+    edges = minhash_lsh_pairs(docs, family=family).materialize()
+
+    def rename_c(batch: pa.Table) -> pa.Table:
+        return pa.table({"a_id": batch["a_id"],
+                         "c_id": pc.cast(batch["b_id"], pa.int64())})
+
+    wedges = equi_join(edges.map_batches(
+                           lambda b: b.select(["a_id", "b_id"]),
+                           batch_format="pyarrow"),
+                       edges.map_batches(rename_c,
+                                         batch_format="pyarrow"),
+                       "a_id", "a_id", ["b_id"], ["c_id"])
+
+    def pack_wedge(batch: pa.Table) -> pa.Table:
+        b = pc.cast(batch["b_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(batch["c_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = b < c
+        return pa.table({"pk": pa.array((b * PAIR_PACK + c)[keep])})
+
+    def pack_edge(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch["a_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(batch["b_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(a * PAIR_PACK + b)})
+
+    closed = equi_join(wedges.map_batches(pack_wedge,
+                                          batch_format="pyarrow"),
+                       edges.map_batches(pack_edge,
+                                         batch_format="pyarrow"),
+                       "pk", "pk", [], [], how="semi")
+    # count() ships one scalar to the driver (the result IS a scalar)
+    n = closed.count()
+    return ray.data.from_arrow(pa.table({
+        "n_triangles": pa.array([n], type=pa.int64())}))

@@ -1838,6 +1838,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # distributed exact Gram matrix (PCA/whitening input): one
+        # matmul per batch, d² digest rows move, nothing else
+        "embedding_gram": lambda sf: similarity.embedding_gram(
+            _embs(sf, ["embedding"])),
+        # triangle count on the near-dup graph (digest-width joins,
+        # ONE scalar to the driver)
+        "dedup_triangles": lambda sf: dedup.triangle_count(_docs(sf)),
         # Markov transition matrix of consecutive per-user event types
         "events_type_transitions": lambda sf: events.type_transitions(
             _events(sf, ["user_id", "ts", "event_id", "event_type"])),
@@ -1978,6 +1985,13 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "embedding_gram": similarity.sql_embedding_gram(),
+        "dedup_triangles": (
+            f"WITH e AS (SELECT * FROM ({sql_minhash_lsh()}) t) "
+            f"SELECT count(*)::BIGINT AS n_triangles "
+            f"FROM e e1 "
+            f"JOIN e e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id "
+            f"JOIN e e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id"),
         "events_type_transitions": events.sql_type_transitions(),
         "dedup_consensus_pairs": (
             f"SELECT m.a_id, m.b_id, m.est_matches, s.hamming "

@@ -919,3 +919,65 @@ def semantic_dedup(ds: "ray.data.Dataset", tau: float = SEMDEDUP_TAU,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(
         cluster_keep, batch_format="pyarrow")
+
+
+GRAM_SCALE = 10_000
+
+
+def embedding_gram(ds: "ray.data.Dataset", col: str = "embedding"
+                   ) -> "ray.data.Dataset":
+    """Distributed EXACT Gram / second-moment matrix Σ x xᵀ over the
+    embedding column — the linear-algebra aggregate behind PCA /
+    whitening / covariance shift detection. Columns: i, j (i ≤ j),
+    gram_scaled (int64 — Σ over vectors of ⌊xᵢ·10⁴+0.5⌋·⌊xⱼ·10⁴+0.5⌋,
+    exact and order-insensitive).
+
+    Every batch computes its integer Gram contribution with ONE matmul
+    and emits the d(d+1)/2 upper-triangle digest rows; a single
+    (i, j)-keyed reduce finishes. The corpus never re-orders, nothing
+    but d² digests moves — the same discipline as
+    ``train_centroids_distributed``'s partial sums. The eigen-step
+    (PCA) is a driver-side numpy call on the d×d result, which is
+    input-size-independent.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, col)
+        if not len(mat):
+            z = pa.array([], type=pa.int64())
+            return pa.table({"i": z, "j": z, "g": z})
+        vi = np.floor(mat * GRAM_SCALE + 0.5).astype(np.int64)
+        gram = vi.T @ vi
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "g": pa.array(gram[iu, ju]),
+        })
+
+    def final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["i", "j"], use_threads=False) \
+                .aggregate([("g", "sum")])
+        return pa.table({
+            "i": pc.cast(g["i"], pa.int64()),
+            "j": pc.cast(g["j"], pa.int64()),
+            "gram_scaled": pc.cast(g["g_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["i", "j"], final)
+
+
+def sql_embedding_gram() -> str:
+    return f"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings)
+SELECT a.d AS i, b.d AS j, sum(a.v * b.v)::BIGINT AS gram_scaled
+FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.d <= b.d
+GROUP BY 1, 2
+"""

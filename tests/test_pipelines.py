@@ -2645,3 +2645,58 @@ def test_consensus_pairs_id_guard(ray_session):
     with pytest.raises(Exception) as ei:
         consensus_pairs(ray.data.from_arrow(t)).take_all()
     assert "2^31" in str(ei.value)
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (GRAM_SCALE,
+                                                       embedding_gram)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path, columns=["embedding"])
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vi = np.floor(mat * GRAM_SCALE + 0.5).astype("int64")
+    want_m = vi.T @ vi
+    got = {(r["i"], r["j"]): r["gram_scaled"] for r in
+           embedding_gram(ray.data.read_parquet(
+               path, columns=["embedding"])).take_all()}
+    d = mat.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert i <= j and v == want_m[i, j], (i, j)
+    # PCA driver step sanity: reconstructed symmetric matrix is PSD-ish
+    full = np.zeros((d, d))
+    for (i, j), v in got.items():
+        full[i, j] = full[j, i] = v
+    assert np.linalg.eigvalsh(full).max() > 0
+
+
+def test_triangle_count_matches_brute(ray_session):
+    import ray.data
+    from searchengine_ray.pipelines.dedup import (minhash_lsh_pairs,
+                                                  triangle_count)
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    edges = {(r["a_id"], r["b_id"])
+             for r in minhash_lsh_pairs(docs, family="m31").take_all()}
+    want = sum(1 for (a, b) in edges for (a2, c) in edges
+               if a2 == a and b < c and (b, c) in edges)
+    [row] = triangle_count(docs).take_all()
+    assert row["n_triangles"] == want
+
+
+def test_triangle_count_synthetic_clique(ray_session):
+    """A 4-clique of identical docs must yield C(4,3)=4 triangles."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.dedup import triangle_count
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    others = [f"unique{i} filler words distinct{i} content{i} "
+              f"padding{i} more{i} text{i}" for i in range(8)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(12)), type=pa.int64()),
+        "text": pa.array([text] * 4 + others),
+    })
+    [row] = triangle_count(ray.data.from_arrow(t)).take_all()
+    assert row["n_triangles"] == 4
