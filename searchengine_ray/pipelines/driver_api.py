@@ -1838,6 +1838,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # CDC/state-table: reduce the log to each user's latest row
+        "events_latest_per_user": lambda sf: events.latest_per_user(
+            _events(sf, ["user_id", "event_id", "ts", "event_type",
+                         "value"])),
+        # Tukey-fence outliers from exact p25/p75 (selection machinery
+        # composed twice; fences are ≤|types| scalars)
+        "events_value_outliers": lambda sf: events.value_outliers(
+            _events(sf, ["event_id", "event_type", "value"])),
         # distributed exact Gram matrix (PCA/whitening input): one
         # matmul per batch, d² digest rows move, nothing else
         "embedding_gram": lambda sf: similarity.embedding_gram(
@@ -1985,6 +1993,8 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_latest_per_user": events.sql_latest_per_user(),
+        "events_value_outliers": events.sql_value_outliers(),
         "embedding_gram": similarity.sql_embedding_gram(),
         "dedup_triangles": (
             f"WITH e AS (SELECT * FROM ({sql_minhash_lsh()}) t) "

@@ -2389,3 +2389,133 @@ WITH seq AS (
 SELECT event_type AS prev_type, nxt AS next_type, count(*)::BIGINT AS n
 FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
+
+
+def latest_per_user(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """LATEST-RECORD-PER-KEY materialization (the CDC/state-table
+    pattern: reduce an append-only log to each key's current row).
+    Columns: user_id, event_id, ts_us, event_type, vc — the row of the
+    user's latest event (max ts; ties → max event_id).
+
+    Per-batch pre-reduction keeps only each user's in-batch latest row
+    (≤ |users-in-batch| rows leave every batch), then ONE coarse
+    hash(user) shuffle and a vectorized per-partition take-last finish.
+    Never a global sort; the log's full width rides only the digest
+    rows.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def take_latest(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts_us"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if uid.size == 0:
+            return t
+        order = np.lexsort((eid, ts, uid))
+        last = np.empty(uid.size, dtype=bool)
+        sorted_uid = uid[order]
+        last[:-1] = sorted_uid[1:] != sorted_uid[:-1]
+        last[-1] = True
+        return t.take(pa.array(order[last]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "vc": pa.array(np.round(
+                batch["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+        return take_latest(t)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["user_id"], take_latest)
+
+
+def sql_latest_per_user() -> str:
+    return """
+SELECT user_id, event_id, ts_us, event_type, vc FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def value_outliers(ds: "ray.data.Dataset",
+                   num_buckets: int = 32,
+                   fetch_threshold: int = 4096) -> "ray.data.Dataset":
+    """Per-type IQR OUTLIER counts — Tukey fences from EXACT p25/p75
+    (the iterative-distributed-selection machinery composed twice), in
+    doubled integer cents so the 1.5·IQR arithmetic stays exact:
+    low: 2·vc < 2·p25 − 3·(p75−p25); high: 2·vc > 2·p75 + 3·(p75−p25).
+    Columns: event_type, n_low, n_high.
+
+    The two selection passes ship only (type, bucket, count) digests;
+    the fences (≤ |types| scalars) broadcast into a final counting
+    pass — one partial per batch, one tiny reduce.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    q25 = {r["event_type"]: int(r["p_c"]) for r in
+           value_quantile_exact(ds, 1, 4, "p_c", num_buckets,
+                                fetch_threshold).take_all()}
+    q75 = {r["event_type"]: int(r["p_c"]) for r in
+           value_quantile_exact(ds, 3, 4, "p_c", num_buckets,
+                                fetch_threshold).take_all()}
+    types = sorted(q25)
+    type_arr = pa.array(types, type=pa.string())
+    lo_arr = np.array([2 * q25[t] - 3 * (q75[t] - q25[t])
+                       for t in types], dtype=np.int64)
+    hi_arr = np.array([2 * q75[t] + 3 * (q75[t] - q25[t])
+                       for t in types], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        idx = pc.index_in(et, type_arr).to_numpy(zero_copy_only=False)
+        vc2 = 2 * np.round(batch["value"].to_numpy(zero_copy_only=False)
+                           * 100.0).astype(np.int64)
+        t = pa.table({
+            "event_type": et,
+            "l": pa.array((vc2 < lo_arr[idx]).astype(np.int64)),
+            "h": pa.array((vc2 > hi_arr[idx]).astype(np.int64)),
+        })
+        return (t.group_by(["event_type"], use_threads=False)
+                 .aggregate([("l", "sum"), ("h", "sum")])
+                 .rename_columns(["event_type", "l", "h"]))
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["event_type"], use_threads=False)
+             .aggregate([("l", "sum"), ("h", "sum")]))
+        return pa.table({
+            "event_type": pc.cast(g["event_type"], pa.string()),
+            "n_low": pc.cast(g["l_sum"], pa.int64()),
+            "n_high": pc.cast(g["h_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["event_type"], final)
+
+
+def sql_value_outliers() -> str:
+    q25 = sql_value_quantile_exact(1, 4, "p25_c")
+    q75 = sql_value_quantile_exact(3, 4, "p75_c")
+    return f"""
+WITH f AS (
+  SELECT a.event_type,
+         2 * a.p25_c - 3 * (b.p75_c - a.p25_c) AS lo2,
+         2 * b.p75_c + 3 * (b.p75_c - a.p25_c) AS hi2
+  FROM ({q25}) a JOIN ({q75}) b USING (event_type))
+SELECT e.event_type,
+       sum(CASE WHEN 2 * CAST(round(e.value * 100) AS BIGINT) < f.lo2
+                THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       sum(CASE WHEN 2 * CAST(round(e.value * 100) AS BIGINT) > f.hi2
+                THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type
+"""

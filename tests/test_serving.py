@@ -1776,3 +1776,50 @@ def test_type_transitions(events_ds):
         prev_u, prev_t = u, t
     assert got == want and got
     assert sum(got.values()) == len(df) - df["user_id"].nunique()
+
+
+def test_latest_per_user(events_ds):
+    from searchengine_ray.pipelines.events import latest_per_user
+    rows = latest_per_user(events_ds).take_all()
+    df = events_df()
+    idx = (df.assign(ts_us=df["ts"].astype("datetime64[us]").astype("int64"))
+             .sort_values(["ts_us", "event_id"])
+             .groupby("user_id").tail(1))
+    want = {int(r.user_id): (int(r.event_id), int(r.ts_us), r.event_type,
+                             int(np.round(r.value * 100)))
+            for r in idx.itertuples()}
+    got = {r["user_id"]: (r["event_id"], r["ts_us"], r["event_type"],
+                          r["vc"]) for r in rows}
+    assert got == want and len(rows) == df["user_id"].nunique()
+
+
+def test_value_outliers(events_ds):
+    from searchengine_ray.pipelines.events import value_outliers
+    got = {r["event_type"]: (r["n_low"], r["n_high"])
+           for r in value_outliers(events_ds).take_all()}
+    df = events_df()
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    want = {}
+    for t in df["event_type"].unique():
+        v = np.sort(vc[(df["event_type"] == t).to_numpy()])
+        n = len(v)
+        p25 = int(v[(n + 3) // 4 - 1])        # k = ceil(n/4)
+        p75 = int(v[(3 * n + 3) // 4 - 1])    # k = ceil(3n/4)
+        lo2, hi2 = 2 * p25 - 3 * (p75 - p25), 2 * p75 + 3 * (p75 - p25)
+        want[t] = (int((2 * v < lo2).sum()), int((2 * v > hi2).sum()))
+    assert got == want and got
+
+
+def test_value_outliers_synthetic_has_outliers(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import value_outliers
+    vals = np.r_[np.linspace(0, 10, 400), [1e5, -1e5, 2e5]]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+        "event_type": pa.array(["a"] * len(vals)),
+        "value": pa.array(vals.astype(np.float64)),
+    })
+    [row] = value_outliers(ray.data.from_arrow(t).repartition(4)) \
+        .take_all()
+    assert row["n_low"] == 1 and row["n_high"] == 2
