@@ -1823,3 +1823,67 @@ def test_value_outliers_synthetic_has_outliers(ray_session):
     [row] = value_outliers(ray.data.from_arrow(t).repartition(4)) \
         .take_all()
     assert row["n_low"] == 1 and row["n_high"] == 2
+
+
+# ---------------------------------------------------------------------------
+# property tests: random event tables — grouped ops == pandas always
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 6),                      # user_id
+              st.integers(-10_000, 10_000),           # value cents
+              st.sampled_from(["a", "b", "c"])),      # event_type
+    min_size=1, max_size=120))
+def test_user_value_median_property(ray_session, rows):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import user_value_median
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    vc = np.array([r[1] for r in rows], dtype=np.int64)
+    t = pa.table({"user_id": pa.array(uid),
+                  "value": pa.array(vc / 100.0)})
+    got = {r["user_id"]: r["median_c2"] for r in
+           user_value_median(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    want = {}
+    for u in np.unique(uid):
+        v = np.sort(vc[uid == u])
+        want[int(u)] = int(v[(len(v) - 1) // 2] + v[len(v) // 2])
+    assert got == want
+
+
+@hyp_settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5),                      # user_id
+              st.integers(0, 50),                     # ts offset
+              st.sampled_from(["a", "b", "c"])),      # event_type
+    min_size=1, max_size=100))
+def test_type_transitions_property(ray_session, rows):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import type_transitions
+    uid = np.array([r[0] for r in rows], dtype=np.int64)
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    et = [r[2] for r in rows]
+    eid = np.arange(len(rows), dtype=np.int64)
+    t = pa.table({"user_id": pa.array(uid),
+                  "ts": pa.array(ts, type=pa.int64()),
+                  "event_id": pa.array(eid),
+                  "event_type": pa.array(et)})
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in
+           type_transitions(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    order = np.lexsort((eid, ts, uid))
+    want: dict = {}
+    for i, j in zip(order[:-1], order[1:]):
+        if uid[i] == uid[j]:
+            k = (et[i], et[j])
+            want[k] = want.get(k, 0) + 1
+    assert got == want
