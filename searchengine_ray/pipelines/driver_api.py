@@ -1870,6 +1870,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 _tbl(sf, "lineitem", ["l_partkey", "l_shipdate",
                                       "l_extendedprice", "l_discount"]),
                 _tbl(sf, "part", ["p_partkey", "p_type"])),
+        # grouped COUNT DISTINCT after broadcast enrichment (combiner
+        # cascade — only distinct triples ever shuffle)
+        "tpch_q16_supplier_variety": lambda sf: relational.supplier_variety(
+            _tbl(sf, "lineitem", ["l_partkey", "l_suppkey"]),
+            _tbl(sf, "part", ["p_partkey", "p_brand", "p_size"])),
         "tpch_q18_large_orders": lambda sf: relational.large_orders(
             _tbl(sf, "lineitem", ["l_orderkey", "l_quantity"]),
             _tbl(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
@@ -2010,6 +2015,7 @@ def build_oracles() -> dict[str, str]:
             f"USING (a_id, b_id)"),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
+        "tpch_q16_supplier_variety": relational.sql_supplier_variety(),
         "tpch_q18_large_orders": relational.sql_large_orders(),
     }
     for name, text in BM25_QUERIES.items():

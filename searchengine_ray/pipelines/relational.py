@@ -580,3 +580,77 @@ SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY 1
 """
+
+
+def supplier_variety(lineitem: "ray.data.Dataset",
+                     part: "ray.data.Dataset") -> "ray.data.Dataset":
+    """TPC-H Q16 shape: per (p_brand, p_size), the number of DISTINCT
+    suppliers that shipped such parts — grouped COUNT DISTINCT after a
+    broadcast-dimension enrichment. Columns: p_brand, p_size,
+    n_suppliers.
+
+    Combiner cascade (the events.distinct_users_exact discipline):
+    each batch resolves (brand, size) via the broadcast part arrays and
+    emits its DISTINCT (brand, size, suppkey) triples; a triple-keyed
+    ``grouped_aggregate`` finishes the global dedup — every surviving
+    triple exists exactly once, so its partition emits per-(brand, size)
+    partial counts — and one tiny (brand, size) reduce sums them. Raw
+    lineitem rows never shuffle; only distinct triples do.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    rows = part.take_all()   # the documented broadcast side (SF×200k)
+    pk = np.array([int(r["p_partkey"]) for r in rows], dtype=np.int64)
+    brands = sorted({r["p_brand"] for r in rows})
+    bcode = {b: i for i, b in enumerate(brands)}
+    bidx = np.array([bcode[r["p_brand"]] for r in rows], dtype=np.int64)
+    psize = np.array([int(r["p_size"]) for r in rows], dtype=np.int64)
+    o = np.argsort(pk)
+    ref = ray.put((pk[o], bidx[o], psize[o], np.array(brands)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, bi, sz, bnames = ray.get(ref)
+        lpk = pc.cast(batch["l_partkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lpk), 0, len(keys) - 1)
+        found = keys[pos] == lpk
+        t = pa.table({
+            "p_brand": pa.array(bnames[bi[pos]]),
+            "p_size": pa.array(sz[pos]),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+        }).filter(pa.array(found))
+        return t.group_by(["p_brand", "p_size", "l_suppkey"],
+                          use_threads=False).aggregate([])
+
+    def dedup_and_count(part_t: pa.Table) -> pa.Table:
+        d = part_t.group_by(["p_brand", "p_size", "l_suppkey"],
+                            use_threads=False).aggregate([])
+        g = (d.group_by(["p_brand", "p_size"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"p_brand": g["p_brand"],
+                         "p_size": pc.cast(g["p_size"], pa.int64()),
+                         "pn": pc.cast(g["count_all"], pa.int64())})
+
+    def final(part_t: pa.Table) -> pa.Table:
+        g = (part_t.group_by(["p_brand", "p_size"], use_threads=False)
+             .aggregate([("pn", "sum")]))
+        return pa.table({
+            "p_brand": pc.cast(g["p_brand"], pa.string()),
+            "p_size": pc.cast(g["p_size"], pa.int64()),
+            "n_suppliers": pc.cast(g["pn_sum"], pa.int64()),
+        })
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    triples = grouped_aggregate(partials,
+                                ["p_brand", "p_size", "l_suppkey"],
+                                dedup_and_count)
+    return grouped_aggregate(triples, ["p_brand", "p_size"], final)
+
+
+def sql_supplier_variety() -> str:
+    return """
+SELECT p_brand, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand, p_size
+"""
