@@ -1846,6 +1846,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # composed twice; fences are ≤|types| scalars)
         "events_value_outliers": lambda sf: events.value_outliers(
             _events(sf, ["event_id", "event_type", "value"])),
+        # distributed PCA: Gram digests → driver power iteration
+        # (rounded discipline) → broadcast projection pass
+        "embedding_pca1": lambda sf: similarity.embedding_pca1(
+            _embs(sf, ["vec_id", "embedding"])),
         # distributed exact Gram matrix (PCA/whitening input): one
         # matmul per batch, d² digest rows move, nothing else
         "embedding_gram": lambda sf: similarity.embedding_gram(
@@ -2000,6 +2004,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
         "events_latest_per_user": events.sql_latest_per_user(),
         "events_value_outliers": events.sql_value_outliers(),
+        "embedding_pca1": similarity.sql_embedding_pca1(),
         "embedding_gram": similarity.sql_embedding_gram(),
         "dedup_triangles": (
             f"WITH e AS (SELECT * FROM ({sql_minhash_lsh()}) t) "

@@ -981,3 +981,81 @@ SELECT a.d AS i, b.d AS j, sum(a.v * b.v)::BIGINT AS gram_scaled
 FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.d <= b.d
 GROUP BY 1, 2
 """
+
+
+PCA_ITERS = 8
+
+
+def embedding_pca1(ds: "ray.data.Dataset", iters: int = PCA_ITERS,
+                   col: str = "embedding") -> "ray.data.Dataset":
+    """Distributed (uncentered) PCA, first component: per-vector score
+    along the dominant eigenvector of the Gram matrix. Columns: vec_id,
+    pc1_r (round(Σ ⌊xᵈ·10⁴+0.5⌋·vᵈ, 6)).
+
+    Three input-size-independent phases after ONE distributed pass:
+    (1) ``embedding_gram`` streams the exact integer Gram (d² digests);
+    (2) the driver runs POWER ITERATION on the d×d result — uniform
+    start, ``v ← round(Gv/‖Gv‖, 6)`` per step, the rounded-arithmetic
+    discipline that keeps numpy and the unrolled-SQL twin locked (the
+    1e-15 summation-order drift can never survive a round-6 normalize);
+    (3) the d-vector broadcasts into a projection ``map_batches``.
+    The eigen-step costs O(d²·iters) on the driver regardless of corpus
+    size; no centering (documented: second-moment PCA), no shuffle
+    beyond the Gram digests.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate  # noqa: F401 (scale note)
+
+    rows = embedding_gram(ds, col=col).take_all()   # d² digest — bounded
+    d = max(int(r["j"]) for r in rows) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[int(r["i"]), int(r["j"])] = G[int(r["j"]), int(r["i"])] = \
+            float(r["gram_scaled"])
+    v = np.round(np.full(d, 1.0 / np.sqrt(d)), COS_ROUND)
+    for _ in range(iters):
+        w = G @ v
+        v = np.round(w / np.linalg.norm(w), COS_ROUND)
+    vref = ray.put(v)
+
+    def project(batch: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        mat = _emb_matrix(batch, col)
+        vi = np.floor(mat * GRAM_SCALE + 0.5) if len(mat) \
+            else np.zeros((0, len(vv)))
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "pc1_r": pa.array(np.round(vi @ vv, COS_ROUND)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def sql_embedding_pca1(iters: int = PCA_ITERS, dim: int = 64) -> str:
+    """Unrolled power-iteration twin of embedding_pca1: the integer Gram
+    CTE mirrored to a full matrix, ``iters`` matvec+normalize rounds
+    (round(·, 6) after every normalize), then the projection join."""
+    inv = f"round(1.0 / sqrt({dim}), 6)"
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+gram AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.v * b.v)::DOUBLE AS g
+  FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2),
+v0 AS (SELECT unnest(range(0, {dim}))::BIGINT AS d, {inv} AS v)"""]
+    for k in range(iters):
+        parts.append(f""",
+w{k} AS MATERIALIZED (SELECT g.i AS d, sum(g.g * v{k}.v) AS w
+         FROM gram g JOIN v{k} ON v{k}.d = g.j GROUP BY g.i),
+v{k + 1} AS MATERIALIZED (
+  SELECT d, round(w / (SELECT sqrt(sum(w * w)) FROM w{k}), 6)
+    AS v FROM w{k})""")
+    parts.append(f"""
+SELECT e.vec_id, round(sum(e.v * vf.v), 6) AS pc1_r
+FROM ev e JOIN v{iters} vf ON vf.d = e.d
+GROUP BY e.vec_id
+""")
+    return "".join(parts)

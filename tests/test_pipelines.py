@@ -2722,3 +2722,34 @@ def test_supplier_variety_matches_pandas(ray_session):
     got = {(r["p_brand"], r["p_size"]): r["n_suppliers"] for r in rows}
     assert got == want and got
     assert max(want.values()) > 1   # distinct-count actually exercised
+
+
+def test_embedding_pca1_matches_numpy_and_is_dominant(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (GRAM_SCALE,
+                                                       PCA_ITERS,
+                                                       embedding_pca1)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path).sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vi = np.floor(mat * GRAM_SCALE + 0.5)
+    G = vi.T @ vi
+    v = np.round(np.full(G.shape[0], 1.0 / np.sqrt(G.shape[0])), 6)
+    for _ in range(PCA_ITERS):
+        w = G @ v
+        v = np.round(w / np.linalg.norm(w), 6)
+    want = dict(zip(df["vec_id"].astype("int64"),
+                    np.round(vi @ v, 6)))
+    got = {r["vec_id"]: r["pc1_r"] for r in
+           embedding_pca1(ray.data.read_parquet(
+               path, columns=["vec_id", "embedding"])).take_all()}
+    assert got == want and len(got) == len(df)
+    # power-iteration property: the Rayleigh quotient strictly improves
+    # over the uniform start (full convergence needs a spectral gap the
+    # tiny synthetic table doesn't guarantee; cross-engine exactness
+    # never depends on convergence - both run the same 8 rounds)
+    v0 = np.round(np.full(G.shape[0], 1.0 / np.sqrt(G.shape[0])), 6)
+    ray_q = (v @ G @ v) / (v @ v)
+    start_q = (v0 @ G @ v0) / (v0 @ v0)
+    assert ray_q > start_q * 1.5
