@@ -1847,3 +1847,63 @@ SELECT st.source, ns.n AS n_tokens,
 FROM st JOIN g USING (term) JOIN ns USING (source) CROSS JOIN tot
 GROUP BY st.source, ns.n, tot.nn
 """
+
+
+def source_quality_median(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-source MEDIAN of the per-doc mean-token-length quality metric
+    — the curation dashboard number ("which sources are drifting
+    low-quality"), composing the quality kernel with the grouped exact
+    median. Columns: source, median_mtl_u2 (int64 = 2·median of
+    mean_token_len_u; doubled so even-count averages stay integer).
+
+    One pass computes the per-doc metric; one coarse hash(source)
+    shuffle of (source, metric) id-width rows; inside each partition all
+    sources' medians compute in a single argsorted segmented gather.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def metric(batch: pa.Table) -> pa.Table:
+        n_ws, _, _, sum_len = ws_quality_stats(batch["text"])
+        mean_u = np.where(n_ws > 0,
+                          (sum_len * 1_000_000) // np.maximum(n_ws, 1), 0)
+        return pa.table({
+            "source": pc.cast(batch["source"], pa.string()),
+            "m": pa.array(mean_u.astype(np.int64)),
+        })
+
+    def med(part: pa.Table) -> pa.Table:
+        src = part["source"].to_numpy(zero_copy_only=False)
+        m = pc.cast(part["m"], pa.int64()).to_numpy(zero_copy_only=False)
+        if src.size == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "median_mtl_u2": pa.array([],
+                                                       type=pa.int64())})
+        _, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((m, inv))
+        src, m, inv = src[order], m[order], inv[order]
+        new = np.empty(src.size, dtype=bool)
+        new[0] = True
+        new[1:] = inv[1:] != inv[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, src.size])
+        lo = m[starts + (counts - 1) // 2]
+        hi = m[starts + counts // 2]
+        return pa.table({
+            "source": pa.array(src[starts]),
+            "median_mtl_u2": pa.array(lo + hi),
+        })
+
+    rows = ds.map_batches(metric, batch_format="pyarrow")
+    return grouped_aggregate(rows, ["source"], med)
+
+
+def sql_source_quality_median() -> str:
+    from searchengine_ray.pipelines.driver_api import sql_quality_score
+    return f"""
+WITH q AS ({sql_quality_score()})
+SELECT d.source,
+       CAST(round(2 * median(q.mean_token_len_u)) AS BIGINT)
+         AS median_mtl_u2
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""

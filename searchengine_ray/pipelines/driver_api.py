@@ -1864,6 +1864,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # via a packed-key id-width join
         "dedup_consensus_pairs": lambda sf: dedup.consensus_pairs(
             _docs(sf), cfg=CFG),
+        # curation dashboard: per-source median of the quality metric
+        "source_quality_median": lambda sf: analysis.source_quality_median(
+            _docs(sf, ["source", "text"])),
         # data-mixture diagnostic: exact scaled-integer L1 drift of each
         # source's term distribution vs the corpus blend
         "source_term_drift": lambda sf: analysis.source_term_drift(
@@ -2018,6 +2021,7 @@ def build_oracles() -> dict[str, str]:
             f"FROM ({sql_minhash_lsh()}) m "
             f"JOIN ({sql_simhash_neardup()}) s "
             f"USING (a_id, b_id)"),
+        "source_quality_median": analysis.sql_source_quality_median(),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
         "tpch_q16_supplier_variety": relational.sql_supplier_variety(),

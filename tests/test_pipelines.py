@@ -2753,3 +2753,24 @@ def test_embedding_pca1_matches_numpy_and_is_dominant(ray_session):
     ray_q = (v @ G @ v) / (v @ v)
     start_q = (v0 @ G @ v0) / (v0 @ v0)
     assert ray_q > start_q * 1.5
+
+
+def test_source_quality_median_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.analysis import (source_quality_median,
+                                                     ws_quality_stats)
+    import pyarrow as pa
+    path = "/root/testdata/sf0.001/documents.parquet"
+    df = pd.read_parquet(path, columns=["source", "text"])
+    n_ws, _, _, sum_len = ws_quality_stats(pa.array(df["text"]))
+    mean_u = np.where(n_ws > 0,
+                      (sum_len * 1_000_000) // np.maximum(n_ws, 1), 0)
+    want = {}
+    for s, grp in pd.Series(mean_u).groupby(df["source"].to_numpy()):
+        v = np.sort(grp.to_numpy())
+        want[s] = int(v[(len(v) - 1) // 2] + v[len(v) // 2])
+    got = {r["source"]: r["median_mtl_u2"] for r in
+           source_quality_median(ray.data.read_parquet(
+               path, columns=["source", "text"])).take_all()}
+    assert got == want and got
