@@ -1877,6 +1877,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 _tbl(sf, "lineitem", ["l_partkey", "l_shipdate",
                                       "l_extendedprice", "l_discount"]),
                 _tbl(sf, "part", ["p_partkey", "p_type"])),
+        # pure filtered-scan combiner with READ-side predicate pushdown
+        "tpch_q6_revenue_delta": relational.revenue_delta,
         # grouped COUNT DISTINCT after broadcast enrichment (combiner
         # cascade — only distinct triples ever shuffle)
         "tpch_q16_supplier_variety": lambda sf: relational.supplier_variety(
@@ -2024,6 +2026,7 @@ def build_oracles() -> dict[str, str]:
         "source_quality_median": analysis.sql_source_quality_median(),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
+        "tpch_q6_revenue_delta": relational.sql_revenue_delta(),
         "tpch_q16_supplier_variety": relational.sql_supplier_variety(),
         "tpch_q18_large_orders": relational.sql_large_orders(),
     }

@@ -25,6 +25,8 @@ measured pitfall this form avoids.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -653,4 +655,75 @@ SELECT p_brand, p_size::BIGINT AS p_size,
        count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
 FROM lineitem JOIN part ON p_partkey = l_partkey
 GROUP BY p_brand, p_size
+"""
+
+
+Q6_LO = "1997-01-01 00:00:00"
+Q6_HI = "1998-01-01 00:00:00"
+
+
+def revenue_delta(sf_dir: str, date_lo: str = Q6_LO, date_hi: str = Q6_HI,
+                  disc_lo: int = 3, disc_hi: int = 7,
+                  max_qty: int = 24) -> "ray.data.Dataset":
+    """TPC-H Q6 shape: forecast-revenue-change — Σ price·discount over a
+    narrow predicate slice. Column: one row, revenue_delta_e4 (int64 =
+    Σ cents·disc%). The simplest warehouse shape, included to pin the
+    READ-side discipline: the predicate pushes into ``read_parquet``
+    as a pyarrow dataset filter (row-group pruning at the scan — rows
+    outside the slice never enter the object store) and only the four
+    touched columns are read; the residual exact filter re-applies
+    per batch (pushdown is row-group-granular, not row-exact).
+    """
+    import pyarrow.dataset as pads
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    lo_us, hi_us = _ts_us(date_lo), _ts_us(date_hi)
+    expr = ((pads.field("l_shipdate")
+             >= pa.scalar(lo_us, type=pa.timestamp("us")))
+            & (pads.field("l_shipdate")
+               < pa.scalar(hi_us, type=pa.timestamp("us")))
+            & (pads.field("l_quantity") < max_qty))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=expr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = pc.cast(batch["l_shipdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = pc.cast(batch["l_quantity"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        disc = _cents(batch["l_discount"])
+        keep = ((ship >= lo_us) & (ship < hi_us) & (qty < max_qty)
+                & (disc >= disc_lo) & (disc <= disc_hi))
+        rev = _cents(batch["l_extendedprice"]) * disc
+        t = pa.table({
+            "k": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            "v": pa.array(rev[keep]),
+        })
+        return t.group_by(["k"], use_threads=False) \
+                .aggregate([("v", "sum")]).rename_columns(["k", "v"])
+
+    def final(part: pa.Table) -> pa.Table:
+        g = part.group_by(["k"], use_threads=False).aggregate([("v", "sum")])
+        return pa.table({"revenue_delta_e4": pc.cast(g["v_sum"],
+                                                     pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["k"], final)
+
+
+def sql_revenue_delta(date_lo: str = Q6_LO, date_hi: str = Q6_HI,
+                      disc_lo: int = 3, disc_hi: int = 7,
+                      max_qty: int = 24) -> str:
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * {d})::BIGINT
+         AS revenue_delta_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_lo}'
+  AND l_shipdate < TIMESTAMP '{date_hi}'
+  AND l_quantity < {max_qty}
+  AND {d} BETWEEN {disc_lo} AND {disc_hi}
 """

@@ -2774,3 +2774,22 @@ def test_source_quality_median_matches_pandas(ray_session):
            source_quality_median(ray.data.read_parquet(
                path, columns=["source", "text"])).take_all()}
     assert got == want and got
+
+
+def test_revenue_delta_matches_pandas(ray_session):
+    import pandas as pd
+    from searchengine_ray.pipelines.relational import (Q6_HI, Q6_LO,
+                                                       revenue_delta)
+    sf = "/root/testdata/sf0.001"
+    df = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    d = np.floor(df["l_discount"].to_numpy() * 100 + 0.5).astype("int64")
+    keep = ((df["l_shipdate"] >= pd.Timestamp(Q6_LO))
+            & (df["l_shipdate"] < pd.Timestamp(Q6_HI))
+            & (df["l_quantity"] < 24)).to_numpy() & (d >= 3) & (d <= 7)
+    rev = (np.floor(df["l_extendedprice"].to_numpy() * 100 + 0.5)
+           .astype("int64") * d)
+    want = int(rev[keep].sum())
+    [row] = revenue_delta(sf).take_all()
+    assert row["revenue_delta_e4"] == want and want > 0
