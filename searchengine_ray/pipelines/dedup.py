@@ -864,11 +864,15 @@ def consensus_pairs(docs: "ray.data.Dataset",
         return pa.table({"pk": pa.array(a * PAIR_PACK + b),
                          payload: pc.cast(batch[payload], pa.int64())})
 
+    # both pair sets pinned: equi_join's schema probes would otherwise
+    # execute each fingerprint pipeline once more (digest-width outputs)
     mh = minhash_lsh_pairs(docs, family=family).map_batches(
-        lambda b: pack(b, "est_matches"), batch_format="pyarrow")
+        lambda b: pack(b, "est_matches"),
+        batch_format="pyarrow").materialize()
     sh = simhash_neardup_pairs(docs, max_hamming, cfg,
                                max_bucket=1 << 30).map_batches(
-        lambda b: pack(b, "hamming"), batch_format="pyarrow")
+        lambda b: pack(b, "hamming"),
+        batch_format="pyarrow").materialize()
     joined = equi_join(mh, sh, "pk", "pk", ["est_matches"], ["hamming"])
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -924,8 +928,11 @@ def triangle_count(docs: "ray.data.Dataset",
         b = pc.cast(batch["b_id"], pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({"pk": pa.array(a * PAIR_PACK + b)})
 
-    closed = equi_join(wedges.map_batches(pack_wedge,
-                                          batch_format="pyarrow"),
+    # wedges pinned: the closing join's schema probe re-executes the
+    # wedge join otherwise (edges are already materialized above)
+    closed = equi_join(wedges.map_batches(
+                           pack_wedge,
+                           batch_format="pyarrow").materialize(),
                        edges.map_batches(pack_edge,
                                          batch_format="pyarrow"),
                        "pk", "pk", [], [], how="semi")

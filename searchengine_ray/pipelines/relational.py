@@ -190,9 +190,12 @@ def top_unshipped_orders(lineitem: "ray.data.Dataset",
     ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
     custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
     # semi join: orders of segment customers, emitted once each
+    # pinned: the next equi_join's schema probe would otherwise EXECUTE
+    # this whole join once and the main run a second time (measured
+    # 2.5 s of q3's 13 s at sf0.1); the output is id-width digest rows
     ord_semi = equi_join(ordsel, custsel, "o_custkey", "c_custkey",
                          ["o_orderkey", "o_orderdate_us",
-                          "o_orderpriority"], [], how="semi")
+                          "o_orderpriority"], [], how="semi").materialize()
     linesel = lineitem.map_batches(prep_line, batch_format="pyarrow")
     joined = equi_join(linesel, ord_semi, "l_orderkey", "o_orderkey",
                        ["rev_e4"], ["o_orderdate_us", "o_orderpriority"])
@@ -351,8 +354,9 @@ def local_supplier_revenue(lineitem: "ray.data.Dataset",
     ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
     custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
     # orders ⋈ customer (distributed): (key=custkey, o_orderkey, c_nationkey)
+    # pinned: consumed by the fact join's schema probe AND its run
     oc = equi_join(ordsel, custsel, "o_custkey", "c_custkey",
-                   ["o_orderkey"], ["c_nationkey"])
+                   ["o_orderkey"], ["c_nationkey"]).materialize()
     linesel = lineitem.map_batches(prep_line, batch_format="pyarrow")
     joined = equi_join(linesel, oc, "l_orderkey", "o_orderkey",
                        ["s_nationkey", "rev_e4"], ["c_nationkey"])
@@ -464,7 +468,10 @@ def large_orders(lineitem: "ray.data.Dataset",
         })
 
     partials = lineitem.map_batches(partial, batch_format="pyarrow")
-    qualifying = grouped_aggregate(partials, ["l_orderkey"], final)
+    # pinned: each downstream equi_join's schema probe would re-execute
+    # the whole upstream shuffle (see top_unshipped_orders note)
+    qualifying = grouped_aggregate(partials, ["l_orderkey"],
+                                   final).materialize()
     ordsel = orders.map_batches(prep_orders, batch_format="pyarrow")
     with_orders = equi_join(qualifying, ordsel,
                             "l_orderkey", "o_orderkey",
@@ -478,8 +485,8 @@ def large_orders(lineitem: "ray.data.Dataset",
              for c in batch.column_names])
 
     custsel = customer.map_batches(prep_cust, batch_format="pyarrow")
-    joined = equi_join(with_orders.map_batches(rekey,
-                                               batch_format="pyarrow"),
+    joined = equi_join(with_orders.map_batches(
+                           rekey, batch_format="pyarrow").materialize(),
                        custsel, "o_custkey", "c_custkey",
                        ["o_orderkey", "sum_qty", "o_orderdate_us"],
                        ["c_name"])
