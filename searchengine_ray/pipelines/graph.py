@@ -346,7 +346,11 @@ def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
     # counts grow with input blocks, and an iterative loop compounds that
     # into a block explosion (the measured CC pitfall) — pin the block
     # count once per round
-    edges_deg = equi_join(edges, deg, "src", "src", ["dst"], ["deg"]) \
+    # static schemas skip the join's Dataset.schema() probe, which would
+    # otherwise EXECUTE the lazy deg shuffle once before the real run
+    edges_deg = equi_join(edges, deg, "src", "src", ["dst"], ["deg"],
+                          right_schema=pa.schema([
+                              ("src", pa.int64()), ("deg", pa.int64())])) \
         .repartition(NUM_GRAPH_PARTITIONS).materialize()
 
     def init_rank(batch: pa.Table) -> pa.Table:
@@ -387,8 +391,12 @@ def pagerank_int(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                    .map_batches(sum_partial, batch_format="pyarrow"),
             ["dst"], sum_reduce)
 
+        # right_schema skips the per-ROUND schema probe that executed
+        # the whole contrib-join + sum shuffle a second time each round
         joined = equi_join(ranks.select_columns(["node"]), sums,
-                           "node", "dst", [], ["c"], how="left")
+                           "node", "dst", [], ["c"], how="left",
+                           right_schema=pa.schema([
+                               ("dst", pa.int64()), ("c", pa.int64())]))
 
         def apply_damp(batch: pa.Table) -> pa.Table:
             c = pc.cast(pc.fill_null(batch["c"], 0), pa.int64()) \

@@ -119,7 +119,10 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_key: str, right_key: str,
               left_cols: list[str], right_cols: list[str],
               num_parts: int = NUM_JOIN_PARTITIONS,
-              how: str = "inner") -> "ray.data.Dataset":
+              how: str = "inner",
+              left_schema: "pa.Schema | None" = None,
+              right_schema: "pa.Schema | None" = None
+              ) -> "ray.data.Dataset":
     """Distributed equi-join on int64 keys; ``how`` ∈ inner / left /
     semi / anti.
 
@@ -134,6 +137,14 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     All four modes share the single tag→union→hash-shuffle→vectorized
     sort-merge plan; the mode only changes the per-partition emit.
+
+    ``left_schema`` / ``right_schema``: pass the side's (statically
+    known) Arrow schema to SKIP the ``Dataset.schema()`` probe — when a
+    side's lineage contains a prior shuffle (a join or grouped
+    aggregate), the probe EXECUTES that whole upstream pipeline once
+    and the join run executes it again (measured: q3's semi-join ran
+    2.5 s as a probe before the real run). Chained joins should either
+    pass schemas or ``materialize()`` the digest intermediate.
     """
     assert how in ("inner", "left", "semi", "anti"), how
     overlap = set(left_cols) & set(right_cols)
@@ -141,8 +152,10 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     # Build each side with the FULL output schema (other side's payload
     # columns as typed nulls) so the union has one schema.
-    l_schema = left.schema().base_schema
-    r_schema = right.schema().base_schema
+    l_schema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    r_schema = right_schema if right_schema is not None \
+        else right.schema().base_schema
 
     def l_type(c):
         return l_schema.field(c).type

@@ -83,8 +83,12 @@ def prepare_corpus(docs: "ray.data.Dataset", *, bench_mod: int = 37,
 
     surv = kept.map_batches(clean, batch_format="pyarrow")
 
+    # left_schema skips the join's schema probe, which would EXECUTE
+    # the whole curate shuffle a second time (text shipped twice)
     joined = equi_join(surv, docs.select_columns(["doc_id", "source"]),
-                       "doc_id", "doc_id", ["n_tokens"], ["source"])
+                       "doc_id", "doc_id", ["n_tokens"], ["source"],
+                       left_schema=pa.schema([("doc_id", pa.int64()),
+                                              ("n_tokens", pa.int64())]))
 
     def cap_partial(batch: pa.Table) -> pa.Table:
         ids = batch["key"].to_numpy(zero_copy_only=False)
