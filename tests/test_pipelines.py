@@ -2793,3 +2793,65 @@ def test_revenue_delta_matches_pandas(ray_session):
     want = int(rev[keep].sum())
     [row] = revenue_delta(sf).take_all()
     assert row["revenue_delta_e4"] == want and want > 0
+
+
+def test_relational_ops_survive_empty_slices(ray_session):
+    """Predicates that eliminate every row must propagate empty results
+    through joins/aggregates without crashing (empty-batch kernels)."""
+    import ray.data
+    from searchengine_ray.pipelines.relational import (
+        local_supplier_revenue, pricing_summary, top_unshipped_orders)
+    sf = "/root/testdata/sf0.001"
+    tb = lambda t, cols: ray.data.read_parquet(f"{sf}/{t}.parquet",
+                                               columns=cols)
+    # cutoff before the data begins -> empty aggregate
+    rows = pricing_summary(
+        tb("lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax",
+                        "l_shipdate"]),
+        cutoff="1990-01-01 00:00:00").take_all()
+    assert rows == []
+    # nonexistent segment -> empty top-N
+    rows = top_unshipped_orders(
+        tb("lineitem", ["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]),
+        tb("orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"]),
+        tb("customer", ["c_custkey", "c_mktsegment"]),
+        segment="NO_SUCH_SEGMENT").take_all()
+    assert rows == []
+    # nonexistent region -> empty revenue table
+    rows = local_supplier_revenue(
+        tb("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]),
+        tb("orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        tb("customer", ["c_custkey", "c_nationkey"]),
+        tb("supplier", ["s_suppkey", "s_nationkey"]),
+        tb("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        tb("region", ["r_regionkey", "r_name"]),
+        region_name="ATLANTIS").take_all()
+    assert rows == []
+
+
+def test_semantic_and_events_ops_survive_tiny_inputs(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (latest_per_user,
+                                                   pivot_type_counts,
+                                                   type_transitions,
+                                                   user_value_median)
+    one = pa.table({
+        "user_id": pa.array([7], type=pa.int64()),
+        "event_id": pa.array([1], type=pa.int64()),
+        "ts": pa.array([123456], type=pa.int64()),
+        "event_type": pa.array(["click"]),
+        "value": pa.array([1.5], type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(one)
+    assert type_transitions(ds).take_all() == []   # no consecutive pair
+    [r] = latest_per_user(ds).take_all()
+    assert r["event_id"] == 1 and r["vc"] == 150
+    [r] = user_value_median(ds).take_all()
+    assert r["median_c2"] == 300
+    [r] = pivot_type_counts(ds).take_all()
+    assert r["n_click"] == 1 and r["n_total"] == 1
