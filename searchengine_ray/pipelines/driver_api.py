@@ -108,6 +108,67 @@ def q_tpch_q3(sf_dir: str):
         _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
+def q_events_user_type_join(sf_dir: str):
+    """COMPOSITE-key distributed join (join.equi_join_multi): every
+    event picks up its (user_id, event_type) group's total and count —
+    the multi-column-key path that single-int64 ``equi_join`` can't
+    express without packing. The dim side is a lazy grouped aggregate;
+    ``right_schema`` skips the schema probe that would execute it
+    twice."""
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    from searchengine_ray.pipelines.join import equi_join_multi
+
+    def dim_partial(b: pa.Table) -> pa.Table:
+        vc = np.round(b["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "event_type": pc.cast(b["event_type"], pa.string()),
+            "v": pa.array(vc),
+            "n": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+        return (t.group_by(["user_id", "event_type"], use_threads=False)
+                 .aggregate([("v", "sum"), ("n", "sum")])
+                 .rename_columns(["user_id", "event_type", "v", "n"]))
+
+    def dim_final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["user_id", "event_type"], use_threads=False)
+             .aggregate([("v", "sum"), ("n", "sum")]))
+        return pa.table({
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "event_type": pc.cast(g["event_type"], pa.string()),
+            "total_c": pc.cast(g["v_sum"], pa.int64()),
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    dim = grouped_aggregate(
+        ev.map_batches(dim_partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], dim_final)
+    left = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                     ("event_type", pa.string())])
+    dim_sch = pa.schema([("user_id", pa.int64()),
+                         ("event_type", pa.string()),
+                         ("total_c", pa.int64()),
+                         ("n_events", pa.int64())])
+    return equi_join_multi(left, dim, ["user_id", "event_type"],
+                           ["event_id"], ["total_c", "n_events"],
+                           left_schema=sch, right_schema=dim_sch)
+
+
+def sql_events_user_type_join() -> str:
+    return """
+WITH d AS (
+  SELECT user_id, event_type,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_c,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT e.user_id, e.event_type, e.event_id, d.total_c, d.n_events
+FROM events e JOIN d USING (user_id, event_type)
+"""
+
+
 def q_tpch_q5(sf_dir: str):
     return relational.local_supplier_revenue(
         _tbl(sf_dir, "lineitem",
@@ -1838,6 +1899,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # composite-key distributed join (multi-column keys)
+        "events_user_type_join": q_events_user_type_join,
         # CDC/state-table: reduce the log to each user's latest row
         "events_latest_per_user": lambda sf: events.latest_per_user(
             _events(sf, ["user_id", "event_id", "ts", "event_type",
@@ -2007,6 +2070,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_user_type_join": sql_events_user_type_join(),
         "events_latest_per_user": events.sql_latest_per_user(),
         "events_value_outliers": events.sql_value_outliers(),
         "embedding_pca1": similarity.sql_embedding_pca1(),

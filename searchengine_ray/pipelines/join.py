@@ -315,3 +315,148 @@ def equi_join_salted(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return unioned.groupby("part").map_groups(
         _merge_fn(l_schema, r_schema, left_cols, right_cols, how),
         batch_format="pyarrow")
+
+
+def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                    keys: list[str],
+                    left_cols: list[str], right_cols: list[str],
+                    num_parts: int = NUM_JOIN_PARTITIONS,
+                    how: str = "inner",
+                    left_schema: "pa.Schema | None" = None,
+                    right_schema: "pa.Schema | None" = None
+                    ) -> "ray.data.Dataset":
+    """COMPOSITE-key distributed equi-join (both sides share the
+    ``keys`` column names; any mix of int64 / string columns) — the
+    wider-key path referenced by ``dedup.consensus_pairs``.
+
+    Same tag→union→ONE-shuffle plan as ``equi_join``, partitioned by
+    the multi-column mixing hash (``common._hash_key_columns``). The
+    hash only ROUTES — equality is decided inside the partition by
+    dictionary-encoding each key column and merging on the exact
+    mixed-radix composite code, so a 64-bit hash collision can never
+    join distinct keys (it just co-locates them). Output columns:
+    keys + left_cols + right_cols. Modes: inner / left / semi / anti
+    with the single-key operator's semantics.
+    """
+    from searchengine_ray.pipelines.common import _hash_key_columns
+    assert how in ("inner", "left", "semi", "anti"), how
+    overlap = set(left_cols) & set(right_cols)
+    assert not overlap, f"column name collision: {sorted(overlap)}"
+    assert not (set(keys) & (set(left_cols) | set(right_cols)))
+
+    l_schema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    r_schema = right_schema if right_schema is not None \
+        else right.schema().base_schema
+    with_right = how in ("inner", "left")
+
+    def l_type(c):
+        return l_schema.field(c).type
+
+    def r_type(c):
+        return r_schema.field(c).type
+
+    def k_type(c):
+        return l_schema.field(c).type
+
+    def tag(batch: pa.Table, side: int) -> pa.Table:
+        h = _hash_key_columns(batch, keys)
+        out = {"part": pa.array((h % np.uint64(num_parts))
+                                .astype(np.int32)),
+               "side": pa.array(np.full(len(batch), side,
+                                        dtype=np.int64))}
+        for c in keys:
+            out[f"k_{c}"] = pc.cast(batch[c], k_type(c))
+        for c in left_cols:
+            out[f"l_{c}"] = batch[c] if side == 0 else \
+                pa.nulls(len(batch), type=l_type(c))
+        for c in right_cols:
+            out[f"r_{c}"] = batch[c] if side == 1 else \
+                pa.nulls(len(batch), type=r_type(c))
+        return pa.table(out)
+
+    def composite_code(group: pa.Table) -> np.ndarray:
+        code = np.zeros(len(group), dtype=np.int64)
+        for c in keys:
+            col = group[f"k_{c}"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dic = col.dictionary_encode()
+            card = len(dic.dictionary) + 1
+            if code.max(initial=0) > (1 << 62) // max(card, 1):
+                raise ValueError(
+                    "equi_join_multi: composite key cardinality "
+                    "overflows the mixed-radix code; split the join")
+            code = code * card + np.asarray(dic.indices,
+                                            dtype=np.int64)
+        return code
+
+    def key_cols_at(group: pa.Table, idx: np.ndarray) -> dict:
+        t = pa.array(idx)
+        return {c: pc.take(group[f"k_{c}"], t) for c in keys}
+
+    def left_only(group: pa.Table, lidx: np.ndarray,
+                  null_right: bool) -> pa.Table:
+        lt = pa.array(lidx)
+        cols = key_cols_at(group, lidx)
+        for c in left_cols:
+            cols[c] = pc.take(group[f"l_{c}"], lt)
+        if null_right:
+            for c in right_cols:
+                cols[c] = pa.nulls(len(lidx), type=r_type(c))
+        return pa.table(cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        code = composite_code(group)
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        empty = pa.table(
+            {**{c: pa.array([], type=k_type(c)) for c in keys},
+             **{c: pa.array([], type=l_type(c)) for c in left_cols},
+             **({c: pa.array([], type=r_type(c)) for c in right_cols}
+                if with_right else {})})
+        if li.size == 0:
+            return empty
+        if ri.size == 0:
+            if how in ("inner", "semi"):
+                return empty
+            return left_only(group, li, null_right=(how == "left"))
+        lo = li[np.argsort(code[li], kind="stable")]
+        ro = ri[np.argsort(code[ri], kind="stable")]
+        lk, rk = code[lo], code[ro]
+        starts = np.searchsorted(rk, lk, side="left")
+        ends = np.searchsorted(rk, lk, side="right")
+        counts = ends - starts
+        hit = counts > 0
+        if how == "semi":
+            return left_only(group, lo[hit], null_right=False)
+        if how == "anti":
+            return left_only(group, lo[~hit], null_right=False)
+        miss_lo = lo[~hit]
+        if not hit.any():
+            return (left_only(group, miss_lo, null_right=True)
+                    if how == "left" else empty)
+        lo2, starts, counts = lo[hit], starts[hit], counts[hit]
+        lidx = np.repeat(lo2, counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ridx = ro[np.arange(int(counts.sum())) -
+                  np.repeat(offs, counts) + np.repeat(starts, counts)]
+        lt, rt = pa.array(lidx), pa.array(ridx)
+        cols = key_cols_at(group, lidx)
+        for c in left_cols:
+            cols[c] = pc.take(group[f"l_{c}"], lt)
+        for c in right_cols:
+            cols[c] = pc.take(group[f"r_{c}"], rt)
+        matched = pa.table(cols)
+        if how == "left" and miss_lo.size:
+            return pa.concat_tables(
+                [matched, left_only(group, miss_lo, null_right=True)])
+        return matched
+
+    unioned = (left.map_batches(lambda b: tag(b, 0),
+                                batch_format="pyarrow")
+               .union(right.map_batches(lambda b: tag(b, 1),
+                                        batch_format="pyarrow")))
+    return unioned.groupby("part").map_groups(merge,
+                                              batch_format="pyarrow")

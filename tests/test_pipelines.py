@@ -2855,3 +2855,56 @@ def test_semantic_and_events_ops_survive_tiny_inputs(ray_session):
     assert r["median_c2"] == 300
     [r] = pivot_type_counts(ds).take_all()
     assert r["n_click"] == 1 and r["n_total"] == 1
+
+
+def _multi_join_brute(lrows, rrows, keys, how):
+    out = []
+    rmap: dict = {}
+    for r in rrows:
+        rmap.setdefault(tuple(r[k] for k in keys), []).append(r)
+    for l in lrows:
+        k = tuple(l[k_] for k_ in keys)
+        matches = rmap.get(k, [])
+        if how == "semi":
+            if matches:
+                out.append({**l})
+        elif how == "anti":
+            if not matches:
+                out.append({**l})
+        elif matches:
+            for r in matches:
+                out.append({**l, **{c: r[c] for c in r if c not in keys}})
+        elif how == "left":
+            out.append({**l, "rv": None})
+    return out
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_equi_join_multi_modes_vs_brute(ray_session, how):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.join import equi_join_multi
+    rng = np.random.default_rng(5)
+    n_l, n_r = 200, 120
+    lrows = [{"a": int(rng.integers(0, 8)),
+              "b": ["x", "y", "z"][int(rng.integers(0, 3))],
+              "lv": i} for i in range(n_l)]
+    rrows = [{"a": int(rng.integers(0, 8)),
+              "b": ["x", "y", "z", "w"][int(rng.integers(0, 4))],
+              "rv": 1000 + i} for i in range(n_r)]
+    lt = pa.table({c: pa.array([r[c] for r in lrows])
+                   for c in ("a", "b", "lv")})
+    rt = pa.table({c: pa.array([r[c] for r in rrows])
+                   for c in ("a", "b", "rv")})
+    got = equi_join_multi(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(2),
+        ["a", "b"], ["lv"], ["rv"], how=how).take_all()
+    want = _multi_join_brute(lrows, rrows, ["a", "b"], how)
+    key = lambda r: (r["a"], r["b"], r.get("lv"),
+                     r.get("rv") if r.get("rv") is not None else -1)
+    norm = lambda rows: sorted(
+        [(r["a"], r["b"], r.get("lv"),
+          r["rv"] if r.get("rv") is not None else None) for r in rows])
+    assert norm(got) == norm(want)
+    assert got, how  # every mode non-trivially populated
