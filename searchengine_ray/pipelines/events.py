@@ -2519,3 +2519,59 @@ SELECT e.event_type,
 FROM events e JOIN f USING (event_type)
 GROUP BY e.event_type
 """
+
+
+THROTTLE_GAP_US = 86_400_000_000  # 1 day
+
+
+def throttle(ds: "ray.data.Dataset",
+             gap_us: int = THROTTLE_GAP_US) -> "ray.data.Dataset":
+    """DEBOUNCE / THROTTLE: keep an event iff no PREVIOUS event of the
+    same (user_id, event_type) occurred within ``gap_us`` (lag
+    semantics — each event compares to the immediately preceding RAW
+    event of its key, the dedup used for retry storms and duplicate
+    beacons). Columns: event_id, kept (bool) — a mask, so the caller
+    can either filter or audit.
+
+    One coarse hash(user, type) shuffle; inside a partition all keys
+    debounce in a single lexsorted shift-compare (a key's events
+    co-locate, so the lag never crosses partitions).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = pc.cast(part["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(part["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = part["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if uid.size == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "kept": pa.array([], type=pa.bool_())})
+        codes = np.asarray(et.dictionary_encode().indices,
+                           dtype=np.int64)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, t = uid[order], codes[order], ts[order]
+        kept = np.empty(u.size, dtype=bool)
+        kept[0] = True
+        kept[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1]) \
+            | ((t[1:] - t[:-1]) > gap_us)
+        return pa.table({"event_id": pa.array(eid[order]),
+                         "kept": pa.array(kept)})
+
+    return grouped_aggregate(ds, ["user_id", "event_type"], per_part)
+
+
+def sql_throttle(gap_us: int = THROTTLE_GAP_US) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id) AS d
+  FROM events)
+SELECT event_id, (d IS NULL OR d > {gap_us}) AS kept FROM s
+"""

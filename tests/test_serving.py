@@ -1887,3 +1887,21 @@ def test_type_transitions_property(ray_session, rows):
             k = (et[i], et[j])
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_throttle(events_ds):
+    from searchengine_ray.pipelines.events import THROTTLE_GAP_US, throttle
+    got = {r["event_id"]: r["kept"] for r in throttle(events_ds).take_all()}
+    df = (events_df()
+          .assign(ts_us=lambda d: d["ts"].astype("datetime64[us]")
+                  .astype("int64"))
+          .sort_values(["user_id", "event_type", "ts_us", "event_id"]))
+    want = {}
+    prev: dict = {}
+    for r in df.itertuples():
+        k = (r.user_id, r.event_type)
+        want[int(r.event_id)] = (k not in prev
+                                 or r.ts_us - prev[k] > THROTTLE_GAP_US)
+        prev[k] = r.ts_us
+    assert got == want
+    assert any(got.values()) and not all(got.values())
