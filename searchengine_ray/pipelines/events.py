@@ -2575,3 +2575,60 @@ WITH s AS (
   FROM events)
 SELECT event_id, (d IS NULL OR d > {gap_us}) AS kept FROM s
 """
+
+
+def value_quartile(ds: "ray.data.Dataset",
+                   num_buckets: int = 32,
+                   fetch_threshold: int = 4096) -> "ray.data.Dataset":
+    """QUANTILE BINNING feature transform: each event labeled with its
+    per-type quartile (0-3) against the EXACT p25/p50/p75 order
+    statistics (k = ceil(q·n)-th smallest, the iterative-distributed-
+    selection machinery run three times). Columns: event_id, quartile.
+
+    The three selection passes ship only (type, bucket, count) digests;
+    the ≤ |types|×3 cut points broadcast into one vectorized labeling
+    pass (pc.index_in type lookup + two searchsorted-free compares).
+    """
+    cuts = {}
+    for q_num, q_den in ((1, 4), (1, 2), (3, 4)):
+        res = value_quantile_exact(ds, q_num, q_den, "p_c", num_buckets,
+                                   fetch_threshold).take_all()
+        for r in res:
+            cuts.setdefault(r["event_type"], []).append(int(r["p_c"]))
+    types = sorted(cuts)
+    type_arr = pa.array(types, type=pa.string())
+    cut_mat = np.array([cuts[t] for t in types],
+                       dtype=np.int64)   # (types, 3) p25/p50/p75
+
+    def label(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        idx = pc.index_in(et, type_arr).to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        c = cut_mat[idx]
+        quart = ((vc > c[:, 0]).astype(np.int64)
+                 + (vc > c[:, 1]) + (vc > c[:, 2]))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "quartile": pa.array(quart),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def sql_value_quartile() -> str:
+    p25 = sql_value_quantile_exact(1, 4, "p25_c")
+    p50 = sql_value_quantile_exact(1, 2, "p50_c")
+    p75 = sql_value_quantile_exact(3, 4, "p75_c")
+    return f"""
+WITH c AS (
+  SELECT a.event_type, a.p25_c, b.p50_c, d.p75_c
+  FROM ({p25}) a JOIN ({p50}) b USING (event_type)
+  JOIN ({p75}) d USING (event_type))
+SELECT e.event_id,
+       (CAST(CAST(round(e.value * 100) AS BIGINT) > c.p25_c AS BIGINT)
+        + CAST(CAST(round(e.value * 100) AS BIGINT) > c.p50_c AS BIGINT)
+        + CAST(CAST(round(e.value * 100) AS BIGINT) > c.p75_c AS BIGINT))
+         ::BIGINT AS quartile
+FROM events e JOIN c USING (event_type)
+"""

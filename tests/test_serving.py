@@ -1905,3 +1905,22 @@ def test_throttle(events_ds):
         prev[k] = r.ts_us
     assert got == want
     assert any(got.values()) and not all(got.values())
+
+
+def test_value_quartile(events_ds):
+    from searchengine_ray.pipelines.events import value_quartile
+    got = {r["event_id"]: r["quartile"]
+           for r in value_quartile(events_ds).take_all()}
+    df = events_df()
+    vc = np.round(df["value"].to_numpy() * 100).astype("int64")
+    want = {}
+    for t in df["event_type"].unique():
+        m = (df["event_type"] == t).to_numpy()
+        v = np.sort(vc[m])
+        n = len(v)
+        cuts = [int(v[(q * n + 3) // 4 - 1]) for q in (1, 2, 3)]
+        for eid, x in zip(df["event_id"].to_numpy()[m], vc[m]):
+            want[int(eid)] = sum(int(x) > c for c in cuts)
+    assert got == want
+    # all four bins populated per the definition
+    assert set(got.values()) == {0, 1, 2, 3}
