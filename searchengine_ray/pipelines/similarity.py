@@ -1059,3 +1059,113 @@ FROM ev e JOIN v{iters} vf ON vf.d = e.d
 GROUP BY e.vec_id
 """)
     return "".join(parts)
+
+
+def _power_iterate(G: np.ndarray, iters: int) -> np.ndarray:
+    """Shared driver-side power iteration under the rounded discipline:
+    uniform start, round(·, 6) after every normalize — the contract the
+    unrolled SQL twin reproduces term for term."""
+    d = G.shape[0]
+    v = np.round(np.full(d, 1.0 / np.sqrt(d)), COS_ROUND)
+    for _ in range(iters):
+        w = G @ v
+        v = np.round(w / np.linalg.norm(w), COS_ROUND)
+    return v
+
+
+def embedding_pca2(ds: "ray.data.Dataset", iters: int = PCA_ITERS,
+                   col: str = "embedding") -> "ray.data.Dataset":
+    """Two-component distributed PCA via DRIVER-SIDE DEFLATION: the
+    first eigenvector comes from power iteration on the exact integer
+    Gram, then ``G₂ = G − λ₁ v₁ v₁ᵀ`` (Rayleigh λ₁ = v₁ᵀGv₁ / v₁ᵀv₁,
+    round(·, 6)) and a second power iteration on the deflated matrix.
+    Columns: vec_id, pc1_r, pc2_r.
+
+    The distributed phases are identical to :func:`embedding_pca1` —
+    one Gram digest pass, one projection pass (now projecting onto two
+    broadcast vectors); the deflation is d×d driver arithmetic,
+    corpus-size-independent. Summation-order drift in λ₁ perturbs the
+    deflated entries by ulps, which the per-iteration round-6 normalize
+    absorbs (the established measure-zero rounding discipline).
+    """
+    rows = embedding_gram(ds, col=col).take_all()
+    d = max(int(r["j"]) for r in rows) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[int(r["i"]), int(r["j"])] = G[int(r["j"]), int(r["i"])] = \
+            float(r["gram_scaled"])
+    v1 = _power_iterate(G, iters)
+    lam = round(float(v1 @ G @ v1) / float(v1 @ v1), COS_ROUND)
+    G2 = G - lam * np.outer(v1, v1)
+    v2 = _power_iterate(G2, iters)
+    vref = ray.put((v1, v2))
+
+    def project(batch: pa.Table) -> pa.Table:
+        a, b = ray.get(vref)
+        mat = _emb_matrix(batch, col)
+        vi = np.floor(mat * GRAM_SCALE + 0.5) if len(mat) \
+            else np.zeros((0, len(a)))
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "pc1_r": pa.array(np.round(vi @ a, COS_ROUND)),
+            "pc2_r": pa.array(np.round(vi @ b, COS_ROUND)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_power_iter_ctes(gram: str, vpre: str, iters: int,
+                         dim: int) -> str:
+    """CTE chain ``{vpre}0 .. {vpre}{iters}`` of rounded power
+    iteration over the ``{gram}(i, j, g)`` CTE (full matrix, DOUBLE)."""
+    inv = f"round(1.0 / sqrt({dim}), 6)"
+    parts = [f""",
+{vpre}0 AS (SELECT unnest(range(0, {dim}))::BIGINT AS d, {inv} AS v)"""]
+    for k in range(iters):
+        parts.append(f""",
+w{vpre}{k} AS MATERIALIZED (
+  SELECT g.i AS d, sum(g.g * {vpre}{k}.v) AS w
+  FROM {gram} g JOIN {vpre}{k} ON {vpre}{k}.d = g.j GROUP BY g.i),
+{vpre}{k + 1} AS MATERIALIZED (
+  SELECT d, round(w / (SELECT sqrt(sum(w * w)) FROM w{vpre}{k}), 6)
+    AS v FROM w{vpre}{k})""")
+    return "".join(parts)
+
+
+def sql_embedding_pca2(iters: int = PCA_ITERS, dim: int = 64) -> str:
+    """Unrolled twin of embedding_pca2: first power iteration on the
+    integer Gram, Rayleigh λ₁ + deflation as MATERIALIZED CTEs, second
+    power iteration on the deflated matrix, double projection."""
+    va, vb = f"va{iters}", f"vb{iters}"
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+gram AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.v * b.v)::DOUBLE AS g
+  FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2)""" \
+        + _sql_power_iter_ctes("gram", "va", iters, dim) + f""",
+lam AS MATERIALIZED (
+  SELECT round((SELECT sum(g.g * x.v * y.v)
+                FROM gram g
+                JOIN {va} x ON x.d = g.i
+                JOIN {va} y ON y.d = g.j)
+               / (SELECT sum(v * v) FROM {va}), 6) AS l),
+gram2 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         g.g - (SELECT l FROM lam) * x.v * y.v AS g
+  FROM gram g
+  JOIN {va} x ON x.d = g.i
+  JOIN {va} y ON y.d = g.j)""" \
+        + _sql_power_iter_ctes("gram2", "vb", iters, dim) + f"""
+SELECT e.vec_id,
+       round(sum(e.v * x.v), 6) AS pc1_r,
+       round(sum(e.v * y.v), 6) AS pc2_r
+FROM ev e
+JOIN {va} x ON x.d = e.d
+JOIN {vb} y ON y.d = e.d
+GROUP BY e.vec_id
+"""

@@ -2908,3 +2908,30 @@ def test_equi_join_multi_modes_vs_brute(ray_session, how):
           r["rv"] if r.get("rv") is not None else None) for r in rows])
     assert norm(got) == norm(want)
     assert got, how  # every mode non-trivially populated
+
+
+def test_embedding_pca2_orthogonality_and_brute(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (GRAM_SCALE,
+                                                       PCA_ITERS,
+                                                       _power_iterate,
+                                                       embedding_pca2)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path).sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vi = np.floor(mat * GRAM_SCALE + 0.5)
+    G = vi.T @ vi
+    v1 = _power_iterate(G, PCA_ITERS)
+    lam = round(float(v1 @ G @ v1) / float(v1 @ v1), 6)
+    G2 = G - lam * np.outer(v1, v1)
+    v2 = _power_iterate(G2, PCA_ITERS)
+    want = {int(k): (round(float(a), 6), round(float(b), 6))
+            for k, a, b in zip(df["vec_id"], vi @ v1, vi @ v2)}
+    got = {r["vec_id"]: (r["pc1_r"], r["pc2_r"]) for r in
+           embedding_pca2(ray.data.read_parquet(
+               path, columns=["vec_id", "embedding"])).take_all()}
+    assert got == want and len(got) == len(df)
+    # deflation property: the second direction is (near-)orthogonal to
+    # the first once the first iteration has converged at all
+    assert abs(float(v1 @ v2)) < 0.2
