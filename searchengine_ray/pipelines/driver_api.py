@@ -1920,6 +1920,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # (rounded discipline) → broadcast projection pass
         "embedding_pca1": lambda sf: similarity.embedding_pca1(
             _embs(sf, ["vec_id", "embedding"])),
+        # per-label inertia via the two-moments identity (exact ints)
+        "embedding_label_scatter": lambda sf: similarity.label_scatter(
+            _embs(sf, ["label", "embedding"])),
         # two-component PCA via driver-side deflation (Rayleigh λ₁)
         "embedding_pca2": lambda sf: similarity.embedding_pca2(
             _embs(sf, ["vec_id", "embedding"])),
@@ -2087,6 +2090,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_outliers": events.sql_value_outliers(),
         "embedding_pca1": similarity.sql_embedding_pca1(),
         "embedding_pca2": similarity.sql_embedding_pca2(),
+        "embedding_label_scatter": similarity.sql_label_scatter(),
         "embedding_gram": similarity.sql_embedding_gram(),
         "dedup_triangles": (
             f"WITH e AS (SELECT * FROM ({sql_minhash_lsh()}) t) "

@@ -1169,3 +1169,91 @@ JOIN {va} x ON x.d = e.d
 JOIN {vb} y ON y.d = e.d
 GROUP BY e.vec_id
 """
+
+
+def label_scatter(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-label SCATTER (k-means inertia / cluster cohesion): for each
+    label, n·Σ‖x‖² − ‖Σx‖² in scaled integers — exactly n² × the
+    within-label variance sum, computed WITHOUT ever forming the mean
+    (the two-moments identity keeps everything an order-insensitive
+    integer sum). Columns: label, n_vectors, scatter_scaled (int64).
+
+    Each batch emits per-label partials: n, Σ‖vi‖² (scalar) and Σvi
+    (d-vector of int64) — a labels × (d+2) digest; one (label)-keyed
+    reduce combines and finishes the identity in PYTHON ints (the
+    intermediate n·Σ‖x‖² can exceed int64 at extreme scale; the code
+    asserts the final value fits, loudly). The SQL twin uses HUGEINT.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch)
+        lab = pc.cast(batch["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vi = np.floor(mat * GRAM_SCALE + 0.5).astype(np.int64) \
+            if len(mat) else np.zeros((0, 0), dtype=np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        d = vi.shape[1]
+        s1 = np.zeros((len(u), d), dtype=np.int64)
+        np.add.at(s1, inv, vi)
+        row_sq = (vi * vi).sum(axis=1)
+        s2 = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s2, inv, row_sq)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(u),
+            "n": pa.array(n),
+            "s2": pa.array(s2),
+            "s1": _float_list_array(s1.astype(np.float64)),
+        })
+
+    def final(part: pa.Table) -> pa.Table:
+        labs = pc.cast(part["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ns = pc.cast(part["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        s2s = pc.cast(part["s2"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s1m = _emb_matrix(part, "s1")
+        out_l, out_n, out_s = [], [], []
+        for lab in np.unique(labs):
+            sel = labs == lab
+            n = int(ns[sel].sum())
+            s2 = int(s2s[sel].sum())
+            # float64 carried the per-batch partials exactly (|Σvi| ≪
+            # 2^53 by the GRAM_SCALE bound); finish in python ints
+            s1 = [int(x) for x in s1m[sel].sum(axis=0)]
+            scatter = n * s2 - sum(x * x for x in s1)
+            if not (-(1 << 63) <= scatter < (1 << 63)):
+                raise OverflowError(
+                    "label_scatter: scatter exceeds int64; rescale")
+            out_l.append(int(lab))
+            out_n.append(n)
+            out_s.append(scatter)
+        return pa.table({
+            "label": pa.array(out_l, type=pa.int64()),
+            "n_vectors": pa.array(out_n, type=pa.int64()),
+            "scatter_scaled": pa.array(out_s, type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["label"], final)
+
+
+def sql_label_scatter() -> str:
+    return f"""
+WITH ev AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+s1 AS (SELECT label, d, sum(v)::HUGEINT AS s FROM ev GROUP BY label, d),
+per AS (SELECT label, vec_id, sum(v * v)::HUGEINT AS sq
+        FROM ev GROUP BY label, vec_id),
+s2 AS (SELECT label, count(*)::HUGEINT AS n, sum(sq)::HUGEINT AS sq
+       FROM per GROUP BY label)
+SELECT s2.label::BIGINT AS label, s2.n::BIGINT AS n_vectors,
+       (s2.n * s2.sq - (SELECT sum(s * s) FROM s1
+                        WHERE s1.label = s2.label))::BIGINT
+         AS scatter_scaled
+FROM s2
+"""

@@ -2935,3 +2935,32 @@ def test_embedding_pca2_orthogonality_and_brute(ray_session):
     # deflation property: the second direction is (near-)orthogonal to
     # the first once the first iteration has converged at all
     assert abs(float(v1 @ v2)) < 0.2
+
+
+def test_label_scatter_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (GRAM_SCALE,
+                                                       label_scatter)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path, columns=["label", "embedding"])
+    got = {r["label"]: (r["n_vectors"], r["scatter_scaled"]) for r in
+           label_scatter(ray.data.read_parquet(
+               path, columns=["label", "embedding"])).take_all()}
+    want = {}
+    for lab, grp in df.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        vi = np.floor(mat * GRAM_SCALE + 0.5).astype(object)  # py ints
+        n = len(grp)
+        s2 = int(sum(int(x) * int(x) for row in vi for x in row))
+        s1 = [int(sum(int(r[d]) for r in vi)) for d in range(vi.shape[1])]
+        want[int(lab)] = (n, n * s2 - sum(x * x for x in s1))
+    assert got == want and got
+    # identity check: scatter == n^2 * mean squared deviation (exactly)
+    for lab, grp in df.groupby("label"):
+        mat = np.floor(np.stack(grp["embedding"].to_numpy())
+                       .astype(np.float64) * GRAM_SCALE + 0.5)
+        n = len(grp)
+        dev = mat - mat.mean(axis=0)
+        assert got[int(lab)][1] == pytest.approx(n * (dev * dev).sum(),
+                                                 rel=1e-12)
