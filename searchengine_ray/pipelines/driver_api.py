@@ -1953,6 +1953,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
                 _tbl(sf, "lineitem", ["l_partkey", "l_shipdate",
                                       "l_extendedprice", "l_discount"]),
                 _tbl(sf, "part", ["p_partkey", "p_type"])),
+        # data-profiling describe(): per-column min/max/nulls, one pass
+        "lineitem_profile": lambda sf: relational.profile_numeric(
+            _tbl(sf, "lineitem", list(relational.PROFILE_COLS))),
         # pure filtered-scan combiner with READ-side predicate pushdown
         "tpch_q6_revenue_delta": relational.revenue_delta,
         # grouped COUNT DISTINCT after broadcast enrichment (combiner
@@ -2107,6 +2110,7 @@ def build_oracles() -> dict[str, str]:
         "source_quality_median": analysis.sql_source_quality_median(),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),
+        "lineitem_profile": relational.sql_profile_numeric(),
         "tpch_q6_revenue_delta": relational.sql_revenue_delta(),
         "tpch_q16_supplier_variety": relational.sql_supplier_variety(),
         "tpch_q18_large_orders": relational.sql_large_orders(),

@@ -734,3 +734,67 @@ WHERE l_shipdate >= TIMESTAMP '{date_lo}'
   AND l_quantity < {max_qty}
   AND {d} BETWEEN {disc_lo} AND {disc_hi}
 """
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_numeric(ds: "ray.data.Dataset",
+                    cols: tuple[str, ...] = PROFILE_COLS
+                    ) -> "ray.data.Dataset":
+    """DATA PROFILING (``describe()``): per numeric column min / max /
+    null count / row count in one streaming pass — the ingest-time data
+    card every warehouse emits. Columns: column, min_c, max_c, n_nulls,
+    n_rows (values as half-up integer cents so the digest is exact).
+
+    Each batch emits one |cols|-row partial; a single tiny reduce
+    combines (min of mins, max of maxes, sums) — nothing else moves.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, mins, maxs, nulls, rows = [], [], [], [], []
+        for c in cols:
+            col = batch[c]
+            nn = int(col.null_count)
+            x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            x = x[~np.isnan(x)] if nn else x
+            vc = np.floor(x * 100.0 + 0.5).astype(np.int64)
+            names.append(c)
+            mins.append(int(vc.min()) if vc.size else np.iinfo(np.int64).max)
+            maxs.append(int(vc.max()) if vc.size else np.iinfo(np.int64).min)
+            nulls.append(nn)
+            rows.append(len(batch))
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "mn": pa.array(mins, type=pa.int64()),
+            "mx": pa.array(maxs, type=pa.int64()),
+            "nu": pa.array(nulls, type=pa.int64()),
+            "n": pa.array(rows, type=pa.int64()),
+        })
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["column"], use_threads=False)
+             .aggregate([("mn", "min"), ("mx", "max"),
+                         ("nu", "sum"), ("n", "sum")]))
+        return pa.table({
+            "column": pc.cast(g["column"], pa.string()),
+            "min_c": pc.cast(g["mn_min"], pa.int64()),
+            "max_c": pc.cast(g["mx_max"], pa.int64()),
+            "n_nulls": pc.cast(g["nu_sum"], pa.int64()),
+            "n_rows": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["column"], final)
+
+
+def sql_profile_numeric(cols: tuple[str, ...] = PROFILE_COLS) -> str:
+    c_exp = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+    selects = [
+        f"SELECT '{c}' AS column, min({c_exp.format(c=c)})::BIGINT AS min_c,"
+        f" max({c_exp.format(c=c)})::BIGINT AS max_c,"
+        f" (count(*) - count({c}))::BIGINT AS n_nulls,"
+        f" count(*)::BIGINT AS n_rows FROM lineitem"
+        for c in cols]
+    return " UNION ALL ".join(selects)

@@ -2964,3 +2964,27 @@ def test_label_scatter_matches_bruteforce(ray_session):
         dev = mat - mat.mean(axis=0)
         assert got[int(lab)][1] == pytest.approx(n * (dev * dev).sum(),
                                                  rel=1e-12)
+
+
+def test_profile_numeric_matches_pandas_and_handles_nulls(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.relational import profile_numeric
+    sf = "/root/testdata/sf0.001"
+    cols = ["l_quantity", "l_discount"]
+    df = pd.read_parquet(f"{sf}/lineitem.parquet", columns=cols)
+    got = {r["column"]: (r["min_c"], r["max_c"], r["n_nulls"], r["n_rows"])
+           for r in profile_numeric(
+               ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                     columns=cols),
+               cols=tuple(cols)).take_all()}
+    for c in cols:
+        v = np.floor(df[c].to_numpy() * 100 + 0.5).astype("int64")
+        assert got[c] == (int(v.min()), int(v.max()), 0, len(df))
+    # null handling: a column with nulls still profiles correctly
+    t = pa.table({"x": pa.array([1.0, None, 3.0], type=pa.float64())})
+    [r] = profile_numeric(ray.data.from_arrow(t).repartition(2),
+                          cols=("x",)).take_all()
+    assert (r["min_c"], r["max_c"], r["n_nulls"], r["n_rows"]) \
+        == (100, 300, 1, 3)
