@@ -1899,6 +1899,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # calendar-feature seasonality profile (pure combiner)
+        "events_hourly_seasonality": lambda sf: events.hourly_seasonality(
+            _events(sf, ["ts", "event_type"])),
         # quantile-binning feature transform from exact order statistics
         "events_value_quartile": lambda sf: events.value_quartile(
             _events(sf, ["event_id", "event_type", "value"])),
@@ -2086,6 +2089,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_hourly_seasonality": events.sql_hourly_seasonality(),
         "events_value_quartile": events.sql_value_quartile(),
         "events_throttle": events.sql_throttle(),
         "events_user_type_join": sql_events_user_type_join(),

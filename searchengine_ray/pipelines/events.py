@@ -2632,3 +2632,46 @@ SELECT e.event_id,
          ::BIGINT AS quartile
 FROM events e JOIN c USING (event_type)
 """
+
+
+HOUR_US = 3_600_000_000
+
+
+def hourly_seasonality(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """CALENDAR FEATURE EXTRACTION: event counts per (hour-of-day,
+    event_type) — the seasonality profile (UTC; hour = epoch-µs //
+    3600s mod 24, identical to SQL ``extract(hour ...)`` for UTC
+    timestamps). Columns: hour, event_type, n_events. Pure combiner:
+    ≤ 24×|types| digest rows per batch.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // HOUR_US) % 24
+        t = pa.table({
+            "hour": pa.array(hour),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        return (t.group_by(["hour", "event_type"], use_threads=False)
+                 .aggregate([("n", "sum")])
+                 .rename_columns(["hour", "event_type", "n"]))
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["hour", "event_type"], use_threads=False)
+             .aggregate([("n", "sum")]))
+        return pa.table({
+            "hour": pc.cast(g["hour"], pa.int64()),
+            "event_type": pc.cast(g["event_type"], pa.string()),
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["hour", "event_type"], final)
+
+
+def sql_hourly_seasonality() -> str:
+    return ("SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, "
+            "event_type, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY 1, 2")

@@ -1924,3 +1924,16 @@ def test_value_quartile(events_ds):
     assert got == want
     # all four bins populated per the definition
     assert set(got.values()) == {0, 1, 2, 3}
+
+
+def test_hourly_seasonality(events_ds):
+    from searchengine_ray.pipelines.events import hourly_seasonality
+    got = {(r["hour"], r["event_type"]): r["n_events"]
+           for r in hourly_seasonality(events_ds).take_all()}
+    df = events_df()
+    hr = (df["ts"].astype("datetime64[us]").astype("int64")
+          // 3_600_000_000) % 24
+    want: dict = {}
+    for h, t in zip(hr, df["event_type"]):
+        want[(int(h), t)] = want.get((int(h), t), 0) + 1
+    assert got == want and sum(got.values()) == len(df)
