@@ -2675,3 +2675,65 @@ def sql_hourly_seasonality() -> str:
     return ("SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, "
             "event_type, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1, 2")
+
+
+def conversion_time(ds: "ray.data.Dataset",
+                    from_type: str = "signup",
+                    to_type: str = "purchase") -> "ray.data.Dataset":
+    """TIME-TO-CONVERT: for each user, the delay from their FIRST
+    ``from_type`` event to their first ``to_type`` event at-or-after it
+    (the product-analytics "signup → purchase latency"). Columns:
+    user_id, delta_us — one row per CONVERTED user.
+
+    One coarse hash(user) shuffle; inside a partition every user's
+    anchor (min from-ts) and converted target (min to-ts ≥ anchor)
+    compute with two ``np.minimum.at`` passes — no sort, no per-user
+    loop. A user's events co-locate, so the anchor is always visible
+    to the target pass.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = pc.cast(part["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = part["event_type"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "delta_us": pa.array([], type=pa.int64())})
+        if uid.size == 0:
+            return empty
+        users = np.unique(uid)
+        pos = np.searchsorted(users, uid)
+        big = np.iinfo(np.int64).max
+        anchor = np.full(users.size, big, dtype=np.int64)
+        fmask = et == from_type
+        np.minimum.at(anchor, pos[fmask], ts[fmask])
+        target = np.full(users.size, big, dtype=np.int64)
+        tmask = (et == to_type) & (anchor[pos] != big) \
+            & (ts >= anchor[pos])
+        np.minimum.at(target, pos[tmask], ts[tmask])
+        conv = target != big
+        if not conv.any():
+            return empty
+        return pa.table({
+            "user_id": pa.array(users[conv]),
+            "delta_us": pa.array(target[conv] - anchor[conv]),
+        })
+
+    return grouped_aggregate(ds, ["user_id"], per_part)
+
+
+def sql_conversion_time(from_type: str = "signup",
+                        to_type: str = "purchase") -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS a FROM events
+  WHERE event_type = '{from_type}' GROUP BY user_id),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = '{to_type}' AND epoch_us(e.ts) >= s.a
+  GROUP BY e.user_id)
+SELECT s.user_id, (p.t - s.a)::BIGINT AS delta_us
+FROM s JOIN p USING (user_id)
+"""

@@ -1937,3 +1937,47 @@ def test_hourly_seasonality(events_ds):
     for h, t in zip(hr, df["event_type"]):
         want[(int(h), t)] = want.get((int(h), t), 0) + 1
     assert got == want and sum(got.values()) == len(df)
+
+
+def test_conversion_time(events_ds):
+    from searchengine_ray.pipelines.events import conversion_time
+    got = {r["user_id"]: r["delta_us"]
+           for r in conversion_time(events_ds).take_all()}
+    df = events_df().assign(
+        ts_us=lambda d: d["ts"].astype("datetime64[us]").astype("int64"))
+    want = {}
+    for uid, grp in df.groupby("user_id"):
+        s = grp[grp["event_type"] == "signup"]["ts_us"]
+        if s.empty:
+            continue
+        a = int(s.min())
+        p = grp[(grp["event_type"] == "purchase")
+                & (grp["ts_us"] >= a)]["ts_us"]
+        if not p.empty:
+            want[int(uid)] = int(p.min()) - a
+    assert got == want and got
+
+
+def test_conversion_time_edge_cases(ray_session):
+    """No anchor, anchor after all targets, target exactly at anchor."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import conversion_time
+    rows = [
+        (1, 100, "purchase"),   # purchase before any signup
+        (1, 200, "signup"),
+        (1, 300, "purchase"),   # converts: 100
+        (2, 50, "purchase"),    # never signs up
+        (3, 70, "signup"),
+        (3, 70, "purchase"),    # same-ts conversion: 0
+        (4, 10, "signup"),      # never purchases after
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    got = {r["user_id"]: r["delta_us"] for r in
+           conversion_time(ray.data.from_arrow(t).repartition(3))
+           .take_all()}
+    assert got == {1: 100, 3: 0}
