@@ -1981,3 +1981,38 @@ def test_conversion_time_edge_cases(ray_session):
            conversion_time(ray.data.from_arrow(t).repartition(3))
            .take_all()}
     assert got == {1: 100, 3: 0}
+
+
+@hyp_settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 4),                        # user_id
+              st.integers(0, 1000),                     # ts
+              st.sampled_from(["signup", "purchase", "view"])),
+    min_size=1, max_size=80))
+def test_conversion_time_property(ray_session, rows):
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import conversion_time
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    got = {r["user_id"]: r["delta_us"] for r in
+           conversion_time(ray.data.from_arrow(t).repartition(2))
+           .take_all()}
+    want = {}
+    by_user: dict = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        anchors = [ts for ts, et in evs if et == "signup"]
+        if not anchors:
+            continue
+        a = min(anchors)
+        targets = [ts for ts, et in evs
+                   if et == "purchase" and ts >= a]
+        if targets:
+            want[u] = min(targets) - a
+    assert got == want
