@@ -1899,6 +1899,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # distributed OLS: per-type value-over-time slope via exact
+        # integer moment sums (drift detection)
+        "events_trend_slope": lambda sf: events.trend_slope(
+            _events(sf, ["ts", "event_type", "value"])),
         # time-to-convert: first signup -> first subsequent purchase
         "events_conversion_time": lambda sf: events.conversion_time(
             _events(sf, ["user_id", "ts", "event_type"])),
@@ -2092,6 +2096,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_trend_slope": events.sql_trend_slope(),
         "events_conversion_time": events.sql_conversion_time(),
         "events_hourly_seasonality": events.sql_hourly_seasonality(),
         "events_value_quartile": events.sql_value_quartile(),

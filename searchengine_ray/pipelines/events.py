@@ -2737,3 +2737,91 @@ p AS (
 SELECT s.user_id, (p.t - s.a)::BIGINT AS delta_us
 FROM s JOIN p USING (user_id)
 """
+
+
+TREND_T0_MIN = 28_401_120  # epoch MINUTES of 2024-01-01T00:00:00Z
+TREND_SCALE = 1_000_000
+
+
+def trend_slope(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """DISTRIBUTED LEAST SQUARES: per-type OLS slope of value-cents over
+    time — drift detection as a pure moment aggregate. Columns:
+    event_type, n_events, slope_u (int64 =
+    trunc((n·Σty − Σt·Σy) · 10⁶ / (n·Σt² − (Σt)²)), t in MINUTES since
+    a FIXED epoch — minute resolution keeps the per-batch int64 moment
+    sums safe even for a decade-spanning log at 4k-row batches).
+
+    Each batch emits per-type integer moment partials (n, Σt, Σy, Σty,
+    Σt²) — order-insensitive int64 sums (per-batch magnitudes bounded);
+    ONE tiny reduce combines in PYTHON ints (the cross terms exceed
+    int64; the SQL twin uses HUGEINT) and finishes with the same
+    truncate-toward-zero division DuckDB's ``//`` performs.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = ts // 60_000_000 - TREND_T0_MIN
+        y = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        tb = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "st": pa.array(t),
+            "sy": pa.array(y),
+            "sty": pa.array(t * y),
+            "stt": pa.array(t * t),
+        })
+        return (tb.group_by(["event_type"], use_threads=False)
+                .aggregate([("n", "sum"), ("st", "sum"), ("sy", "sum"),
+                            ("sty", "sum"), ("stt", "sum")])
+                .rename_columns(["event_type", "n", "st", "sy", "sty",
+                                 "stt"]))
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["event_type"], use_threads=False)
+             .aggregate([("n", "sum"), ("st", "sum"), ("sy", "sum"),
+                         ("sty", "sum"), ("stt", "sum")]))
+        types, ns, slopes = [], [], []
+        for i in range(len(g)):
+            n = int(g["n_sum"][i].as_py())
+            st = int(g["st_sum"][i].as_py())
+            sy = int(g["sy_sum"][i].as_py())
+            sty = int(g["sty_sum"][i].as_py())
+            stt = int(g["stt_sum"][i].as_py())
+            num = (n * sty - st * sy) * TREND_SCALE
+            den = n * stt - st * st
+            if den == 0:
+                continue   # constant-t group: slope undefined
+            q = abs(num) // den          # den > 0 (variance)
+            slope = q if num >= 0 else -q   # trunc toward zero (SQL //)
+            types.append(g["event_type"][i].as_py())
+            ns.append(n)
+            slopes.append(slope)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "n_events": pa.array(ns, type=pa.int64()),
+            "slope_u": pa.array(slopes, type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["event_type"], final)
+
+
+def sql_trend_slope() -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 60000000 - {TREND_T0_MIN}) AS t,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(t)::HUGEINT AS st, sum(y)::HUGEINT AS sy,
+         sum(t * y)::HUGEINT AS sty, sum(t * t)::HUGEINT AS stt
+  FROM b GROUP BY event_type)
+SELECT event_type, n::BIGINT AS n_events,
+       CAST(((n * sty - st * sy) * {TREND_SCALE})
+            // (n * stt - st * st) AS BIGINT) AS slope_u
+FROM m WHERE n * stt - st * st != 0
+"""

@@ -2016,3 +2016,48 @@ def test_conversion_time_property(ray_session, rows):
         if targets:
             want[u] = min(targets) - a
     assert got == want
+
+
+def test_trend_slope(events_ds):
+    from searchengine_ray.pipelines.events import (TREND_SCALE,
+                                                   TREND_T0_MIN,
+                                                   trend_slope)
+    got = {r["event_type"]: (r["n_events"], r["slope_u"])
+           for r in trend_slope(events_ds).take_all()}
+    df = events_df()
+    t = (df["ts"].astype("datetime64[us]").astype("int64")
+         // 60_000_000 - TREND_T0_MIN)
+    y = np.round(df["value"].to_numpy() * 100).astype("int64")
+    want = {}
+    for typ in df["event_type"].unique():
+        m = (df["event_type"] == typ).to_numpy()
+        ti = [int(x) for x in t[m]]
+        yi = [int(x) for x in y[m]]
+        n = len(ti)
+        num = (n * sum(a * b for a, b in zip(ti, yi))
+               - sum(ti) * sum(yi)) * TREND_SCALE
+        den = n * sum(a * a for a in ti) - sum(ti) ** 2
+        if den == 0:
+            continue
+        q = abs(num) // den
+        want[typ] = (n, q if num >= 0 else -q)
+    assert got == want and got
+    # sanity: the slope approximates the float OLS fit
+    for typ, (n, s) in got.items():
+        m = (df["event_type"] == typ).to_numpy()
+        fit = np.polyfit(t[m].to_numpy().astype(float),
+                         y[m].astype(float), 1)[0]
+        assert s / 1e6 == pytest.approx(fit, abs=2e-6)  # 1e-6 trunc
+
+
+def test_trend_slope_degenerate_time(ray_session):
+    """All events at one minute -> zero variance -> group omitted."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import trend_slope
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_000_000] * 5, type=pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    assert trend_slope(ray.data.from_arrow(t)).take_all() == []
