@@ -1899,6 +1899,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         # aggregate→HAVING→join-back composition: the qualifying set is
         # produced and filtered inside the shuffle, never on the driver
+        # Pearson correlation per type (normalized moments twin)
+        "events_value_time_corr": lambda sf: events.value_time_corr(
+            _events(sf, ["ts", "event_type", "value"])),
         # distributed OLS: per-type value-over-time slope via exact
         # integer moment sums (drift detection)
         "events_trend_slope": lambda sf: events.trend_slope(
@@ -2096,6 +2099,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1_pricing": relational.sql_pricing_summary(),
         "tpch_q3_toporders": relational.sql_top_unshipped_orders(),
         "tpch_q5_local_supplier": relational.sql_local_supplier_revenue(),
+        "events_value_time_corr": events.sql_value_time_corr(),
         "events_trend_slope": events.sql_trend_slope(),
         "events_conversion_time": events.sql_conversion_time(),
         "events_hourly_seasonality": events.sql_hourly_seasonality(),

@@ -2825,3 +2825,90 @@ SELECT event_type, n::BIGINT AS n_events,
             // (n * stt - st * st) AS BIGINT) AS slope_u
 FROM m WHERE n * stt - st * st != 0
 """
+
+
+def value_time_corr(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """PEARSON CORRELATION per type between time and value — the
+    normalized twin of :func:`trend_slope`, same exact integer moment
+    sums plus Σy². Columns: event_type, n_events, corr_r
+    (round(num / (√d₁·√d₂), 6); num and the two variance terms are
+    EXACT python ints on the engine side / HUGEINT in SQL, converted to
+    double by the identical round-to-nearest cast in both engines, so
+    the final rounded double matches bit-for-bit).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = ts // 60_000_000 - TREND_T0_MIN
+        y = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        tb = pa.table({
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "st": pa.array(t),
+            "sy": pa.array(y),
+            "sty": pa.array(t * y),
+            "stt": pa.array(t * t),
+            "syy": pa.array(y * y),
+        })
+        return (tb.group_by(["event_type"], use_threads=False)
+                .aggregate([("n", "sum"), ("st", "sum"), ("sy", "sum"),
+                            ("sty", "sum"), ("stt", "sum"),
+                            ("syy", "sum")])
+                .rename_columns(["event_type", "n", "st", "sy", "sty",
+                                 "stt", "syy"]))
+
+    def final(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["event_type"], use_threads=False)
+             .aggregate([("n", "sum"), ("st", "sum"), ("sy", "sum"),
+                         ("sty", "sum"), ("stt", "sum"), ("syy", "sum")]))
+        types, ns, corrs = [], [], []
+        for i in range(len(g)):
+            n = int(g["n_sum"][i].as_py())
+            st = int(g["st_sum"][i].as_py())
+            sy = int(g["sy_sum"][i].as_py())
+            sty = int(g["sty_sum"][i].as_py())
+            stt = int(g["stt_sum"][i].as_py())
+            syy = int(g["syy_sum"][i].as_py())
+            num = n * sty - st * sy
+            d1 = n * stt - st * st
+            d2 = n * syy - sy * sy
+            if d1 == 0 or d2 == 0:
+                continue
+            corr = round(float(num)
+                         / (math.sqrt(float(d1)) * math.sqrt(float(d2))),
+                         6)
+            types.append(g["event_type"][i].as_py())
+            ns.append(n)
+            corrs.append(corr)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "n_events": pa.array(ns, type=pa.int64()),
+            "corr_r": pa.array(corrs, type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["event_type"], final)
+
+
+def sql_value_time_corr() -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 60000000 - {TREND_T0_MIN}) AS t,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(t)::HUGEINT AS st, sum(y)::HUGEINT AS sy,
+         sum(t * y)::HUGEINT AS sty, sum(t * t)::HUGEINT AS stt,
+         sum(y * y)::HUGEINT AS syy
+  FROM b GROUP BY event_type)
+SELECT event_type, n::BIGINT AS n_events,
+       round((n * sty - st * sy)::DOUBLE
+             / (sqrt((n * stt - st * st)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr_r
+FROM m WHERE n * stt - st * st != 0 AND n * syy - sy * sy != 0
+"""

@@ -2061,3 +2061,21 @@ def test_trend_slope_degenerate_time(ray_session):
         "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
     })
     assert trend_slope(ray.data.from_arrow(t)).take_all() == []
+
+
+def test_value_time_corr(events_ds):
+    from searchengine_ray.pipelines.events import (TREND_T0_MIN,
+                                                   value_time_corr)
+    got = {r["event_type"]: (r["n_events"], r["corr_r"])
+           for r in value_time_corr(events_ds).take_all()}
+    df = events_df()
+    t = (df["ts"].astype("datetime64[us]").astype("int64")
+         // 60_000_000 - TREND_T0_MIN)
+    y = np.round(df["value"].to_numpy() * 100).astype("int64")
+    for typ, (n, c) in got.items():
+        m = (df["event_type"] == typ).to_numpy()
+        assert n == int(m.sum())
+        ref = np.corrcoef(t[m].to_numpy().astype(float),
+                          y[m].astype(float))[0, 1]
+        assert c == pytest.approx(ref, abs=2e-6)
+    assert got and all(-1.0 <= c <= 1.0 for _, c in got.values())
