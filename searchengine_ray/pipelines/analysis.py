@@ -1907,3 +1907,70 @@ SELECT d.source,
 FROM q JOIN documents d USING (doc_id)
 GROUP BY d.source
 """
+
+
+def zipf_slope(ds: "ray.data.Dataset",
+               cfg: IndexConfig = IndexConfig()) -> "ray.data.Dataset":
+    """CORPUS LAW FIT: the Zipf exponent — OLS slope of ln(count) over
+    ln(rank) across the term frequency table (corpus-health diagnostic:
+    natural text ≈ −1, templated/duplicated corpora flatten). Columns:
+    one row — n_terms, slope_r (round 6).
+
+    One tokenize pass produces the (term, count) digest (vocab-bounded,
+    the same boundedness contract as term_df); ranking and the 2-var
+    OLS run on the driver over that digest. Both engines fit on
+    round(ln(·), 6) coordinates so libm-vs-numpy 1-ulp log differences
+    can never move the fit.
+    """
+    from searchengine_ray.functions.arrow_tokenize import tokenize_column
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, toks = tokenize_column(batch["text"], cfg, apply_filter=True)
+        g = (pa.table({"term": toks})
+             .group_by(["term"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({"term": g["term"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    def reduce_t(part: pa.Table) -> pa.Table:
+        g = part.group_by(["term"], use_threads=False) \
+                .aggregate([("c", "sum")])
+        return pa.table({"term": pc.cast(g["term"], pa.string()),
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    digest = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["term"], reduce_t).take_all()   # vocab-bounded
+    if not digest:
+        return ray.data.from_arrow(pa.table({
+            "n_terms": pa.array([0], type=pa.int64()),
+            "slope_r": pa.array([0.0], type=pa.float64())}))
+    rows = sorted(digest, key=lambda r: (-int(r["c"]), r["term"]))
+    n = len(rows)
+    x = np.round(np.log(np.arange(1, n + 1, dtype=np.float64)), 6)
+    y = np.round(np.log(np.array([float(r["c"]) for r in rows])), 6)
+    num = n * float(x @ y) - float(x.sum()) * float(y.sum())
+    den = n * float(x @ x) - float(x.sum()) ** 2
+    slope = round(num / den, 6) if den != 0 else 0.0
+    return ray.data.from_arrow(pa.table({
+        "n_terms": pa.array([n], type=pa.int64()),
+        "slope_r": pa.array([slope], type=pa.float64())}))
+
+
+def sql_zipf_slope(cfg: IndexConfig = IndexConfig()) -> str:
+    from searchengine_ray.functions.tokenizer import sql_filtered_tokens_expr
+    toks = sql_filtered_tokens_expr("text", cfg)
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS term FROM documents),
+tc AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+rk AS (
+  SELECT round(ln(row_number() OVER (ORDER BY c DESC, term)), 6) AS x,
+         round(ln(c::DOUBLE), 6) AS y
+  FROM tc),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM rk)
+SELECT n AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r
+FROM m
+"""

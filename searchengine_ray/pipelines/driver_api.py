@@ -1953,6 +1953,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # via a packed-key id-width join
         "dedup_consensus_pairs": lambda sf: dedup.consensus_pairs(
             _docs(sf), cfg=CFG),
+        # corpus law fit: Zipf exponent over the term-frequency digest
+        "corpus_zipf_slope": lambda sf: analysis.zipf_slope(
+            _docs(sf, ["text"]), CFG),
         # curation dashboard: per-source median of the quality metric
         "source_quality_median": lambda sf: analysis.source_quality_median(
             _docs(sf, ["source", "text"])),
@@ -2124,6 +2127,7 @@ def build_oracles() -> dict[str, str]:
             f"FROM ({sql_minhash_lsh()}) m "
             f"JOIN ({sql_simhash_neardup()}) s "
             f"USING (a_id, b_id)"),
+        "corpus_zipf_slope": analysis.sql_zipf_slope(CFG),
         "source_quality_median": analysis.sql_source_quality_median(),
         "source_term_drift": analysis.sql_source_term_drift(CFG),
         "tpch_q14_promo_share": relational.sql_promo_revenue_by_month(),

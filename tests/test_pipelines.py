@@ -2988,3 +2988,30 @@ def test_profile_numeric_matches_pandas_and_handles_nulls(ray_session):
                           cols=("x",)).take_all()
     assert (r["min_c"], r["max_c"], r["n_nulls"], r["n_rows"]) \
         == (100, 300, 1, 3)
+
+
+def test_zipf_slope_matches_counter(ray_session):
+    import collections
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.config import IndexConfig
+    from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
+    from searchengine_ray.pipelines.analysis import zipf_slope
+    cfg = IndexConfig()
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    cnt = collections.Counter()
+    for txt in df["text"]:
+        cnt.update(filter_tokens(tokenize(txt), cfg))
+    rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(rows)
+    x = np.round(np.log(np.arange(1, n + 1, dtype=np.float64)), 6)
+    y = np.round(np.log(np.array([float(c) for _, c in rows])), 6)
+    num = n * float(x @ y) - float(x.sum()) * float(y.sum())
+    den = n * float(x @ x) - float(x.sum()) ** 2
+    want = round(num / den, 6)
+    [r] = zipf_slope(ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["text"]), cfg).take_all()
+    assert r["n_terms"] == n and r["slope_r"] == want
+    assert r["slope_r"] < 0   # frequencies decay with rank
