@@ -471,43 +471,41 @@ FROM flagged GROUP BY window_start_us, event_type, is_late
 
 
 def value_quantiles(ds: "ray.data.Dataset",
-                    qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> pa.Table:
-    """EXACT per-type value quantiles + distinct-user counts, distributed
-    via bounded-domain histograms: value_c = round(value·100) has bounded
-    cardinality, so a (type, value_c) count table is an exact, mergeable
-    "sketch" — partial histograms per batch, one digest-sized shuffle,
-    and only histogram rows (types × domain) ever reach the driver.
-    Distinct users ride hash-partitioned pair-dedup partials the same way.
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    num_buckets: int = 32,
+                    fetch_threshold: int = 4096) -> pa.Table:
+    """EXACT per-type value quantiles + distinct-user counts via
+    ITERATIVE DISTRIBUTED SELECTION (:func:`value_quantile_exact`'s
+    engine): every requested quantile refines TOGETHER — each round is
+    ONE streaming column scan that bins all still-active
+    (type, quantile) intervals into ``num_buckets`` sub-buckets, and
+    the driver only ever accumulates (type, quantile, bucket, count)
+    digests. The round-4 shape — a driver-side (type x distinct-cents)
+    histogram — was exact but unbounded on a wide/unquantized value
+    domain; this one's driver traffic is O(types x qs x buckets) per
+    round regardless of value cardinality. Distinct users ride
+    hash-partitioned pair-dedup partials (<= partitions x types rows).
 
     Columns: event_type, n_events, n_users, p{50,90,99}_value_c — the
     quantile convention matches DuckDB quantile_disc: sorted value at
-    index max(0, ceil(q·n) − 1)."""
+    index max(0, ceil(q*n) - 1)."""
     from searchengine_ray.pipelines.common import grouped_aggregate
 
-    def hpart(batch: pa.Table) -> pa.Table:
-        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
-                      * 100.0).astype(np.int64)
-        t = pa.table({
-            "event_type": pc.cast(batch["event_type"], pa.string()),
-            "vc": pa.array(vc),
-            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
-        })
-        g = (t.group_by(["event_type", "vc"], use_threads=False)
-             .aggregate([("n", "sum")]))
-        # by-NAME selection: group_by output column ORDER has differed
-        # across pyarrow versions; positional renames would silently
-        # mislabel
-        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
-                         "n": g["n_sum"]})
-
-    def hreduce(part: pa.Table) -> pa.Table:
-        g = (part.group_by(["event_type", "vc"], use_threads=False)
-             .aggregate([("n", "sum")]))
-        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
-                         "n": g["n_sum"]})
-
-    hist = grouped_aggregate(ds.map_batches(hpart, batch_format="pyarrow"),
-                             ["event_type", "vc"], hreduce)
+    proj = _project_type_cents(ds)
+    stats = _type_value_stats(proj)
+    tags = [f"p{int(round(q * 100))}_value_c" for q in qs]
+    active: dict[tuple[str, str], tuple[int, int, int]] = {}
+    counts: dict[tuple[str, str], int] = {}
+    for q, tag in zip(qs, tags):
+        # exact ceil(q*n) in integer math (q as parts-per-million —
+        # int(0.99*1e6) would TRUNCATE to 989999)
+        qn = int(round(q * 1_000_000))
+        for ty, (n, lo, hi) in stats.items():
+            k = max(1, -(-qn * int(n) // 1_000_000))
+            active[(ty, tag)] = (int(lo) - 1, int(hi), k)
+            counts[(ty, tag)] = int(n)
+    result = _iterative_select(proj, active, counts, num_buckets,
+                               fetch_threshold)
 
     def upart(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -526,40 +524,23 @@ def value_quantiles(ds: "ray.data.Dataset",
                          "pu": pc.cast(g["user_id_count"], pa.int64())})
 
     users = grouped_aggregate(
-        ds.map_batches(upart, batch_format="pyarrow"),
+        ds.select_columns(["event_type", "user_id"])
+          .map_batches(upart, batch_format="pyarrow"),
         ["event_type", "user_id"], ureduce)
 
-    # driver-side finalize over BOUNDED rows (types × value domain)
-    hrows = hist.take_all()
-    urows = users.take_all()
-    by_type: dict[str, dict[int, int]] = {}
-    for r in hrows:
-        by_type.setdefault(r["event_type"], {})[int(r["vc"])] = \
-            by_type.get(r["event_type"], {}).get(int(r["vc"]), 0) \
-            + int(r["n"])
     u_by_type: dict[str, int] = {}
-    for r in urows:
+    for r in users.take_all():        # bounded: <= partitions x types rows
         u_by_type[r["event_type"]] = u_by_type.get(r["event_type"], 0) \
             + int(r["pu"])
-    out: dict[str, list] = {"event_type": [], "n_events": [], "n_users": []}
-    for q in qs:
-        out[f"p{int(round(q * 100))}_value_c"] = []
-    for etype in sorted(by_type):
-        counts = by_type[etype]
-        vals = np.array(sorted(counts), dtype=np.int64)
-        cnts = np.array([counts[int(v)] for v in vals], dtype=np.int64)
-        cum = np.cumsum(cnts)
-        n = int(cum[-1])
-        out["event_type"].append(etype)
-        out["n_events"].append(n)
-        out["n_users"].append(u_by_type.get(etype, 0))
-        for q in qs:
-            # exact ceil(q·n)−1 in integer math (q as parts-per-million —
-            # int(0.99·1e6) would TRUNCATE to 989999)
-            qn = int(round(q * 1_000_000))
-            idx = max(0, -(-qn * n // 1_000_000) - 1)
-            pos = int(np.searchsorted(cum, idx + 1, side="left"))
-            out[f"p{int(round(q * 100))}_value_c"].append(int(vals[pos]))
+
+    tys = sorted(stats)
+    out: dict[str, list] = {
+        "event_type": tys,
+        "n_events": [int(stats[t][0]) for t in tys],
+        "n_users": [u_by_type.get(t, 0) for t in tys],
+    }
+    for tag in tags:
+        out[tag] = [result[(t, tag)] for t in tys]
     return pa.table({k: pa.array(v, type=pa.string() if k == "event_type"
                                  else pa.int64())
                      for k, v in out.items()})
@@ -1836,37 +1817,45 @@ def value_quantile_exact(ds: "ray.data.Dataset", q_num: int = 1,
                          fetch_threshold: int = 4096
                          ) -> "ray.data.Dataset":
     """EXACT per-type q-quantile — the k-th smallest cents value with
-    k = ceil(q·n) = (q_num·n + q_den − 1) // q_den — by ITERATIVE
-    DISTRIBUTED SELECTION, never a sort and never an
-    O(distinct-values) structure on the driver (the exact twin
-    of the :func:`value_quantiles` sketch, built for a continuous value
-    domain the broadcast-histogram cut can't carry).
+    k = ceil(q*n) = (q_num*n + q_den - 1) // q_den — by ITERATIVE
+    DISTRIBUTED SELECTION (:func:`_iterative_select`), never a sort
+    and never an O(distinct-values) structure on the driver. Columns:
+    event_type, <out_col> (int64)."""
+    proj = _project_type_cents(ds)
+    stats = _type_value_stats(proj)
+    active = {(ty, out_col): (int(lo) - 1, int(hi),
+                              (q_num * int(n) + q_den - 1) // q_den)
+              for ty, (n, lo, hi) in stats.items()}
+    counts = {(ty, out_col): int(n) for ty, (n, _, _) in stats.items()}
+    result = _iterative_select(proj, active, counts, num_buckets,
+                               fetch_threshold)
+    tys = sorted(stats)
+    return _table_dataset(pa.table({
+        "event_type": pa.array(tys, type=pa.string()),
+        out_col: pa.array([result[(t, out_col)] for t in tys],
+                          type=pa.int64()),
+    }))
 
-    Each refinement round is ONE streaming column scan: every batch
-    bins its in-interval values into ``num_buckets`` sub-buckets of the
-    current per-type interval and emits (type, bucket, count) digests —
-    the ONLY thing the driver ever accumulates (≤ |types| × buckets
-    scalars per block). The driver walks the cumulative counts to find
-    the sub-bucket holding the k-th value, narrows the interval, and
-    re-scans. A type stops refining when its interval holds ≤
-    ``fetch_threshold`` values (fetched once, ``np.partition`` gives
-    the exact order statistic) or collapses to a single integer.
-    Rounds are O(log_buckets(value_range)); at 100 TB each round
-    re-streams two id-width columns from storage rather than pinning a
-    projection in the object store. Columns: event_type, median_c
-    (int64)."""
-    proj_cols = ["event_type", "value"]
 
+def _project_type_cents(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(event_type, vc=round(value*100)) projection the selection scans
+    re-stream per round — at 100 TB each round re-reads two id-width
+    columns from storage rather than pinning a projection in the
+    object store."""
     def project(batch: pa.Table) -> pa.Table:
         vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
                       * 100.0).astype(np.int64)
         return pa.table({"event_type": batch["event_type"],
                          "vc": pa.array(vc)})
 
-    proj = ds.select_columns(proj_cols) \
+    return ds.select_columns(["event_type", "value"]) \
              .map_batches(project, batch_format="pyarrow")
 
-    # round 0: per-type (n, min, max) — digest-sized partials
+
+def _type_value_stats(proj: "ray.data.Dataset"
+                      ) -> dict[str, tuple[int, int, int]]:
+    """One streaming pass -> {event_type: (n, min_vc, max_vc)} from
+    digest-sized per-batch partials."""
     def stats_part(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["event_type"], use_threads=False).aggregate(
             [("vc", "count"), ("vc", "min"), ("vc", "max")])
@@ -1884,107 +1873,151 @@ def value_quantile_exact(ds: "ray.data.Dataset", q_num: int = 1,
             cur[0] += n
             cur[1] = min(cur[1], lo)
             cur[2] = max(cur[2], hi)
+    return {ty: (int(n), int(lo), int(hi))
+            for ty, (n, lo, hi) in agg.items()}
 
-    # active[ty] = (lo_excl, hi_incl, k) — the k-th smallest in (lo, hi]
-    active = {ty: (int(lo) - 1, int(hi),
-                   (q_num * int(n) + q_den - 1) // q_den)
-              for ty, (n, lo, hi) in agg.items()}
-    result: dict[str, int] = {}
-    to_fetch: dict[str, tuple[int, int, int]] = {}
 
-    counts = {ty: int(n) for ty, (n, _, _) in agg.items()}
+def _iterative_select(proj: "ray.data.Dataset",
+                      active: dict[tuple[str, str], tuple[int, int, int]],
+                      counts: dict[tuple[str, str], int],
+                      num_buckets: int = 32,
+                      fetch_threshold: int = 4096
+                      ) -> dict[tuple[str, str], int]:
+    """Iterative distributed selection over (event_type, vc) rows for
+    MANY targets at once: ``active[(type, tag)] = (lo_excl, hi_incl,
+    k)`` asks for the k-th smallest vc in (lo, hi] among rows of that
+    type. Each refinement round is ONE streaming column scan: every
+    batch bins its in-interval values for EVERY still-active target
+    into ``num_buckets`` sub-buckets and emits (type, tag, bucket,
+    count) digests — the ONLY thing the driver ever accumulates
+    (<= targets x buckets scalars per block). The driver walks the
+    cumulative counts, narrows each target's interval, and re-scans;
+    a target stops when its interval holds <= ``fetch_threshold``
+    values (fetched once; ``np.partition`` gives the exact order
+    statistic) or collapses to a single integer. Rounds are
+    O(log_buckets(value_range)) — the slowest target bounds the scan
+    count, so p50/p90/p99 together cost the same passes as one."""
+    active = dict(active)
+    counts = dict(counts)
+    result: dict[tuple[str, str], int] = {}
+    to_fetch: dict[tuple[str, str], tuple[int, int, int]] = {}
+
     while active:
-        for ty in list(active):
-            lo, hi, k = active[ty]
+        for key in list(active):
+            lo, hi, k = active[key]
             if hi - lo == 1:          # single integer left — done
-                result[ty] = hi
-                del active[ty]
-            elif counts[ty] <= fetch_threshold:
-                to_fetch[ty] = active.pop(ty)
+                result[key] = hi
+                del active[key]
+            elif counts[key] <= fetch_threshold:
+                to_fetch[key] = active.pop(key)
         if not active:
             break
-        # integer sub-edges per active type (inner edges, ascending)
+        # integer sub-edges per target (inner edges, ascending)
         spec = {}
-        for ty, (lo, hi, _k) in active.items():
+        for key, (lo, hi, _k) in active.items():
             edges = np.unique(np.linspace(lo, hi, num_buckets + 1)
                               .astype(np.int64))[1:-1]
-            spec[ty] = (lo, hi, edges)
+            spec[key] = (lo, hi, edges)
 
         def bucket_pass(batch: pa.Table, _spec=spec) -> pa.Table:
             vc = batch["vc"].to_numpy(zero_copy_only=False)
-            tys, bks, cts = [], [], []
-            for ty, (lo, hi, edges) in _spec.items():
+            by_ty: dict[str, list] = {}
+            for (ty, tag), s in _spec.items():
+                by_ty.setdefault(ty, []).append((tag, s))
+            tys, tags, bks, cts = [], [], [], []
+            for ty, specs in by_ty.items():
                 tm = pc.equal(batch["event_type"], ty).to_numpy(
                     zero_copy_only=False)
-                m = tm & (vc > lo) & (vc <= hi)
-                if not m.any():
+                if not tm.any():
                     continue
-                bk = np.searchsorted(edges, vc[m], side="left")
-                u, c = np.unique(bk, return_counts=True)
-                tys.extend([ty] * len(u))
-                bks.append(u.astype(np.int64))
-                cts.append(c.astype(np.int64))
+                for tag, (lo, hi, edges) in specs:
+                    m = tm & (vc > lo) & (vc <= hi)
+                    if not m.any():
+                        continue
+                    bk = np.searchsorted(edges, vc[m], side="left")
+                    u, c = np.unique(bk, return_counts=True)
+                    tys.extend([ty] * len(u))
+                    tags.extend([tag] * len(u))
+                    bks.append(u.astype(np.int64))
+                    cts.append(c.astype(np.int64))
             if not tys:
                 z = pa.array([], type=pa.int64())
                 return pa.table({"event_type":
                                  pa.array([], type=pa.string()),
+                                 "tag": pa.array([], type=pa.string()),
                                  "bk": z, "c": z})
             return pa.table({"event_type": pa.array(tys),
+                             "tag": pa.array(tags),
                              "bk": pa.array(np.concatenate(bks)),
                              "c": pa.array(np.concatenate(cts))})
 
-        hist: dict[str, np.ndarray] = {
-            ty: np.zeros(len(spec[ty][2]) + 1, dtype=np.int64)
-            for ty in spec}
+        hist: dict[tuple[str, str], np.ndarray] = {
+            key: np.zeros(len(spec[key][2]) + 1, dtype=np.int64)
+            for key in spec}
         for b in proj.map_batches(bucket_pass, batch_format="pyarrow") \
                      .iter_batches(batch_format="pyarrow"):
-            for ty, bk, c in zip(b["event_type"].to_pylist(),
-                                 b["bk"].to_pylist(), b["c"].to_pylist()):
-                hist[ty][bk] += c
-        for ty in list(active):
-            lo, hi, k = active[ty]
-            edges = spec[ty][2]
-            cum = np.cumsum(hist[ty])
+            for ty, tag, bk, c in zip(b["event_type"].to_pylist(),
+                                      b["tag"].to_pylist(),
+                                      b["bk"].to_pylist(),
+                                      b["c"].to_pylist()):
+                hist[(ty, tag)][bk] += c
+        for key in list(active):
+            lo, hi, k = active[key]
+            edges = spec[key][2]
+            cum = np.cumsum(hist[key])
             j = int(np.searchsorted(cum, k, side="left"))
             k_new = k - (int(cum[j - 1]) if j else 0)
             all_edges = np.concatenate([[lo], edges, [hi]])
-            active[ty] = (int(all_edges[j]), int(all_edges[j + 1]), k_new)
-            counts[ty] = int(hist[ty][j])
+            active[key] = (int(all_edges[j]), int(all_edges[j + 1]), k_new)
+            counts[key] = int(hist[key][j])
 
     if to_fetch:
         fspec = dict(to_fetch)
 
         def fetch(batch: pa.Table, _f=fspec) -> pa.Table:
             vc = batch["vc"].to_numpy(zero_copy_only=False)
-            keep = np.zeros(len(vc), dtype=bool)
-            for ty, (lo, hi, _k) in _f.items():
+            by_ty: dict[str, list] = {}
+            for (ty, tag), s in _f.items():
+                by_ty.setdefault(ty, []).append((tag, s))
+            tys, tags, vals = [], [], []
+            for ty, specs in by_ty.items():
                 tm = pc.equal(batch["event_type"], ty).to_numpy(
                     zero_copy_only=False)
-                keep |= tm & (vc > lo) & (vc <= hi)
-            return pa.table({"event_type":
-                             pc.filter(batch["event_type"],
-                                       pa.array(keep)),
-                             "vc": pa.array(vc[keep])})
+                if not tm.any():
+                    continue
+                for tag, (lo, hi, _k) in specs:
+                    m = tm & (vc > lo) & (vc <= hi)
+                    if not m.any():
+                        continue
+                    nm = int(m.sum())
+                    tys.extend([ty] * nm)
+                    tags.extend([tag] * nm)
+                    vals.append(vc[m])
+            if not tys:
+                return pa.table({"event_type":
+                                 pa.array([], type=pa.string()),
+                                 "tag": pa.array([], type=pa.string()),
+                                 "vc": pa.array([], type=pa.int64())})
+            return pa.table({"event_type": pa.array(tys),
+                             "tag": pa.array(tags),
+                             "vc": pa.array(np.concatenate(vals))})
 
-        vals: dict[str, list[np.ndarray]] = {ty: [] for ty in fspec}
+        vals: dict[tuple[str, str], list[np.ndarray]] = {
+            key: [] for key in fspec}
         for b in proj.map_batches(fetch, batch_format="pyarrow") \
                      .iter_batches(batch_format="pyarrow"):
             t = b["event_type"].to_numpy(zero_copy_only=False)
+            g = b["tag"].to_numpy(zero_copy_only=False)
             v = b["vc"].to_numpy(zero_copy_only=False)
-            for ty in fspec:
-                m = t == ty
+            for ty, tag in fspec:
+                m = (t == ty) & (g == tag)
                 if m.any():
-                    vals[ty].append(v[m])
-        for ty, (_lo, _hi, k) in fspec.items():
-            v = (np.concatenate(vals[ty]) if vals[ty]
+                    vals[(ty, tag)].append(v[m])
+        for key, (_lo, _hi, k) in fspec.items():
+            v = (np.concatenate(vals[key]) if vals[key]
                  else np.empty(0, dtype=np.int64))
-            result[ty] = int(np.partition(v, k - 1)[k - 1])
-
-    tys = sorted(result)
-    return _table_dataset(pa.table({
-        "event_type": pa.array(tys, type=pa.string()),
-        out_col: pa.array([result[t] for t in tys], type=pa.int64()),
-    }))
+            result[key] = int(np.partition(v, k - 1)[k - 1])
+    return result
 
 
 def _table_dataset(tbl: pa.Table) -> "ray.data.Dataset":

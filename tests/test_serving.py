@@ -378,6 +378,57 @@ def test_value_quantiles_matches_quantile_disc(ray_session):
     assert sorted(got, key=lambda r: r["event_type"]) == want
 
 
+def test_value_quantiles_driver_fetch_is_digest_bounded(ray_session,
+                                                        monkeypatch):
+    """Round-4 verdict: the old finalize shipped a (type × distinct-cents)
+    histogram to the driver — unbounded on a continuous value domain. The
+    iterative-selection rewrite must keep every driver fetch digest-sized:
+    total driver-visible rows stay far below the distinct-value count,
+    while the result remains quantile_disc-exact."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (sql_value_quantiles,
+                                                   value_quantiles)
+    rng = np.random.default_rng(11)
+    n = 60_000
+    t = pa.table({
+        "event_type": pa.array(np.repeat(["a", "b", "c"], n // 3)),
+        "user_id": pa.array(rng.integers(0, 50, size=n), type=pa.int64()),
+        "value": pa.array(rng.uniform(0.0, 500.0, size=n),
+                          type=pa.float64()),
+    })
+    distinct = len(np.unique(
+        np.round(t["value"].to_numpy() * 100.0).astype(np.int64)))
+    assert distinct > 20_000  # the old path would ship every one of these
+
+    fetched = []
+    real_take_all = ray.data.Dataset.take_all
+    real_iter = ray.data.Dataset.iter_batches
+
+    def spy_take_all(self, *a, **kw):
+        rows = real_take_all(self, *a, **kw)
+        fetched.append(len(rows))
+        return rows
+
+    def spy_iter(self, *a, **kw):
+        for b in real_iter(self, *a, **kw):
+            fetched.append(b.num_rows if hasattr(b, "num_rows") else len(b))
+            yield b
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy_take_all)
+    monkeypatch.setattr(ray.data.Dataset, "iter_batches", spy_iter)
+    got = value_quantiles(ray.data.from_arrow(t), num_buckets=8,
+                          fetch_threshold=64).to_pylist()
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(sql_value_quantiles()
+                       + " ORDER BY event_type").fetch_arrow_table() \
+        .to_pylist()
+    assert sorted(got, key=lambda r: r["event_type"]) == want
+    assert sum(fetched) < distinct // 4, (sum(fetched), distinct)
+
+
 def test_streaming_window_late_policy(ray_session):
     """Hand-built out-of-order stream: the watermark (running max event
     time − lateness) must drop exactly the straggler that arrives after
