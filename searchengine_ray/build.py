@@ -126,6 +126,8 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                           ("codec_version", CODEC_VERSION),
                           ("lengths_layout", "range"),
                           ("stemmer", cfg.stemmer),
+                          ("tokenizer",
+                           getattr(cfg, "tokenizer", "split")),
                           ("tokenizer_version", TOKENIZER_VERSION)):
             have = prior.get(key)
             if have != want:
@@ -260,6 +262,7 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
         "codec_version": CODEC_VERSION,
         "lengths_layout": "range",
         "stemmer": cfg.stemmer,
+        "tokenizer": getattr(cfg, "tokenizer", "split"),
         "tokenizer_version": TOKENIZER_VERSION,
         "hot_terms": hot_terms,
         # done unless an only_parts run deliberately excluded docstore

@@ -56,7 +56,8 @@ def cmd_build(args) -> int:
     from searchengine_ray.sources.corpus import read_source
     cfg = IndexConfig(num_partitions=args.partitions,
                       num_length_partitions=max(2, args.partitions // 8),
-                      stemmer=args.stemmer)
+                      stemmer=args.stemmer,
+                      tokenizer=args.tokenizer)
     if args.delta_against:
         # incremental ingest: index only content the base doesn't have
         # (exact sha anti-join); the delta federates/merges with the base
@@ -77,7 +78,8 @@ def cmd_query(args) -> int:
     from searchengine_ray.query import QueryEngine
     cfg = IndexConfig(num_partitions=args.partitions,
                       num_length_partitions=max(2, args.partitions // 8),
-                      stemmer=args.stemmer)
+                      stemmer=args.stemmer,
+                      tokenizer=args.tokenizer)
     eng = QueryEngine(args.index, cfg, QueryConfig())
     if args.page is not None:
         out = eng.search_page(args.q, page=args.page, per_page=args.per_page,
@@ -120,7 +122,8 @@ def cmd_serve(args) -> int:
     from searchengine_ray.serve import SearchApp, SearchHTTPServer
     cfg = IndexConfig(num_partitions=args.partitions,
                       num_length_partitions=max(2, args.partitions // 8),
-                      stemmer=args.stemmer)
+                      stemmer=args.stemmer,
+                      tokenizer=args.tokenizer)
     eng = QueryEngine(args.index, cfg,
                       preload_segments=args.preload)
     app = SearchApp(eng, mode="hybrid" if args.hybrid else "bm25",
@@ -160,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--no-salt", action="store_true")
     b.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
+    b.add_argument("--tokenizer", choices=["split", "treebank"], default="split")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--delta-against", default=None, metavar="BASE_INDEX",
                    help="incremental ingest: index only content whose "
@@ -171,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("--top-k", type=int, default=20)
     q.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
+    q.add_argument("--tokenizer", choices=["split", "treebank"], default="split")
     q.add_argument("--partitions", type=int, default=32)
     q.add_argument("--page", type=int, default=None)
     q.add_argument("--per-page", type=int, default=15)
@@ -201,6 +206,7 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--per-page", type=int, default=15)
     sv.add_argument("--stemmer", choices=["none", "porter", "nltk"], default="none")
+    sv.add_argument("--tokenizer", choices=["split", "treebank"], default="split")
     sv.add_argument("--hybrid", action="store_true")
     sv.add_argument("--preload", action="store_true",
                     help="load every segment partition at startup so the "

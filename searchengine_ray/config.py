@@ -48,6 +48,16 @@ class IndexConfig:
     # (utils/text_processing.py:62-74). Index and queries must use the
     # same value (recorded in the manifest; mismatches refuse loudly).
     stemmer: str = "none"
+    # Word-tokenizer variant applied AFTER the normalize chain, BEFORE
+    # stemming (the word_tokenize slot of the reference's NLTK branch,
+    # text_processing.py:66): "split" = plain whitespace split (fallback
+    # branch); "treebank" = Penn-Treebank rules (functions/treebank.py) —
+    # on normalized text exactly the MacIntyre contraction-word expansion
+    # (cannot→can not, gonna→gon na, …). tokenizer="treebank" +
+    # stemmer="nltk" is full term-space parity with a reference
+    # deployment that has NLTK installed. Recorded in the manifest;
+    # mismatches refuse loudly.
+    tokenizer: str = "split"
 
     # Physical layout knobs (no reference equivalent — the reference is a
     # single in-memory dict, SURVEY.md §4). num_partitions is the width of

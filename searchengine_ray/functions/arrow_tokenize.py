@@ -40,6 +40,53 @@ def normalize_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return out
 
 
+def _expand_treebank_specials(parents: pa.Array, flat: pa.Array
+                              ) -> tuple[pa.Array, pa.Array]:
+    """Vectorized Penn-Treebank expansion on a normalized token stream.
+
+    After the normalize chain the only treebank rules that can fire are
+    the MacIntyre contraction WORDS (functions/treebank.py docstring), so
+    the whole word_tokenize slot reduces to a six-entry dictionary
+    expansion: tokens matching a special become their 2-token split,
+    everything else passes through — one index_in + one gather, order
+    preserved, no Python over tokens."""
+    from searchengine_ray.functions.treebank import TREEBANK_SPECIALS
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keys = sorted(TREEBANK_SPECIALS)
+    idx = pc.fill_null(
+        pc.index_in(flat, value_set=pa.array(keys, type=flat.type)), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    matched = idx >= 0
+    if not matched.any():
+        return parents, flat
+    reps = [TREEBANK_SPECIALS[k] for k in keys]
+    rep_len = np.array([len(r) for r in reps], dtype=np.int64)
+    rep_off = np.concatenate([[0], np.cumsum(rep_len)[:-1]])
+    rep_vocab = pa.array([t for r in reps for t in r],
+                         type=pa.string())
+    out_len = np.where(matched, rep_len[idx], 1)
+    starts = np.cumsum(out_len) - out_len
+    total = int(starts[-1] + out_len[-1]) if len(out_len) else 0
+    gather = np.empty(total, dtype=np.int64)
+    unm = np.flatnonzero(~matched)
+    gather[starts[unm]] = unm            # out_len == 1 there
+    n_flat = len(flat)
+    for k in range(len(keys)):           # 6 keys × 2 tokens — tiny loop
+        rows = np.flatnonzero(idx == k)
+        for j in range(int(rep_len[k])):
+            gather[starts[rows] + j] = n_flat + int(rep_off[k]) + j
+    if not pa.types.is_string(flat.type):
+        flat = pc.cast(flat, pa.string())
+    combined = pa.concat_arrays([flat, rep_vocab])
+    out_tokens = combined.take(pa.array(gather, type=pa.int64()))
+    par = parents.to_numpy(zero_copy_only=False) \
+        if not isinstance(parents, np.ndarray) else parents
+    out_parents = pa.array(np.repeat(par, out_len))
+    return out_parents, out_tokens
+
+
 def tokenize_column(arr, cfg: IndexConfig | None = None,
                     apply_filter: bool = True) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a string column into a flattened token stream.
@@ -56,6 +103,9 @@ def tokenize_column(arr, cfg: IndexConfig | None = None,
         lists = lists.combine_chunks()
     parents = pc.list_parent_indices(lists)
     flat = pc.list_flatten(lists)
+    wt = getattr(cfg, "tokenizer", "split") if cfg is not None else "split"
+    if wt == "treebank":
+        parents, flat = _expand_treebank_specials(parents, flat)
     stemmer = getattr(cfg, "stemmer", "none") if cfg is not None else "none"
     if stemmer and stemmer != "none":
         # reference NLTK-branch order: stem BEFORE the length filters

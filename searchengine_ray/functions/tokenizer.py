@@ -38,12 +38,16 @@ _PUNCT = re.compile(r"[^\w\s-]", re.ASCII)
 # 7) '-' -> ' ' (reference :60) and '_' -> ' ' (our code-aware extension)
 
 
-def tokenize(text: str, stemmer: str | None = None) -> list[str]:
+def tokenize(text: str, stemmer: str | None = None,
+             word_tokenizer: str | None = None) -> list[str]:
     """Code-aware tokenize; returns tokens of length > 1 (reference :81).
 
     ``stemmer="porter"`` stems each raw token BEFORE the length filter —
     the reference's NLTK-branch order (text_processing.py:66-74: tokenize
-    → stem → drop len≤1)."""
+    → stem → drop len≤1). ``word_tokenizer="treebank"`` applies the
+    Penn-Treebank rules in the word_tokenize slot of that branch (:66) —
+    on normalized text exactly the MacIntyre contraction-word expansion
+    (functions/treebank.py)."""
     if not text:
         return []
     text = _CAMEL_RUN.sub(r"\1 \2", text)
@@ -54,6 +58,9 @@ def tokenize(text: str, stemmer: str | None = None) -> list[str]:
     text = _PUNCT.sub(" ", text)
     text = text.replace("-", " ").replace("_", " ")
     toks = text.split()
+    if word_tokenizer == "treebank":
+        from searchengine_ray.functions.treebank import expand_pre_stripped
+        toks = expand_pre_stripped(toks)
     if stemmer and stemmer != "none":
         from searchengine_ray.functions.stemmer import STEMMERS
         fn = STEMMERS[stemmer]
@@ -103,10 +110,11 @@ def prepare_query(query: str, cfg: IndexConfig) -> tuple[list[str], list[str], s
     # double-stemmed tokens the index can never contain (Porter is not
     # idempotent: 'decision'→'decis'→'deci').
     stemmer = getattr(cfg, "stemmer", "none")
+    wt = getattr(cfg, "tokenizer", "split")
     expanded = expand_query(query)
     original_query = query.lower().strip()
-    query_tokens = tokenize(expanded, stemmer)
-    original_query_tokens = tokenize(query, stemmer)
+    query_tokens = tokenize(expanded, stemmer, wt)
+    original_query_tokens = tokenize(query, stemmer, wt)
     filtered = filter_tokens(query_tokens, cfg)
     return filtered, original_query_tokens, original_query
 

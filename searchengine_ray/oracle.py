@@ -49,7 +49,8 @@ def process_document(title: str, meta: str, content: str,
     for text, boost in ((title, cfg.title_boost), (meta, cfg.meta_boost),
                         (content, cfg.content_boost)):
         for token in filter_tokens(
-                tokenize(text, getattr(cfg, 'stemmer', 'none')), cfg):
+                tokenize(text, getattr(cfg, 'stemmer', 'none'),
+                         getattr(cfg, 'tokenizer', 'split')), cfg):
             weighted[token] += boost
     return weighted
 

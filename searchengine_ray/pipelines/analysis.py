@@ -1081,7 +1081,8 @@ def phrase_match(ds: "ray.data.Dataset", phrase: str,
     from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
 
     stem = getattr(cfg, "stemmer", "none")
-    needle_toks = filter_tokens(tokenize(phrase, stem), cfg)
+    wt = getattr(cfg, "tokenizer", "split")
+    needle_toks = filter_tokens(tokenize(phrase, stem, wt), cfg)
     if not needle_toks:
         return ds.map_batches(
             lambda b: pa.table({"doc_id": pa.array([], type=pa.int64())}),
@@ -1109,7 +1110,8 @@ def sql_phrase_match(phrase: str, cfg: IndexConfig = IndexConfig()) -> str:
     from searchengine_ray.functions.tokenizer import (
         filter_tokens, sql_filtered_tokens_expr, tokenize)
     stem = getattr(cfg, "stemmer", "none")
-    needle_toks = filter_tokens(tokenize(phrase, stem), cfg)
+    wt = getattr(cfg, "tokenizer", "split")
+    needle_toks = filter_tokens(tokenize(phrase, stem, wt), cfg)
     if not needle_toks:
         return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"
     needle = (" " + " ".join(needle_toks) + " ").replace("'", "''")

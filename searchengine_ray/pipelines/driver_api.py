@@ -375,7 +375,8 @@ def sql_boolean(query: str, mode: str, exclude: str = "",
     filter) runs in Python via the SAME functions the engine uses; doc-side
     membership is the SQL token-list twin over all three indexed fields."""
     stem = getattr(cfg, "stemmer", "none")
-    toks = list(dict.fromkeys(filter_tokens(tokenize(query, stem), cfg)))
+    wt = getattr(cfg, "tokenizer", "split")
+    toks = list(dict.fromkeys(filter_tokens(tokenize(query, stem, wt), cfg)))
     if not toks:
         return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"
     ft = sql_filtered_tokens_expr(SQL_TITLE, cfg)
@@ -389,7 +390,7 @@ def sql_boolean(query: str, mode: str, exclude: str = "",
 
     joiner = " AND " if mode == "and" else " OR "
     cond = "(" + joiner.join(has(t) for t in toks) + ")"
-    ex_toks = list(dict.fromkeys(filter_tokens(tokenize(exclude, stem), cfg)))
+    ex_toks = list(dict.fromkeys(filter_tokens(tokenize(exclude, stem, wt), cfg)))
     if ex_toks:
         cond += " AND NOT (" + " OR ".join(has(t) for t in ex_toks) + ")"
     return (f"WITH docs AS (SELECT doc_id, {ft} AS ftoks, {fm} AS mtoks, "
@@ -414,7 +415,8 @@ def sql_phrase(phrase: str, cfg: IndexConfig = CFG) -> str:
     """Oracle for q_phrase: tokens-all-indexed (any field) AND the
     lowercased phrase substring-contained in title, meta or snippet."""
     stem = getattr(cfg, "stemmer", "none")
-    toks = list(dict.fromkeys(filter_tokens(tokenize(phrase, stem), cfg)))
+    wt = getattr(cfg, "tokenizer", "split")
+    toks = list(dict.fromkeys(filter_tokens(tokenize(phrase, stem, wt), cfg)))
     needle = phrase.lower().strip()
     if not toks or not needle:
         return "SELECT CAST(1 AS BIGINT) AS doc_id WHERE false"

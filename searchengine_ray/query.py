@@ -150,6 +150,13 @@ class QueryEngine:
                 f"index at {index_dir} was built with stemmer="
                 f"{have_stem!r} but the query config uses "
                 f"{cfg.stemmer!r} — term spaces would disagree")
+        have_wt = manifest.get("tokenizer", "split")
+        if have_wt != getattr(cfg, "tokenizer", "split"):
+            raise ValueError(
+                f"index at {index_dir} was built with tokenizer="
+                f"{have_wt!r} but the query config uses "
+                f"{getattr(cfg, 'tokenizer', 'split')!r} — term spaces "
+                f"would disagree")
         self.manifest = manifest
         self.N = int(manifest["num_docs"])
         self.avgdl = float(manifest["avg_doc_len"])
@@ -664,8 +671,9 @@ class QueryEngine:
         if mode not in ("and", "or"):
             raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
         stem = getattr(self.cfg, "stemmer", "none")
+        wt = getattr(self.cfg, "tokenizer", "split")
         toks = list(dict.fromkeys(
-            filter_tokens(tokenize(query, stem), self.cfg)))
+            filter_tokens(tokenize(query, stem, wt), self.cfg)))
         empty = np.empty(0, dtype=np.uint64)
         plists = []
         for t in toks:
@@ -688,7 +696,7 @@ class QueryEngine:
             cur = np.unique(np.concatenate(plists))
         if exclude:
             ex_toks = list(dict.fromkeys(
-                filter_tokens(tokenize(exclude, stem), self.cfg)))
+                filter_tokens(tokenize(exclude, stem, wt), self.cfg)))
             ex = [self.postings(t) for t in ex_toks]
             ex_ids = [e[0] for e in ex if e is not None]
             if ex_ids:
@@ -781,8 +789,9 @@ class QueryEngine:
                 raise KeyError(f"unknown doc_id {doc_id}")
         meta = self._doc_meta(np.array([seed], dtype=np.uint64))[0]
         stem = getattr(self.cfg, "stemmer", "none")
+        wt = getattr(self.cfg, "tokenizer", "split")
         text = " ".join((meta["title"], meta["meta"], meta["snippet"]))
-        toks = filter_tokens(tokenize(text, stem), self.cfg)
+        toks = filter_tokens(tokenize(text, stem, wt), self.cfg)
         if not toks:
             return ""
         tf: dict[str, int] = {}
@@ -876,7 +885,8 @@ class QueryEngine:
         from searchengine_ray.functions.tokenizer import (filter_tokens,
                                                           tokenize)
         stem = getattr(self.cfg, "stemmer", "none")
-        toks = filter_tokens(tokenize(query, stem), self.cfg)
+        wt = getattr(self.cfg, "tokenizer", "split")
+        toks = filter_tokens(tokenize(query, stem, wt), self.cfg)
         out = []
         for t in dict.fromkeys(toks):
             # term_df (not postings): the dictionary is index-global even
