@@ -1921,6 +1921,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # a gap of the previous raw event (lag semantics)
         "events_throttle": lambda sf: events.throttle(
             _events(sf, ["event_id", "user_id", "ts", "event_type"])),
+        # chained variant: gap measured from the last KEPT event
+        # (prefix-dependent; lockstep per-key scan, recursive-CTE oracle)
+        "events_throttle_chained": lambda sf: events.throttle_chained(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"])),
         # composite-key distributed join (multi-column keys)
         "events_user_type_join": q_events_user_type_join,
         # CDC/state-table: reduce the log to each user's latest row
@@ -2110,6 +2114,7 @@ def build_oracles() -> dict[str, str]:
         "events_hourly_seasonality": events.sql_hourly_seasonality(),
         "events_value_quartile": events.sql_value_quartile(),
         "events_throttle": events.sql_throttle(),
+        "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),
         "events_latest_per_user": events.sql_latest_per_user(),
         "events_value_outliers": events.sql_value_outliers(),

@@ -2610,6 +2610,94 @@ SELECT event_id, (d IS NULL OR d > {gap_us}) AS kept FROM s
 """
 
 
+def throttle_chained(ds: "ray.data.Dataset",
+                     gap_us: int = THROTTLE_GAP_US) -> "ray.data.Dataset":
+    """CHAINED debounce: keep an event iff its ts is more than ``gap_us``
+    after the last KEPT event of the same (user_id, event_type) — the
+    first event of a key is always kept. Unlike :func:`throttle` (lag
+    semantics, compares to the previous RAW event) this recurrence is
+    prefix-dependent: whether event i survives depends on which earlier
+    events survived, so no window function expresses it (the oracle is
+    a recursive CTE). Columns: event_id, kept (bool).
+
+    Distribution: the same ONE coarse hash(user, type) shuffle as
+    :func:`throttle` — a key's events co-locate, so the chain never
+    crosses partitions. Inside a partition every key advances in
+    LOCKSTEP: round r visits each still-active key's r-th event with
+    one vectorized compare against the per-key kept anchor (segments
+    sorted by length descending, so round r's active keys are a prefix
+    and total work is O(rows), never a Python loop over events). Skew:
+    a single key with K events costs K lockstep rounds — the same
+    co-location assumption sessionize documents; salt hot keys
+    upstream if one key dominates.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def per_part(part: pa.Table) -> pa.Table:
+        uid = pc.cast(part["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ts = pc.cast(part["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(part["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = part["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        if uid.size == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "kept": pa.array([], type=pa.bool_())})
+        codes = np.asarray(et.dictionary_encode().indices,
+                           dtype=np.int64)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, t = uid[order], codes[order], ts[order]
+        n = u.size
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        seg_starts = np.flatnonzero(change)
+        seg_len = np.diff(np.append(seg_starts, n))
+        # longest segments first: round r's active keys are a prefix
+        by_len = np.argsort(-seg_len, kind="stable")
+        seg_starts = seg_starts[by_len]
+        seg_len = seg_len[by_len]
+        anchors = t[seg_starts].copy()
+        kept = np.zeros(n, dtype=bool)
+        kept[seg_starts] = True
+        max_len = int(seg_len[0])
+        for r in range(1, max_len):
+            a_cnt = int(np.searchsorted(-seg_len, -(r + 1), side="right"))
+            idx = seg_starts[:a_cnt] + r
+            k = (t[idx] - anchors[:a_cnt]) > gap_us
+            kept[idx[k]] = True
+            anchors[:a_cnt][k] = t[idx[k]]
+        return pa.table({"event_id": pa.array(eid[order]),
+                         "kept": pa.array(kept)})
+
+    return grouped_aggregate(ds, ["user_id", "event_type"], per_part)
+
+
+def sql_throttle_chained(gap_us: int = THROTTLE_GAP_US) -> str:
+    # prefix-dependent keep -> recursive CTE stepping row_number chains;
+    # e MATERIALIZED so each recursion level scans a pinned row set
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+chain AS (
+  SELECT user_id, event_type, event_id, t, rn, t AS anchor, TRUE AS kept
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.t, e.rn,
+         CASE WHEN e.t - c.anchor > {gap_us} THEN e.t ELSE c.anchor END,
+         e.t - c.anchor > {gap_us}
+  FROM e JOIN chain c
+    ON e.user_id = c.user_id AND e.event_type = c.event_type
+   AND e.rn = c.rn + 1)
+SELECT event_id, kept FROM chain
+"""
+
+
 def value_quartile(ds: "ray.data.Dataset",
                    num_buckets: int = 32,
                    fetch_threshold: int = 4096) -> "ray.data.Dataset":

@@ -1958,6 +1958,46 @@ def test_throttle(events_ds):
     assert any(got.values()) and not all(got.values())
 
 
+def test_throttle_chained(events_ds):
+    """Chained debounce: gap measured from the last KEPT event — the
+    greedy prefix-dependent recurrence, checked against a sequential
+    reference walk; also pinned to differ from lag semantics on a
+    hand-built 0 / 0.6g / 1.2g sequence (lag keeps only the first,
+    chained also keeps the third)."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import (THROTTLE_GAP_US,
+                                                   throttle_chained)
+    got = {r["event_id"]: r["kept"]
+           for r in throttle_chained(events_ds).take_all()}
+    df = (events_df()
+          .assign(ts_us=lambda d: d["ts"].astype("datetime64[us]")
+                  .astype("int64"))
+          .sort_values(["user_id", "event_type", "ts_us", "event_id"]))
+    want = {}
+    anchor: dict = {}
+    for r in df.itertuples():
+        k = (r.user_id, r.event_type)
+        keep = k not in anchor or r.ts_us - anchor[k] > THROTTLE_GAP_US
+        want[int(r.event_id)] = keep
+        if keep:
+            anchor[k] = r.ts_us
+    assert got == want
+    assert any(got.values()) and not all(got.values())
+
+    g = THROTTLE_GAP_US
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "ts": pa.array([0, 6 * g // 10, 12 * g // 10],
+                       type=pa.timestamp("us")),
+    })
+    out = {r["event_id"]: r["kept"]
+           for r in throttle_chained(ray.data.from_arrow(t)).take_all()}
+    assert out == {1: True, 2: False, 3: True}
+
+
 def test_value_quartile(events_ds):
     from searchengine_ray.pipelines.events import value_quartile
     got = {r["event_id"]: r["quartile"]
