@@ -108,13 +108,14 @@ def q_tpch_q3(sf_dir: str):
         _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
 
 
-def q_events_user_type_join(sf_dir: str):
+def q_events_user_type_join(sf_dir: str, salted: bool = False):
     """COMPOSITE-key distributed join (join.equi_join_multi): every
     event picks up its (user_id, event_type) group's total and count —
     the multi-column-key path that single-int64 ``equi_join`` can't
     express without packing. The dim side is a lazy grouped aggregate;
     ``right_schema`` skips the schema probe that would execute it
-    twice."""
+    twice. ``salted=True`` routes hot composite keys through
+    ``equi_join_multi_salted`` (row-identical; skew twin)."""
     from searchengine_ray.pipelines.common import grouped_aggregate
     from searchengine_ray.pipelines.join import equi_join_multi
 
@@ -152,6 +153,19 @@ def q_events_user_type_join(sf_dir: str):
                          ("event_type", pa.string()),
                          ("total_c", pa.int64()),
                          ("n_events", pa.int64())])
+    if salted:
+        # adversarial-skew twin: hot (user_id, event_type) composites
+        # (threshold ≈ 1.5× the testdata's mean key size, so real keys
+        # salt) spread/replicate across salts; same oracle, same output
+        from searchengine_ray.pipelines.join import (detect_hot_keys_multi,
+                                                     equi_join_multi_salted)
+        hot = detect_hot_keys_multi(left, ["user_id", "event_type"],
+                                    threshold=20)
+        return equi_join_multi_salted(
+            left, dim, ["user_id", "event_type"],
+            ["event_id"], ["total_c", "n_events"],
+            hot_hashes=hot, replicate=4,
+            left_schema=sch, right_schema=dim_sch)
     return equi_join_multi(left, dim, ["user_id", "event_type"],
                            ["event_id"], ["total_c", "n_events"],
                            left_schema=sch, right_schema=dim_sch)
@@ -1927,6 +1941,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_id", "user_id", "ts", "event_type"])),
         # composite-key distributed join (multi-column keys)
         "events_user_type_join": q_events_user_type_join,
+        # skew twin: hot composite keys salted (row-identical output)
+        "events_user_type_join_salted":
+            lambda sf: q_events_user_type_join(sf, salted=True),
         # CDC/state-table: reduce the log to each user's latest row
         "events_latest_per_user": lambda sf: events.latest_per_user(
             _events(sf, ["user_id", "event_id", "ts", "event_type",
@@ -2116,6 +2133,7 @@ def build_oracles() -> dict[str, str]:
         "events_throttle": events.sql_throttle(),
         "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),
+        "events_user_type_join_salted": sql_events_user_type_join(),
         "events_latest_per_user": events.sql_latest_per_user(),
         "events_value_outliers": events.sql_value_outliers(),
         "embedding_pca1": similarity.sql_embedding_pca1(),

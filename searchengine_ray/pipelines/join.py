@@ -348,7 +348,6 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
         else left.schema().base_schema
     r_schema = right_schema if right_schema is not None \
         else right.schema().base_schema
-    with_right = how in ("inner", "left")
 
     def l_type(c):
         return l_schema.field(c).type
@@ -374,6 +373,33 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"r_{c}"] = batch[c] if side == 1 else \
                 pa.nulls(len(batch), type=r_type(c))
         return pa.table(out)
+
+    merge = _merge_multi_fn(l_schema, r_schema, keys, left_cols,
+                            right_cols, how)
+    unioned = (left.map_batches(lambda b: tag(b, 0),
+                                batch_format="pyarrow")
+               .union(right.map_batches(lambda b: tag(b, 1),
+                                        batch_format="pyarrow")))
+    return unioned.groupby("part").map_groups(merge,
+                                              batch_format="pyarrow")
+
+
+def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
+                    keys: list[str], left_cols: list[str],
+                    right_cols: list[str], how: str):
+    """Per-partition composite-key sort-merge shared by
+    ``equi_join_multi`` and ``equi_join_multi_salted`` (the salted
+    variant only changes the partition key)."""
+    with_right = how in ("inner", "left")
+
+    def l_type(c):
+        return l_schema.field(c).type
+
+    def r_type(c):
+        return r_schema.field(c).type
+
+    def k_type(c):
+        return l_schema.field(c).type
 
     def composite_code(group: pa.Table) -> np.ndarray:
         code = np.zeros(len(group), dtype=np.int64)
@@ -454,9 +480,137 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 [matched, left_only(group, miss_lo, null_right=True)])
         return matched
 
-    unioned = (left.map_batches(lambda b: tag(b, 0),
-                                batch_format="pyarrow")
-               .union(right.map_batches(lambda b: tag(b, 1),
+    return merge
+
+
+def detect_hot_keys_multi(ds: "ray.data.Dataset", keys: list[str],
+                          threshold: int) -> np.ndarray:
+    """Composite keys whose row count ≥ ``threshold``, identified by
+    their 64-bit mixing hash (``common._hash_key_columns``) — the
+    bounded hot set for ``equi_join_multi_salted``. Hash-level identity
+    is safe here: a collision can only mark a cold key hot, and salting
+    a cold key is merely a few extra replicated right rows, never a
+    correctness change. Same digest shape as ``detect_hot_keys``."""
+    from searchengine_ray.pipelines.common import _hash_key_columns
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash_key_columns(batch, keys).view(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    tot = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("key").sum("cnt"))
+
+    def filt(b: pa.Table) -> pa.Table:
+        c = b["sum(cnt)"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": b.filter(pa.array(c >= threshold))["key"]})
+
+    hot = []
+    for b in tot.map_batches(filt, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        hot.append(b["key"].to_numpy(zero_copy_only=False))
+    return np.sort(np.concatenate(hot)) if hot else \
+        np.empty(0, dtype=np.int64)
+
+
+def equi_join_multi_salted(left: "ray.data.Dataset",
+                           right: "ray.data.Dataset",
+                           keys: list[str],
+                           left_cols: list[str], right_cols: list[str],
+                           hot_hashes: np.ndarray,
+                           replicate: int = 8,
+                           num_parts: int = NUM_JOIN_PARTITIONS,
+                           how: str = "inner",
+                           left_schema: "pa.Schema | None" = None,
+                           right_schema: "pa.Schema | None" = None
+                           ) -> "ray.data.Dataset":
+    """Skew-safe ``equi_join_multi``: composite keys in the
+    ``hot_hashes`` set (from :func:`detect_hot_keys_multi`) no longer
+    all land in one partition — the ``equi_join_salted`` scheme
+    generalized to multi-column keys.
+
+    Hot LEFT rows spread uniformly across ``replicate`` salts (each row
+    to exactly one salt); hot RIGHT rows replicate to every salt, so
+    each (key, salt) partition still holds the key's full right side —
+    which is also why left/semi/anti stay correct under salting. The
+    hot set is keyed by the 64-bit routing hash: collisions only salt a
+    cold key (harmless), never mis-join — in-partition equality is
+    still decided by the exact mixed-radix composite code
+    (``_merge_multi_fn``). Output row-identical to the unsalted join
+    (asserted in tests).
+    """
+    from searchengine_ray.pipelines.common import _hash_key_columns
+    assert how in ("inner", "left", "semi", "anti"), how
+    overlap = set(left_cols) & set(right_cols)
+    assert not overlap, f"column name collision: {sorted(overlap)}"
+    assert not (set(keys) & (set(left_cols) | set(right_cols)))
+    hot = np.sort(np.asarray(hot_hashes, dtype=np.int64))
+    R = max(int(replicate), 1)
+
+    l_schema = left_schema if left_schema is not None \
+        else left.schema().base_schema
+    r_schema = right_schema if right_schema is not None \
+        else right.schema().base_schema
+
+    def l_type(c):
+        return l_schema.field(c).type
+
+    def r_type(c):
+        return r_schema.field(c).type
+
+    def k_type(c):
+        return l_schema.field(c).type
+
+    def is_hot(h: np.ndarray) -> np.ndarray:
+        if not hot.size:
+            return np.zeros(len(h), dtype=bool)
+        pos = np.searchsorted(hot, h)
+        return (pos < hot.size) & (hot[np.minimum(pos, hot.size - 1)] == h)
+
+    def salted_part(h: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            mixed = h.view(np.uint64) ^ \
+                (salt.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            return (mixed % np.uint64(num_parts)).astype(np.int32)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        h = _hash_key_columns(batch, keys).view(np.int64)
+        salt = np.where(is_hot(h),
+                        np.arange(len(h), dtype=np.int64) % R, 0)
+        out = {"part": pa.array(salted_part(h, salt)),
+               "side": pa.array(np.zeros(len(h), dtype=np.int64))}
+        for c in keys:
+            out[f"k_{c}"] = pc.cast(batch[c], k_type(c))
+        for c in left_cols:
+            out[f"l_{c}"] = batch[c]
+        for c in right_cols:
+            out[f"r_{c}"] = pa.nulls(len(h), type=r_type(c))
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        h = _hash_key_columns(batch, keys).view(np.int64)
+        reps = np.where(is_hot(h), R, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(h), dtype=np.int64), reps)
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        salt = np.arange(int(reps.sum()), dtype=np.int64) - \
+            np.repeat(offs, reps)
+        hh = h[idx]
+        ai = pa.array(idx)
+        out = {"part": pa.array(salted_part(hh, salt)),
+               "side": pa.array(np.ones(len(hh), dtype=np.int64))}
+        for c in keys:
+            out[f"k_{c}"] = pc.cast(pc.take(batch[c], ai), k_type(c))
+        for c in left_cols:
+            out[f"l_{c}"] = pa.nulls(len(hh), type=l_type(c))
+        for c in right_cols:
+            out[f"r_{c}"] = pc.take(batch[c], ai)
+        return pa.table(out)
+
+    merge = _merge_multi_fn(l_schema, r_schema, keys, left_cols,
+                            right_cols, how)
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow")
+               .union(right.map_batches(tag_right,
                                         batch_format="pyarrow")))
     return unioned.groupby("part").map_groups(merge,
                                               batch_format="pyarrow")

@@ -1437,6 +1437,54 @@ def test_equi_join_salted_identical_all_modes(ray_session):
                                     ["lv"], ["rv"]).take_all())
 
 
+def test_equi_join_multi_salted_identical_all_modes(ray_session):
+    """Composite-key salting (round-4 verdict #4): hot (int, string)
+    keys spread/replicate across salts, output row-identical to the
+    unsalted composite join in all four modes."""
+    import ray.data
+    from searchengine_ray.pipelines.join import (detect_hot_keys_multi,
+                                                 equi_join_multi,
+                                                 equi_join_multi_salted)
+    rng = np.random.default_rng(31)
+    # skew: (7, "click") carries half the left side
+    n = 600
+    lu = np.concatenate([np.full(n // 2, 7),
+                         rng.integers(0, 15, size=n - n // 2)])
+    lt = np.concatenate([np.array(["click"] * (n // 2)),
+                         rng.choice(["click", "view", "buy"],
+                                    size=n - n // 2)])
+    perm = rng.permutation(n)
+    lu, lt = lu[perm], lt[perm]
+    l = pa.table({"u": pa.array(lu, type=pa.int64()),
+                  "t": pa.array(lt),
+                  "lv": pa.array([f"L{i}" for i in range(n)])})
+    ru = rng.integers(0, 18, size=80)
+    rt = rng.choice(["click", "view", "buy", "ghost"], size=80)
+    r = pa.table({"u": pa.array(ru, type=pa.int64()),
+                  "t": pa.array(rt),
+                  "rv": pa.array(rng.standard_normal(80))})
+    lds, rds = ray.data.from_arrow(l), ray.data.from_arrow(r)
+    hot = detect_hot_keys_multi(lds, ["u", "t"], threshold=100)
+    assert hot.size >= 1
+
+    def canon(rows):
+        return sorted(tuple(row[c] for c in sorted(row)) for row in rows)
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = canon(equi_join_multi(
+            lds, rds, ["u", "t"], ["lv"], ["rv"], how=how).take_all())
+        salted = canon(equi_join_multi_salted(
+            lds, rds, ["u", "t"], ["lv"], ["rv"],
+            hot_hashes=hot, replicate=4, how=how).take_all())
+        assert salted == plain and plain, how
+    # empty hot set degrades to the plain composite join
+    nohot = canon(equi_join_multi_salted(
+        lds, rds, ["u", "t"], ["lv"], ["rv"],
+        hot_hashes=np.empty(0, dtype=np.int64)).take_all())
+    assert nohot == canon(equi_join_multi(
+        lds, rds, ["u", "t"], ["lv"], ["rv"]).take_all())
+
+
 def test_chunk_docs_matches_bruteforce(ray_session):
     import ray.data
     from searchengine_ray.pipelines.chunking import chunk_docs
