@@ -622,7 +622,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)
 
 
-def neardup_cluster_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def neardup_cluster_keep(docs: "ray.data.Dataset",
+                         pairs: "ray.data.Dataset | None" = None
+                         ) -> "ray.data.Dataset":
     """The canonical near-dedup curation step: near-dup CLUSTERS → keep
     exactly ONE representative per cluster (longest text wins,
     doc_id-ascending tie-break — a deterministic quality rule shared with
@@ -637,12 +639,17 @@ def neardup_cluster_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
     Columns: doc_id (int64), keep (bool). Isolated docs (no near-dup) are
     their own cluster → keep=true.
+
+    ``pairs``: optionally pass a precomputed (ideally materialized)
+    MinHash-LSH pair set so a gate/suite sharing the pair set across
+    entries computes the signatures once (driver_api.shared_minhash_pairs).
     """
     from searchengine_ray.pipelines.common import grouped_aggregate
     from searchengine_ray.pipelines.graph import connected_components
     from searchengine_ray.pipelines.join import equi_join
 
-    pairs = minhash_lsh_pairs(docs, family="m31")
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, family="m31")
     comp = connected_components(pairs, docs.select_columns(["doc_id"]))
 
     def lens(batch: pa.Table) -> pa.Table:
@@ -675,7 +682,10 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
                        tau: float = 0.5, seed: int = 42,
                        max_bucket: int = 500, tau_u: int = 500_000,
                        text_col: str = "text", id_col: str = "doc_id",
-                       family: str = "wrap64") -> "ray.data.Dataset":
+                       family: str = "wrap64",
+                       cands: "ray.data.Dataset | None" = None,
+                       sh: "ray.data.Dataset | None" = None
+                       ) -> "ray.data.Dataset":
     """The PRODUCTION near-dup pipeline: MinHash-LSH candidate
     generation followed by EXACT n-gram-Jaccard verification of just
     the candidates (SlimPajama/RefinedWeb's two-phase recipe — the
@@ -702,11 +712,14 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
     # DAG (measured 60 s → 9 s at sf0.1). cands is candidate-bounded;
     # sh is O(corpus tokens) but spill-safe, and three lazy recomputes
     # of the tokenize+shingle pass cost strictly more than one pinned
-    # copy at any scale.
-    cands = minhash_lsh_pairs(ds, n, num_perm, bands, tau, seed,
-                              max_bucket, text_col, id_col,
-                              family).materialize()
-    sh = shingles(ds, n, text_col, id_col).materialize()
+    # copy at any scale. Both accept precomputed MATERIALIZED handles so
+    # a gate/suite shares them across entries (driver_api.shared_*).
+    if cands is None:
+        cands = minhash_lsh_pairs(ds, n, num_perm, bands, tau, seed,
+                                  max_bucket, text_col, id_col,
+                                  family).materialize()
+    if sh is None:
+        sh = shingles(ds, n, text_col, id_col).materialize()
 
     # per-doc distinct-shingle sizes (one row per doc after the reduce)
     def size_part(batch: pa.Table) -> pa.Table:
@@ -832,7 +845,10 @@ PAIR_PACK = np.int64(1) << np.int64(32)
 def consensus_pairs(docs: "ray.data.Dataset",
                     max_hamming: int = 3,
                     cfg: "IndexConfig | None" = None,
-                    family: str = "m31") -> "ray.data.Dataset":
+                    family: str = "m31",
+                    mh_pairs: "ray.data.Dataset | None" = None,
+                    sh_pairs: "ray.data.Dataset | None" = None
+                    ) -> "ray.data.Dataset":
     """Two-family CONSENSUS near-dup pairs: (a, b) flagged by BOTH the
     MinHash-LSH (shingle-set space) and the SimHash banding (weighted
     bit-fingerprint space) — the production pattern where one cheap
@@ -865,12 +881,18 @@ def consensus_pairs(docs: "ray.data.Dataset",
                          payload: pc.cast(batch[payload], pa.int64())})
 
     # both pair sets pinned: equi_join's schema probes would otherwise
-    # execute each fingerprint pipeline once more (digest-width outputs)
-    mh = minhash_lsh_pairs(docs, family=family).map_batches(
+    # execute each fingerprint pipeline once more (digest-width outputs);
+    # mh_pairs / sh_pairs let a gate sharing the pair sets across entries
+    # compute each fingerprint family once (driver_api.shared_*_pairs)
+    if mh_pairs is None:
+        mh_pairs = minhash_lsh_pairs(docs, family=family)
+    if sh_pairs is None:
+        sh_pairs = simhash_neardup_pairs(docs, max_hamming, cfg,
+                                         max_bucket=1 << 30)
+    mh = mh_pairs.map_batches(
         lambda b: pack(b, "est_matches"),
         batch_format="pyarrow").materialize()
-    sh = simhash_neardup_pairs(docs, max_hamming, cfg,
-                               max_bucket=1 << 30).map_batches(
+    sh = sh_pairs.map_batches(
         lambda b: pack(b, "hamming"),
         batch_format="pyarrow").materialize()
     joined = equi_join(mh, sh, "pk", "pk", ["est_matches"], ["hamming"])
@@ -888,7 +910,9 @@ def consensus_pairs(docs: "ray.data.Dataset",
 
 
 def triangle_count(docs: "ray.data.Dataset",
-                   family: str = "m31") -> "ray.data.Dataset":
+                   family: str = "m31",
+                   edges: "ray.data.Dataset | None" = None
+                   ) -> "ray.data.Dataset":
     """TRIANGLE COUNT over the near-dup pair graph — the classic
     distributed graph aggregate (cluster-density / transitivity check on
     dedup candidates: triangles ⇒ true duplicate groups, open wedges ⇒
@@ -904,7 +928,10 @@ def triangle_count(docs: "ray.data.Dataset",
     """
     from searchengine_ray.pipelines.join import equi_join
 
-    edges = minhash_lsh_pairs(docs, family=family).materialize()
+    # ``edges``: optionally a precomputed MATERIALIZED pair set shared
+    # across gate entries (driver_api.shared_minhash_pairs)
+    if edges is None:
+        edges = minhash_lsh_pairs(docs, family=family).materialize()
 
     def rename_c(batch: pa.Table) -> pa.Table:
         return pa.table({"a_id": batch["a_id"],

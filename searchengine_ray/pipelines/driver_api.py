@@ -231,6 +231,47 @@ def _orig_id_from_title(title: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# shared dedup intermediates (round-4 verdict #5)
+# ---------------------------------------------------------------------------
+# Seven gate entries consume the MinHash-LSH pair set (lsh / components /
+# pagerank / cluster_keep / lsh_verified / consensus / triangles), two the
+# SimHash pair set, two the shingle table — each used to rebuild the
+# fingerprints from scratch. Memoize the MATERIALIZED intermediate per
+# sf_dir (same pattern as ensure_index): the first entry pays the build,
+# later entries read pinned blocks. Opt-in at the operator level (every
+# pipeline function still computes its own intermediates when none is
+# passed); cache lifetime is the driver session, keyed by (sf_dir, kind).
+
+_SHARED_DEDUP: dict = {}
+
+
+def _shared(key: tuple, build) -> "ray.data.Dataset":
+    ds = _SHARED_DEDUP.get(key)
+    if ds is None:
+        ds = build().materialize()
+        _SHARED_DEDUP[key] = ds
+    return ds
+
+
+def shared_minhash_pairs(sf_dir: str,
+                         family: str = "m31") -> "ray.data.Dataset":
+    return _shared((sf_dir, "minhash_pairs", family),
+                   lambda: dedup.minhash_lsh_pairs(_docs(sf_dir),
+                                                   family=family))
+
+
+def shared_simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return _shared((sf_dir, "simhash_pairs"),
+                   lambda: dedup.simhash_neardup_pairs(
+                       _docs(sf_dir), 3, CFG, max_bucket=1 << 30))
+
+
+def shared_shingles(sf_dir: str) -> "ray.data.Dataset":
+    return _shared((sf_dir, "shingles"),
+                   lambda: dedup.shingles(_docs(sf_dir), 3))
+
+
+# ---------------------------------------------------------------------------
 # engine-backed queries
 # ---------------------------------------------------------------------------
 
@@ -1730,19 +1771,17 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "simhash": lambda sf: dedup.simhash(_docs(sf), CFG),
         # max_bucket effectively unbounded: 4×16-bit banding is COMPLETE for
         # hamming ≤ 3, so the result is exactly all pairs ≤ 3 — SQL-checkable
-        "dedup_simhash": lambda sf: dedup.simhash_neardup_pairs(
-            _docs(sf), 3, CFG, max_bucket=1 << 30),
+        "dedup_simhash": lambda sf: shared_simhash_pairs(sf),
         # m31 family: exactly SQL-restatable (the fast wrap64 family stays
         # the default for non-oracle use)
-        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(
-            _docs(sf), family="m31"),
+        "dedup_minhash_lsh": lambda sf: shared_minhash_pairs(sf),
         # the iterative-graph operator: near-dup pairs → duplicate
         # CLUSTERS (min-label propagation to fixpoint)
         "dedup_minhash_components": lambda sf: graph.connected_components(
-            dedup.minhash_lsh_pairs(_docs(sf), family="m31"),
+            shared_minhash_pairs(sf),
             _docs(sf, ["doc_id"])),
         "dedup_graph_pagerank": lambda sf: graph.pagerank_int(
-            dedup.minhash_lsh_pairs(_docs(sf), family="m31"),
+            shared_minhash_pairs(sf),
             _docs(sf, ["doc_id"])),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(
@@ -1827,7 +1866,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["event_type", "user_id"])),
         "facets_bm25": lambda sf: q_facets(sf, "zh dup"),
         "dedup_cluster_keep": lambda sf: dedup.neardup_cluster_keep(
-            _docs(sf)),
+            _docs(sf), pairs=shared_minhash_pairs(sf)),
         "doc_keywords": lambda sf: analysis.doc_keywords(_docs(sf)),
         "events_global_rank": lambda sf: events.global_value_rank(
             _events(sf, ["event_id", "value"])),
@@ -1881,7 +1920,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)),
         # two-phase production dedup: LSH recall + exact-Jaccard verify
         "dedup_lsh_verified": lambda sf: dedup.lsh_verified_pairs(
-            _docs(sf), family="m31"),
+            _docs(sf), family="m31",
+            cands=shared_minhash_pairs(sf), sh=shared_shingles(sf)),
         "events_top_n": lambda sf: events.top_n_by_value(
             _events(sf, ["event_id", "value"])),
         # the selection machinery generalizes to any quantile — exact
@@ -1968,14 +2008,16 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
             _embs(sf, ["embedding"])),
         # triangle count on the near-dup graph (digest-width joins,
         # ONE scalar to the driver)
-        "dedup_triangles": lambda sf: dedup.triangle_count(_docs(sf)),
+        "dedup_triangles": lambda sf: dedup.triangle_count(
+            _docs(sf), edges=shared_minhash_pairs(sf)),
         # Markov transition matrix of consecutive per-user event types
         "events_type_transitions": lambda sf: events.type_transitions(
             _events(sf, ["user_id", "ts", "event_id", "event_type"])),
         # two-family consensus dedup: MinHash-LSH pairs ∩ SimHash pairs
         # via a packed-key id-width join
         "dedup_consensus_pairs": lambda sf: dedup.consensus_pairs(
-            _docs(sf), cfg=CFG),
+            _docs(sf), cfg=CFG, mh_pairs=shared_minhash_pairs(sf),
+            sh_pairs=shared_simhash_pairs(sf)),
         # corpus law fit: Zipf exponent over the term-frequency digest
         "corpus_zipf_slope": lambda sf: analysis.zipf_slope(
             _docs(sf, ["text"]), CFG),
