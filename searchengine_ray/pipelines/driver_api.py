@@ -2002,6 +2002,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # two-component PCA via driver-side deflation (Rayleigh λ₁)
         "embedding_pca2": lambda sf: similarity.embedding_pca2(
             _embs(sf, ["vec_id", "embedding"])),
+        # generic k-component deflation (round-4 verdict #6): same two
+        # distributed passes, k×(d×d) driver arithmetic
+        "embedding_pca_k": lambda sf: similarity.embedding_pca_k(
+            _embs(sf, ["vec_id", "embedding"]), k=4),
         # distributed exact Gram matrix (PCA/whitening input): one
         # matmul per batch, d² digest rows move, nothing else
         "embedding_gram": lambda sf: similarity.embedding_gram(
@@ -2180,6 +2184,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_outliers": events.sql_value_outliers(),
         "embedding_pca1": similarity.sql_embedding_pca1(),
         "embedding_pca2": similarity.sql_embedding_pca2(),
+        "embedding_pca_k": similarity.sql_embedding_pca_k(k=4),
         "embedding_label_scatter": similarity.sql_label_scatter(),
         "embedding_gram": similarity.sql_embedding_gram(),
         "dedup_triangles": (

@@ -1171,6 +1171,100 @@ GROUP BY e.vec_id
 """
 
 
+def embedding_pca_k(ds: "ray.data.Dataset", k: int = 4,
+                    iters: int = PCA_ITERS,
+                    col: str = "embedding") -> "ray.data.Dataset":
+    """k-component distributed PCA — :func:`embedding_pca2`'s driver-side
+    deflation looped generically: component c comes from power iteration
+    on ``G_c``, then ``G_{c+1} = G_c − λ_c v_c v_cᵀ`` (Rayleigh λ_c,
+    round(·, 6)). Columns: vec_id, pc1_r .. pc{k}_r.
+
+    The distributed phases stay exactly pca1's — ONE Gram digest pass
+    (d² scalars to the driver) and ONE projection pass against the k
+    broadcast vectors; all deflation is d×d driver arithmetic,
+    corpus-size-independent (O(k·d²·iters) flops). The round-6
+    normalize per iteration keeps numpy and the unrolled SQL twin
+    locked through every deflation level (the pca2 discipline).
+    """
+    rows = embedding_gram(ds, col=col).take_all()
+    d = max(int(r["j"]) for r in rows) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[int(r["i"]), int(r["j"])] = G[int(r["j"]), int(r["i"])] = \
+            float(r["gram_scaled"])
+    vs = []
+    Gc = G
+    for c in range(k):
+        v = _power_iterate(Gc, iters)
+        vs.append(v)
+        if c + 1 < k:
+            lam = round(float(v @ Gc @ v) / float(v @ v), COS_ROUND)
+            Gc = Gc - lam * np.outer(v, v)
+    V = np.stack(vs, axis=1)          # d × k
+    vref = ray.put(V)
+
+    def project(batch: pa.Table) -> pa.Table:
+        vv = ray.get(vref)
+        mat = _emb_matrix(batch, col)
+        vi = np.floor(mat * GRAM_SCALE + 0.5) if len(mat) \
+            else np.zeros((0, vv.shape[0]))
+        proj = np.round(vi @ vv, COS_ROUND)
+        out = {"vec_id": pc.cast(batch["vec_id"], pa.int64())}
+        for c in range(vv.shape[1]):
+            out[f"pc{c + 1}_r"] = pa.array(proj[:, c])
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def sql_embedding_pca_k(k: int = 4, iters: int = PCA_ITERS,
+                        dim: int = 64) -> str:
+    """Unrolled twin of embedding_pca_k: gram0 = integer Gram; per
+    component c a power-iteration CTE chain (prefix ``u{c}x``), then
+    Rayleigh λ_c + deflated gram{c+1} — every level MATERIALIZED (the
+    sql_embedding_pca1 lesson: inline re-expansion is exponential)."""
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {GRAM_SCALE}
+                    + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+gram0 AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.v * b.v)::DOUBLE AS g
+  FROM ev a JOIN ev b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2)"""]
+    for c in range(k):
+        pre = f"u{c}x"
+        parts.append(_sql_power_iter_ctes(f"gram{c}", pre, iters, dim))
+        if c + 1 < k:
+            vf = f"{pre}{iters}"
+            parts.append(f""",
+lam{c} AS MATERIALIZED (
+  SELECT round((SELECT sum(g.g * x.v * y.v)
+                FROM gram{c} g
+                JOIN {vf} x ON x.d = g.i
+                JOIN {vf} y ON y.d = g.j)
+               / (SELECT sum(v * v) FROM {vf}), 6) AS l),
+gram{c + 1} AS MATERIALIZED (
+  SELECT g.i, g.j,
+         g.g - (SELECT l FROM lam{c}) * x.v * y.v AS g
+  FROM gram{c} g
+  JOIN {vf} x ON x.d = g.i
+  JOIN {vf} y ON y.d = g.j)""")
+    sel = ",\n       ".join(
+        f"round(sum(e.v * x{c}.v), 6) AS pc{c + 1}_r" for c in range(k))
+    joins = "\n".join(
+        f"JOIN u{c}x{iters} x{c} ON x{c}.d = e.d" for c in range(k))
+    parts.append(f"""
+SELECT e.vec_id,
+       {sel}
+FROM ev e
+{joins}
+GROUP BY e.vec_id
+""")
+    return "".join(parts)
+
+
 def label_scatter(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Per-label SCATTER (k-means inertia / cluster cohesion): for each
     label, n·Σ‖x‖² − ‖Σx‖² in scaled integers — exactly n² × the

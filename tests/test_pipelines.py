@@ -2985,6 +2985,43 @@ def test_embedding_pca2_orthogonality_and_brute(ray_session):
     assert abs(float(v1 @ v2)) < 0.2
 
 
+def test_embedding_pca_k_matches_brute_and_extends_pca2(ray_session):
+    """Generic k-component deflation: the driver loop must reproduce the
+    in-process deflation chain exactly, and its first two components
+    must equal embedding_pca2's output (same algorithm, looped)."""
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (COS_ROUND,
+                                                       GRAM_SCALE,
+                                                       PCA_ITERS,
+                                                       _power_iterate,
+                                                       embedding_pca2,
+                                                       embedding_pca_k)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = pd.read_parquet(path).sort_values("vec_id")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    vi = np.floor(mat * GRAM_SCALE + 0.5)
+    G = vi.T @ vi
+    k = 4
+    vs, Gc = [], G
+    for c in range(k):
+        v = _power_iterate(Gc, PCA_ITERS)
+        vs.append(v)
+        if c + 1 < k:
+            lam = round(float(v @ Gc @ v) / float(v @ v), COS_ROUND)
+            Gc = Gc - lam * np.outer(v, v)
+    want = {int(key): tuple(round(float(vi[i] @ v), 6) for v in vs)
+            for i, key in enumerate(df["vec_id"])}
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    got = {r["vec_id"]: tuple(r[f"pc{c + 1}_r"] for c in range(k))
+           for r in embedding_pca_k(ds, k=k).take_all()}
+    assert got == want and len(got) == len(df)
+    # consistency: components 1-2 equal the dedicated pca2 operator
+    got2 = {r["vec_id"]: (r["pc1_r"], r["pc2_r"])
+            for r in embedding_pca2(ds).take_all()}
+    assert {i: v[:2] for i, v in got.items()} == got2
+
+
 def test_label_scatter_matches_bruteforce(ray_session):
     import pandas as pd
     import ray.data
