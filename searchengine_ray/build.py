@@ -129,7 +129,9 @@ def build_index(source: "ray.data.Dataset", index_dir: str,
                           ("tokenizer",
                            getattr(cfg, "tokenizer", "split")),
                           ("tokenizer_version", TOKENIZER_VERSION)):
-            have = prior.get(key)
+            # pre-tokenizer-field manifests (no "tokenizer" key) were all
+            # built with the whitespace split — resume them under "split"
+            have = prior.get(key, "split" if key == "tokenizer" else None)
             if have != want:
                 raise ValueError(
                     f"resume mismatch at {index_dir}: manifest {key}={have} "

@@ -172,6 +172,22 @@ def sql_tokens_expr(col: str) -> str:
     return f"list_filter({split}, t -> length(t) > 1)"
 
 
+def sql_treebank_tokens_expr(col: str) -> str:
+    """SQL list expression = tokenize(col, word_tokenizer="treebank"):
+    the normalized whitespace split run through the MacIntyre
+    contraction-word expansion (generated from TREEBANK_SPECIALS so the
+    table can never drift), then the len>1 filter — expansion outputs
+    are all len≥2, so the filter order matches the engine's."""
+    from searchengine_ray.functions.treebank import TREEBANK_SPECIALS
+    split = f"regexp_split_to_array(trim({sql_normalize_expr(col)}), '\\s+')"
+    cases = " ".join(
+        f"WHEN '{k}' THEN [{', '.join(repr(p) for p in parts)}]"
+        for k, parts in sorted(TREEBANK_SPECIALS.items()))
+    expanded = (f"flatten(list_transform({split}, "
+                f"t -> CASE t {cases} ELSE [t] END))")
+    return f"list_filter({expanded}, t -> length(t) > 1)"
+
+
 def sql_filtered_tokens_expr(col: str, cfg: IndexConfig) -> str:
     """SQL list expression = filter_tokens(tokenize(col), cfg)."""
     stop = ", ".join(f"'{s}'" for s in sorted(cfg.stopwords))

@@ -66,6 +66,42 @@ def token_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def token_count_treebank(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc token count under the Penn-Treebank tokenizer variant
+    (``IndexConfig(tokenizer="treebank")`` — functions/treebank.py), the
+    oracle-certified twin of the build-path expansion. The testdata
+    vocabulary contains no contraction words, so both engines first
+    apply the SAME deterministic literal substitution (table→cannot,
+    batch→gonna) — a SQL-expressible perturbation that makes the
+    MacIntyre expansion actually fire on every doc instead of
+    vacuously certifying a no-op path. Columns: doc_id,
+    n_tokens_tb (int64)."""
+    from searchengine_ray.config import IndexConfig
+    tb_cfg = IndexConfig(tokenizer="treebank")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        text = pc.replace_substring(text, pattern="table",
+                                    replacement="cannot")
+        text = pc.replace_substring(text, pattern="batch",
+                                    replacement="gonna")
+        di, _ = tokenize_column(text, tb_cfg, apply_filter=False)
+        n = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(n, di, 1)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_tokens_tb": pa.array(n),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_token_count_treebank() -> str:
+    from searchengine_ray.functions.tokenizer import sql_treebank_tokens_expr
+    col = "replace(replace(text, 'table', 'cannot'), 'batch', 'gonna')"
+    return (f"SELECT doc_id, len({sql_treebank_tokens_expr(col)})::BIGINT "
+            f"AS n_tokens_tb FROM documents")
+
 
 def ws_flat_tokens(text: pa.Array | pa.ChunkedArray
                    ) -> tuple[np.ndarray, pa.Array]:
@@ -534,9 +570,14 @@ def train_split(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         import hashlib
         ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
             zero_copy_only=False)
+        # md5(decimal-string) is the oracle contract, so the digest loop
+        # can't be replaced by a numpy hash — but the int→bytes
+        # conversion vectorizes (astype('S') = b"123") and md5/from_bytes
+        # bind locally, leaving only the C digest call per row
+        md5 = hashlib.md5
+        fb = int.from_bytes
         h = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
-                            "big") for i in ids),
+            (fb(md5(b).digest()[:4], "big") for b in ids.astype("S")),
             dtype=np.int64, count=len(ids))
         split = np.where(h < _SPLIT_TRAIN_HI, "train",
                          np.where(h < _SPLIT_VAL_HI, "val", "test"))

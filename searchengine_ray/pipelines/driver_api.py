@@ -1755,6 +1755,10 @@ def sql_multimodal() -> str:
 def build_queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "token_stats": lambda sf: analysis.token_stats(_docs(sf)),
+        # treebank-variant token counts (perturbed so the contraction
+        # expansion fires; certifies the build-path treebank plumbing)
+        "token_stats_treebank": lambda sf: analysis.token_count_treebank(
+            _docs(sf, ["doc_id", "text"])),
         "quality_score": lambda sf: analysis.quality_score(_docs(sf)),
         "lang_id": lambda sf: analysis.lang_id(_docs(sf)),
         "snippets": lambda sf: analysis.snippets(_docs(sf)),
@@ -2066,6 +2070,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
 def build_oracles() -> dict[str, str]:
     o = {
         "token_stats": sql_token_stats(),
+        "token_stats_treebank": analysis.sql_token_count_treebank(),
         "quality_score": sql_quality_score(),
         "lang_id": sql_lang_id(),
         "snippets": sql_snippets(),

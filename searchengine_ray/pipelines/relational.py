@@ -777,10 +777,18 @@ def profile_numeric(ds: "ray.data.Dataset",
         g = (part.group_by(["column"], use_threads=False)
              .aggregate([("mn", "min"), ("mx", "max"),
                          ("nu", "sum"), ("n", "sum")]))
+        # a column that was entirely null/empty still carries the
+        # identity sentinels after the combine — emit NULL like the SQL
+        # oracle's min()/max() over zero values (round-4 advice)
+        mn = g["mn_min"].to_numpy(zero_copy_only=False)
+        mx = g["mx_max"].to_numpy(zero_copy_only=False)
+        imax, imin = np.iinfo(np.int64).max, np.iinfo(np.int64).min
         return pa.table({
             "column": pc.cast(g["column"], pa.string()),
-            "min_c": pc.cast(g["mn_min"], pa.int64()),
-            "max_c": pc.cast(g["mx_max"], pa.int64()),
+            "min_c": pa.array([None if v == imax else int(v) for v in mn],
+                              type=pa.int64()),
+            "max_c": pa.array([None if v == imin else int(v) for v in mx],
+                              type=pa.int64()),
             "n_nulls": pc.cast(g["nu_sum"], pa.int64()),
             "n_rows": pc.cast(g["n_sum"], pa.int64()),
         })

@@ -260,11 +260,14 @@ class QueryEngine:
 
     def _docstore_fingerprint(self) -> str:
         """Cheap staleness guard for persisted masks: the docstore file
-        list + byte sizes (any merge/delta rewrite changes both)."""
+        list + byte sizes + mtime_ns (a rewrite that happens to preserve
+        every file size — e.g. a same-shape delta merge — still bumps
+        mtime; round-4 advice)."""
         parts = []
         for f in self._docstore_files:
             try:
-                parts.append(f"{f}:{os.path.getsize(os.path.join(self._docstore_dir, f))}")
+                st = os.stat(os.path.join(self._docstore_dir, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
             except OSError:
                 parts.append(f"{f}:?")
         return f"n={len(self._doc_ids)};" + ",".join(parts)

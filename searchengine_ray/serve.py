@@ -250,13 +250,22 @@ class SearchApp:
                          f"</a>?</p>")
         for r in payload["results"]:
             title = html.escape(str(r.get("title", "")))
-            url = html.escape(str(r.get("url", "")), quote=True)
+            raw_url = str(r.get("url", ""))
+            url = html.escape(raw_url, quote=True)
             desc = html.escape(str(r.get("description", "")))
             snip = html.escape(str(r.get("content_snippet", "")))
             score = r.get("score", 0.0)
+            # html.escape does not neutralize javascript:/data: schemes —
+            # only emit an anchor for http(s)/scheme-relative URLs, else
+            # render the title as plain text (round-4 advice). Docstore
+            # URLs here are repo-path keys (no scheme), which also render
+            # unlinked — matching their non-navigable meaning.
+            scheme_ok = raw_url.startswith(("http://", "https://", "/"))
+            head = (f"<h3><a href='{url}'>{title}</a></h3>" if scheme_ok
+                    else f"<h3>{title}</h3>")
             parts.append(
                 f"<div class='result-item'>"
-                f"<h3><a href='{url}'>{title}</a></h3>"
+                f"{head}"
                 f"<div class='result-url'>{url}</div>"
                 f"<div class='result-description'>{desc}</div>"
                 f"<div class='result-snippet'>{snip}</div>"

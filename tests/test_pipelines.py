@@ -3073,6 +3073,13 @@ def test_profile_numeric_matches_pandas_and_handles_nulls(ray_session):
                           cols=("x",)).take_all()
     assert (r["min_c"], r["max_c"], r["n_nulls"], r["n_rows"]) \
         == (100, 300, 1, 3)
+    # degenerate: an entirely-null column profiles to NULL min/max (the
+    # SQL-oracle convention), not the int64 identity sentinels
+    t2 = pa.table({"x": pa.array([None, None], type=pa.float64())})
+    [r2] = profile_numeric(ray.data.from_arrow(t2),
+                           cols=("x",)).take_all()
+    assert (r2["min_c"], r2["max_c"], r2["n_nulls"], r2["n_rows"]) \
+        == (None, None, 2, 2)
 
 
 def test_zipf_slope_matches_counter(ray_session):

@@ -1474,6 +1474,39 @@ def test_http_html_pages(http_server):
     assert "<script" not in esc and "&lt;script" in esc
 
 
+def test_render_url_scheme_guard(built):
+    """html.escape does not neutralize javascript:/data: URL schemes —
+    the renderer must only emit an anchor for http(s)/rooted URLs and
+    fall back to plain-text titles otherwise (round-4 advice)."""
+    from searchengine_ray.query import QueryEngine
+    from searchengine_ray.serve import SearchApp
+    eng = QueryEngine(built.index_dir, built.cfg)
+    app = SearchApp(eng)
+    payload = {
+        "query": "q", "total_results": 3, "search_source": "bm25",
+        "did_you_mean": None,
+        "pagination": {"total_pages": 1, "current_page": 1,
+                       "has_prev": False, "has_next": False,
+                       "prev_page": 0, "next_page": 2},
+        "results": [
+            {"title": "evil", "url": "javascript:alert(1)",
+             "description": "", "content_snippet": "", "score": 1.0,
+             "source": ""},
+            {"title": "datauri", "url": "data:text/html,x",
+             "description": "", "content_snippet": "", "score": 0.9,
+             "source": ""},
+            {"title": "fine", "url": "https://ok.example/x",
+             "description": "", "content_snippet": "", "score": 0.8,
+             "source": ""},
+        ],
+    }
+    app.search = lambda q, page=1: payload
+    page = app.render_search_page("q")
+    assert "href='javascript:" not in page and "href='data:" not in page
+    assert "<h3>evil</h3>" in page and "<h3>datauri</h3>" in page
+    assert "<a href='https://ok.example/x'>fine</a>" in page
+
+
 def test_query_service_preload_segments_identical(built):
     """Actor-pool tier with preload_segments=True must answer identically
     to the lazy default (the warm state is a superset, never different)."""
