@@ -86,6 +86,10 @@ def cmd_query(args) -> int:
                               exclude_repos=args.exclude_repo or None)
     elif args.hybrid:
         out = eng.hybrid_search(args.q, top_k=args.top_k)
+    elif args.wand:
+        stats: dict = {}
+        out = eng.search_wand(args.q, top_k=args.top_k, stats=stats)
+        print(json.dumps({"wand": stats}), flush=True)
     else:
         out = eng.search(args.q, top_k=args.top_k)
     print(json.dumps(out, indent=2))
@@ -182,6 +186,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--exclude-repo", action="append")
     q.add_argument("--hybrid", action="store_true",
                    help="BM25+embedding hybrid (requires built embeddings)")
+    q.add_argument("--wand", action="store_true",
+                   help="block-max WAND scorer (result-identical to the "
+                        "default path; prints block skip stats first)")
     q.set_defaults(fn=cmd_query)
 
     e = sub.add_parser("embed")

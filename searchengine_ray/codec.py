@@ -164,6 +164,45 @@ def decode_postings_range(buf: bytes, lo: int, hi: int
     return ids[mask], tfs[mask]
 
 
+def postings_block_meta(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """(n_postings, block_size, n_blocks, last_doc_id_per_block) from the
+    v2 restart directory — NO posting decode. ``lasts`` also yields a
+    conservative per-block FIRST-id lower bound (``lasts[b-1] + 1``),
+    which is all block-max WAND needs to ask "can doc d live in block b?"."""
+    n, _vb_len, block_size, nblocks, _vb0 = _parse_header(buf)
+    lasts = np.frombuffer(buf[16 + 4 * nblocks:16 + 12 * nblocks],
+                          dtype=np.uint64)
+    return n, block_size, nblocks, lasts
+
+
+def decode_postings_blocks(buf: bytes, b_lo: int, b_hi: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY blocks [b_lo, b_hi) of one term's postings (the
+    block-index sibling of :func:`decode_postings_range`): the restart
+    directory seeds the delta chain at ``lasts[b_lo−1]``, so a
+    contiguous block span decodes standalone. Bit-identical to slicing
+    a full decode (property-tested); the WAND scorer stitches
+    non-contiguous spans from repeated calls."""
+    n, vb_len, block_size, nblocks, vb0 = _parse_header(buf)
+    if n == 0 or b_hi <= b_lo:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
+    b_lo = max(0, b_lo)
+    b_hi = min(nblocks, b_hi)
+    offs = np.frombuffer(buf[16:16 + 4 * nblocks], dtype=np.uint32)
+    lasts = np.frombuffer(buf[16 + 4 * nblocks:16 + 12 * nblocks],
+                          dtype=np.uint64)
+    byte_lo = int(offs[b_lo])
+    byte_hi = int(offs[b_hi]) if b_hi < nblocks else vb_len
+    deltas = varbyte_decode(buf[vb0 + byte_lo:vb0 + byte_hi])
+    base = lasts[b_lo - 1] if b_lo > 0 else np.uint64(0)
+    ids = base + np.cumsum(deltas, dtype=np.uint64)
+    p_lo = b_lo * block_size
+    p_hi = min(n, b_hi * block_size)
+    tfs = np.frombuffer(buf[vb0 + vb_len + 4 * p_lo:
+                            vb0 + vb_len + 4 * p_hi], dtype=np.float32)
+    return ids, tfs
+
+
 def encode_postings_batch(doc_ids: np.ndarray, tfs: np.ndarray,
                           starts: np.ndarray, ends: np.ndarray,
                           block_size: int = BLOCK_SIZE_DEFAULT

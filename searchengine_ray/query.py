@@ -422,6 +422,41 @@ class QueryEngine:
         t = self._segment_tables[part]
         return self._decode(t["postings"][row].as_py())
 
+    def _blobs_in_part(self, part: int, term: str):
+        """(postings_buf, block_max_buf) WITHOUT decoding — the WAND
+        scorer reads block metadata first and decodes selectively."""
+        if self.lazy_segments:
+            t = self._lazy_row(part, term,
+                               ["term", "postings", "block_max"])
+            if t is None:
+                return None
+            return t["postings"][0].as_py(), t["block_max"][0].as_py()
+        self._load_part(part)
+        row = self._segments[part].get(term)
+        if row is None:
+            return None
+        t = self._segment_tables[part]
+        return (t["postings"][row].as_py(), t["block_max"][row].as_py())
+
+    def term_blobs(self, term: str) -> list[tuple[bytes, bytes]]:
+        """Raw (postings, block_max) blob pairs for a term — one pair
+        normally, several for a salted hot term (same probe plan as
+        :meth:`postings`, no decode)."""
+        n_salts = self.hot_terms.get(term)
+        if not n_salts:
+            b = self._blobs_in_part(
+                int(hash64(term) % self.num_partitions), term)
+            return [b] if b is not None else []
+        probe = sorted({int(hash64(salt_of(term, s)) % self.num_partitions)
+                        for s in range(n_salts)})
+        found = [b for b in (self._blobs_in_part(p, term) for p in probe)
+                 if b is not None]
+        if not found:
+            b = self._blobs_in_part(
+                int(hash64(term) % self.num_partitions), term)
+            return [b] if b is not None else []
+        return found
+
     # -- docstore access ---------------------------------------------------
     def _fetch_doc_rows(self, ids_sorted: np.ndarray, columns: list[str]):
         """Lazy-docstore fetch: rows for the given SORTED doc_ids via
@@ -628,6 +663,13 @@ class QueryEngine:
         if scored is None:
             return []
         acc_ids, acc_scores, original_tokens, original_query = scored
+        return self._finish_search(acc_ids, acc_scores, original_tokens,
+                                   original_query, top_k)
+
+    def _finish_search(self, acc_ids, acc_scores, original_tokens,
+                       original_query, top_k: int) -> list[dict]:
+        """Shared tail of search()/search_wand(): boost (pruned when
+        top_k is small), max-normalize, top-k + min-score, fetch meta."""
         if top_k <= 1024:
             acc_ids, scores = self._boost_topk(
                 acc_ids, acc_scores, original_tokens, original_query, top_k)
@@ -654,6 +696,136 @@ class QueryEngine:
                 meta["snippet"], original_tokens, self.qcfg),
             "score": score,
         } for (doc_id, score), meta in zip(picked, metas)]
+
+    def search_wand(self, query: str, top_k: int | None = None,
+                    stats: dict | None = None) -> list[dict]:
+        """BM25 top-k via BLOCK-MAX WAND (north star): block-max
+        metadata + the v2 restart directory let the scorer decode only
+        posting blocks that could still place a doc in the top-k —
+        results are EXACTLY ``search()``'s (same docs, bit-identical
+        scores; asserted in tests). Pruning bounds fold the metadata
+        boost ceiling ``MAX_BOOST`` (see wand.py module docstring), so
+        skipping power appears on skewed tf distributions / long lists;
+        worst case degenerates to one full decode. ``stats`` (optional
+        dict) receives blocks_total / blocks_decoded / rounds.
+
+        Range-sharded engines (``doc_range``) already decode only their
+        block slice — they delegate to the plain path."""
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
+            return []
+        if self.doc_range is not None:
+            return self.search(query, top_k)
+        got = self._wand_candidates(query, top_k, self.MAX_BOOST, stats)
+        if got is None:
+            return []
+        acc_ids, acc_scores, original_tokens, original_query = got
+        return self._finish_search(acc_ids, acc_scores, original_tokens,
+                                   original_query, top_k)
+
+    def search_wand_base(self, query: str, top_k: int | None = None,
+                         stats: dict | None = None
+                         ) -> list[tuple[int, float]]:
+        """Top-k by PURE BM25 base score (no metadata boost ladder, no
+        normalization) via block-max WAND with ceiling 1.0 — the
+        boost-free tier where classic skipping power applies (the
+        admissible ceiling for the boosted ladder is ``MAX_BOOST`` ≈
+        13.5×, which at BM25's saturation constants almost never lets a
+        block skip — an honest mathematical consequence, see wand.py).
+        Returns [(doc_id, base_score)] ordered by (-score, doc_id);
+        exact vs brute base scoring (asserted in tests)."""
+        top_k = self.qcfg.top_k if top_k is None else top_k
+        if top_k <= 0:
+            return []
+        if self.doc_range is not None:
+            scored = self._score_candidates(query)
+            if scored is None:
+                return []
+            acc_ids, acc_scores = scored[0], scored[1]
+        else:
+            got = self._wand_candidates(query, top_k, 1.0, stats)
+            if got is None:
+                return []
+            acc_ids, acc_scores = got[0], got[1]
+        order = np.lexsort((acc_ids, -acc_scores))[:top_k]
+        return [(int(acc_ids[i]), float(acc_scores[i])) for i in order]
+
+    def _wand_candidates(self, query: str, top_k: int,
+                         boost_ceiling: float, stats: dict | None):
+        from searchengine_ray.wand import ListState, wand_select
+        cfg, qcfg = self.cfg, self.qcfg
+        filtered, original_tokens, original_query = prepare_query(query,
+                                                                  cfg)
+        if not filtered:
+            return None
+        original_set = set(original_tokens)
+        # physical lists per DISTINCT scorable term (duplicate query
+        # occurrences share the list; mult carries the multiplicity)
+        by_term: dict[str, list] = {}
+        order: list[str] = []       # filtered order, scorable terms only
+        for qt in filtered:
+            if qt in by_term:
+                for ls in by_term[qt]:
+                    ls.mult += 1
+                order.append(qt)
+                continue
+            df = self.term_df(qt)
+            if df is None or self.N - df + 0.5 <= df + 0.5:
+                continue            # absent or idf clamps to 0 — skip
+            blobs = self.term_blobs(qt)
+            if not blobs:
+                continue
+            idf = max(0.0, math.log((self.N - df + 0.5) / (df + 0.5)))
+            imp = qcfg.term_importance if qt in original_set else 1.0
+            states = []
+            for buf, bm_buf in blobs:
+                ls = ListState(term=qt, buf=buf, idf=idf,
+                               importance=imp, mult=1)
+                ls.prepare(bm_buf, cfg.k1, cfg.b)
+                states.append(ls)
+            by_term[qt] = states
+            order.append(qt)
+        if not by_term:
+            return None
+        lists = [ls for states in by_term.values() for ls in states]
+        survivors, _cand = wand_select(lists, top_k, boost_ceiling,
+                                       stats=stats)
+        if survivors.size == 0:
+            return None
+        # exact re-accumulation in _score_candidates' order: per query
+        # OCCURRENCE (filtered order), contrib = idf · tf_comp ·
+        # importance on the decoded fragments — bit-identical float sums
+        term_arrays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for qt, states in by_term.items():
+            frag_i = [f[1] for ls in states for f in ls.frags]
+            frag_t = [f[2] for ls in states for f in ls.frags]
+            ids = np.concatenate(frag_i) if frag_i else \
+                np.empty(0, dtype=np.uint64)
+            tfs = np.concatenate(frag_t) if frag_t else \
+                np.empty(0, dtype=np.float32)
+            dl = self._len_vals[np.searchsorted(self._len_ids, ids)] \
+                if ids.size else np.empty(0)
+            tf = tfs.astype(np.float64)
+            tf_comp = ((cfg.k1 + 1) * tf) / (
+                cfg.k1 * (1 - cfg.b + cfg.b * dl / self.avgdl) + tf)
+            imp = states[0].importance
+            contrib = states[0].idf * tf_comp * imp
+            term_arrays[qt] = (ids, contrib)
+        id_parts = [term_arrays[qt][0] for qt in order]
+        contrib_parts = [term_arrays[qt][1] for qt in order]
+        all_ids = np.concatenate(id_parts)
+        all_contribs = np.concatenate(contrib_parts)
+        acc_ids, inv = np.unique(all_ids, return_inverse=True)
+        acc_scores = np.zeros(acc_ids.size, dtype=np.float64)
+        np.add.at(acc_scores, inv, all_contribs)
+        # survivors only: partially-decoded docs are provably below the
+        # k-th boosted score (wand_select's invariant) — masking after
+        # the accumulate keeps per-doc float order identical
+        keep = np.isin(acc_ids, survivors, assume_unique=True)
+        acc_ids, acc_scores = acc_ids[keep], acc_scores[keep]
+        if acc_ids.size == 0:
+            return None
+        return acc_ids, acc_scores, original_tokens, original_query
 
     def boolean_search(self, query: str, mode: str = "and",
                        exclude: str = "") -> np.ndarray:
