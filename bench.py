@@ -402,15 +402,16 @@ def run_composite_join_skew_evidence(n_left: int = 400_000,
     return out
 
 
-def _emit(payload: dict) -> None:
+def _emit(payload: dict, name: str = "bench_timings.json") -> None:
     """Print the ONE-line JSON contract AND persist the full payload to
-    bench_timings.json (round-4 verdict #8: the driver records only the
+    a per-mode file (round-4 verdict #8: the driver records only the
     stdout tail, which truncates the per-entry timing dict — the file
-    keeps the whole dict for round-over-round per-entry diffs)."""
+    keeps the whole dict for round-over-round per-entry diffs; per-mode
+    names so a --skew run can't clobber the suite record)."""
     print(json.dumps(payload))
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_timings.json")
+                            name)
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)
     except OSError:
@@ -471,7 +472,7 @@ def main() -> None:
             "value": res["docs_per_sec"], "unit": "docs_per_sec",
             "queries": {}, "sf": "synthetic-corpus",
             "num_cpus": res["total_cpus"], "cluster": res,
-        })
+        }, name="bench_cluster.json")
         return
 
     if args.skew:
@@ -482,7 +483,7 @@ def main() -> None:
             "value": res["salted"]["skew_ratio"], "unit": "skew_ratio",
             "queries": {}, "sf": "synthetic-adversarial", "num_cpus": 32,
             "skew": res,
-        })
+        }, name="bench_skew.json")
         import ray
         ray.shutdown()
         return
@@ -499,7 +500,7 @@ def main() -> None:
             "value": res["scaling_efficiency"], "unit": "efficiency",
             "queries": {}, "sf": "synthetic-corpus",
             "num_cpus": [8, 32], "scaling": res,
-        })
+        }, name="bench_scaling.json")
         return
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
