@@ -395,13 +395,16 @@ def sql_docstore_sha() -> str:
     return "SELECT doc_id, sha256(text) AS sha_hex FROM documents"
 
 
-def q_bm25(sf_dir: str, query: str) -> pa.Table:
+def q_bm25(sf_dir: str, query: str, wand: bool = False) -> pa.Table:
     """All docs scoring > min_score for the query (top_k unbounded so the
-    result is a SET — order-insensitive vs the SQL oracle)."""
+    result is a SET — order-insensitive vs the SQL oracle).
+    ``wand=True`` routes through the block-max WAND scorer — same
+    oracle, certifying its bit-exactness at the driver gate."""
     from searchengine_ray.query import QueryEngine
     idx = ensure_index(sf_dir)
     eng = QueryEngine(idx, CFG, QCFG)
-    res = eng.search(query, top_k=1 << 30)
+    res = eng.search_wand(query, top_k=1 << 30) if wand \
+        else eng.search(query, top_k=1 << 30)
     return pa.table({
         "doc_id": pa.array([_orig_id_from_title(r["title"]) for r in res],
                            type=pa.int64()),
@@ -2061,6 +2064,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         q[name] = (lambda sf, _t=text: q_bm25(sf, _t))
         q[name.replace("bm25_", "hybrid_")] = (
             lambda sf, _t=text: q_hybrid(sf, _t))
+    # block-max WAND twin: the selective-decode scorer against the SAME
+    # oracle the exhaustive path certifies under (score-hash-exact)
+    q["bm25_en_wand"] = lambda sf: q_bm25(sf, "en", wand=True)
     for name, (text, mode, excl) in BOOLEAN_QUERIES.items():
         q[name] = (lambda sf, _t=text, _m=mode, _e=excl:
                    q_boolean(sf, _t, _m, _e))
@@ -2216,6 +2222,7 @@ def build_oracles() -> dict[str, str]:
     for name, text in BM25_QUERIES.items():
         o[name] = sql_bm25(text)
         o[name.replace("bm25_", "hybrid_")] = sql_hybrid(text)
+    o["bm25_en_wand"] = sql_bm25("en")
     for name, (text, mode, excl) in BOOLEAN_QUERIES.items():
         o[name] = sql_boolean(text, mode, excl)
     return o
