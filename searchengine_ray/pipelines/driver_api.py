@@ -1499,6 +1499,20 @@ FROM assign a
 """
 
 
+def sql_cluster_cap_sample(cap: int, n_centroids: int = 16,
+                           sample_rows: int = 512,
+                           lloyd_iters: int = 2) -> str:
+    """Exact twin of similarity.cluster_cap_sample: the shared unrolled
+    k-means assignment, then keep = (rank by vec_id within cluster) ≤
+    cap."""
+    return _sql_kmeans_assign(n_centroids, sample_rows, lloyd_iters) + f"""
+SELECT vec_id::BIGINT AS vec_id, j::BIGINT AS cluster,
+       (row_number() OVER (PARTITION BY j ORDER BY vec_id)
+        <= {cap}) AS keep
+FROM assign
+"""
+
+
 def q_doc_embedding_join(sf_dir: str):
     """Generic distributed hash equi-join (pipelines/join.py): documents
     ⋈ embeddings on doc_id = vec_id; payload = lang + the first
@@ -1945,6 +1959,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup composite: deterministic k-means + within-cluster
         # lowest-id-representative near-dup drop (blocked pairwise)
         "semantic_dedup": lambda sf: similarity.semantic_dedup(_embs(sf)),
+        # topic balancing: cap every k-means cluster at `cap` lowest ids
+        # (SemDeDup's curation sibling; shared deterministic k-means)
+        "cluster_cap_sample": lambda sf: similarity.cluster_cap_sample(
+            _embs(sf), cap=32),
         # PIVOT/crosstab: event log → per-user feature matrix
         "events_pivot_counts": lambda sf: events.pivot_type_counts(
             _events(sf, ["user_id", "event_type"])),
@@ -2177,6 +2195,7 @@ def build_oracles() -> dict[str, str]:
         "events_type_rank": events.sql_type_value_rank(),
         "embedding_centroids": similarity.sql_label_centroids(),
         "semantic_dedup": sql_semantic_dedup(similarity.SEMDEDUP_TAU),
+        "cluster_cap_sample": sql_cluster_cap_sample(32),
         "events_pivot_counts": events.sql_pivot_type_counts(),
         "events_user_median": events.sql_user_value_median(),
         "tpch_q1_pricing": relational.sql_pricing_summary(),

@@ -1171,6 +1171,70 @@ GROUP BY e.vec_id
 """
 
 
+def cluster_cap_sample(ds: "ray.data.Dataset", cap: int = 32,
+                       n_centroids: int = 16, sample_rows: int = 512,
+                       lloyd_iters: int = 2,
+                       id_col: str = "vec_id", col: str = "embedding",
+                       centroids: np.ndarray | None = None
+                       ) -> "ray.data.Dataset":
+    """CLUSTER-BALANCED subsampling (topic balancing — the curation
+    sibling of SemDeDup: instead of dropping near-duplicates inside a
+    cluster, CAP every k-means cluster at ``cap`` docs so no topic
+    dominates the training mix). Keeps each cluster's ``cap`` lowest
+    vec_ids — deterministic, order-free, shared with the SQL oracle.
+    Columns: vec_id, cluster, keep (bool).
+
+    Scale shape: the shared deterministic k-means (same ``centroids=``
+    escape hatch as :func:`semantic_dedup` for the distributed
+    trainer), one assignment ``map_batches`` (id-width rows move), one
+    cluster-keyed coarse shuffle whose per-partition cap is a single
+    lexsort + run-boundary rank over ALL clusters in the partition —
+    no per-cluster Python, no pairwise work, never the quadratic
+    within-cluster phase.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    cents = np.asarray(centroids) if centroids is not None else \
+        train_centroids(ds, n_centroids, sample_rows, lloyd_iters,
+                        id_col=id_col, col=col)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        unit = _normalize(_emb_matrix(batch, col))
+        j = (assign_centroids(unit, ray.get(cref)) if len(unit)
+             else np.empty(0, dtype=np.int64)).astype(np.int64)
+        return pa.table({
+            "vec_id": pc.cast(batch[id_col], pa.int64()),
+            "cluster": pa.array(j),
+        })
+
+    def cap_keep(part: pa.Table) -> pa.Table:
+        ids = pc.cast(part["vec_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cl = pc.cast(part["cluster"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"vec_id": z, "cluster": z,
+                             "keep": pa.array([], type=pa.bool_())})
+        order = np.lexsort((ids, cl))
+        cs = cl[order]
+        run_start = np.empty(cs.size, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(run_start)
+        rank = np.arange(cs.size) - np.repeat(
+            starts, np.diff(np.append(starts, cs.size)))
+        keep = np.empty(cs.size, dtype=bool)
+        keep[order] = rank < cap
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(cl),
+                         "keep": pa.array(keep)})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_aggregate(assigned, ["cluster"], cap_keep)
+
+
 def embedding_pca_k(ds: "ray.data.Dataset", k: int = 4,
                     iters: int = PCA_ITERS,
                     col: str = "embedding") -> "ray.data.Dataset":

@@ -2510,6 +2510,35 @@ def test_semantic_dedup_matches_brute(ray_session):
         and any(not k for _, k in want.values())
 
 
+def test_cluster_cap_sample_matches_bruteforce(ray_session):
+    """Topic balancing: per-cluster rank-by-vec_id cap equals the
+    in-process k-means + pandas rank; caps actually bind (some clusters
+    exceed cap) and survivors are exactly each cluster's lowest ids."""
+    import pandas as pd
+    import ray.data
+    from searchengine_ray.pipelines.similarity import (
+        _normalize, assign_centroids, cluster_cap_sample, train_centroids)
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    df = pd.read_parquet(path).sort_values("vec_id")
+    ids = df["vec_id"].to_numpy().astype("int64")
+    mat = _normalize(np.stack(df["embedding"].to_numpy())
+                     .astype(np.float64))
+    cents = train_centroids(ds)
+    assign = assign_centroids(mat, cents).astype(np.int64)
+    cap = 5
+    want = {}
+    for cl in np.unique(assign):
+        members = np.sort(ids[assign == cl])
+        for rank, vid in enumerate(members):
+            want[int(vid)] = (int(cl), rank < cap)
+    got = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+           cluster_cap_sample(ds, cap=cap).take_all()}
+    assert got == want
+    assert any(not k for _, k in want.values())  # cap binds
+    assert any(k for _, k in want.values())
+
+
 def test_semantic_dedup_max_cluster_guard(ray_session):
     import ray.data
     from searchengine_ray.pipelines.similarity import semantic_dedup
