@@ -1994,6 +1994,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_seasonality": lambda sf: events.hourly_seasonality(
             _events(sf, ["ts", "event_type"])),
         # quantile-binning feature transform from exact order statistics
+        # RFM user segmentation: per-user digest + ONE nine-target
+        # iterative-selection run for all quartile cuts
+        "events_user_rfm": lambda sf: events.user_rfm(
+            _events(sf, ["user_id", "ts", "value"])),
         "events_value_quartile": lambda sf: events.value_quartile(
             _events(sf, ["event_id", "event_type", "value"])),
         # debounce/throttle mask: drop same-(user,type) events within
@@ -2206,6 +2210,7 @@ def build_oracles() -> dict[str, str]:
         "events_conversion_time": events.sql_conversion_time(),
         "events_hourly_seasonality": events.sql_hourly_seasonality(),
         "events_value_quartile": events.sql_value_quartile(),
+        "events_user_rfm": events.sql_user_rfm(),
         "events_throttle": events.sql_throttle(),
         "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),

@@ -2755,6 +2755,115 @@ FROM events e JOIN c USING (event_type)
 """
 
 
+def user_rfm(ds: "ray.data.Dataset", num_buckets: int = 32,
+             fetch_threshold: int = 4096) -> "ray.data.Dataset":
+    """RFM SEGMENTATION — the classic user-feature composite: per user
+    recency (max event ts, µs), frequency (event count) and monetary
+    (sum cents), each quartile-binned against the EXACT global p25/p50/
+    p75 order statistics. Columns: user_id, r_bin, f_bin, m_bin
+    (int64, 0-3; bin = Σ(value > cut), the value_quartile convention).
+
+    Scale shape: (1) ONE user-keyed shuffle reduces the log to a
+    distinct-user-bounded (user, r, f, m) digest, pinned once —
+    consumed by the selection scans and the labeling pass; (2) all NINE
+    cut points (3 dims × 3 quantiles) refine together in a single
+    :func:`_iterative_select` run over a (dim, value) projection of the
+    digest — the driver only ever accumulates (dim, quantile, bucket,
+    count) rows, never a user-sized structure; (3) one vectorized
+    labeling pass against the 9 broadcast scalars.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def part(batch: pa.Table) -> pa.Table:
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "vc": pa.array(vc),
+            "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        g = (t.group_by(["user_id"], use_threads=False)
+             .aggregate([("ts_us", "max"), ("vc", "sum"), ("n", "sum")]))
+        return pa.table({"user_id": g["user_id"],
+                         "r": pc.cast(g["ts_us_max"], pa.int64()),
+                         "f": pc.cast(g["n_sum"], pa.int64()),
+                         "m": pc.cast(g["vc_sum"], pa.int64())})
+
+    def combine(p: pa.Table) -> pa.Table:
+        g = (p.group_by(["user_id"], use_threads=False)
+             .aggregate([("r", "max"), ("f", "sum"), ("m", "sum")]))
+        return pa.table({"user_id": g["user_id"],
+                         "r": pc.cast(g["r_max"], pa.int64()),
+                         "f": pc.cast(g["f_sum"], pa.int64()),
+                         "m": pc.cast(g["m_sum"], pa.int64())})
+
+    rfm = grouped_aggregate(
+        ds.select_columns(["user_id", "ts", "value"])
+          .map_batches(part, batch_format="pyarrow"),
+        ["user_id"], combine).materialize()
+
+    def project_dims(batch: pa.Table) -> pa.Table:
+        dims, vals = [], []
+        for d in ("r", "f", "m"):
+            v = pc.cast(batch[d], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            dims.extend([d] * len(v))
+            vals.append(v)
+        return pa.table({"event_type": pa.array(dims, type=pa.string()),
+                         "vc": pa.array(np.concatenate(vals))})
+
+    proj = rfm.map_batches(project_dims, batch_format="pyarrow")
+    stats = _type_value_stats(proj)
+    tags = {(1, 4): "p25", (1, 2): "p50", (3, 4): "p75"}
+    active, counts = {}, {}
+    for (qn, qd), tag in tags.items():
+        for d, (n, lo, hi) in stats.items():
+            active[(d, tag)] = (int(lo) - 1, int(hi),
+                                (qn * int(n) + qd - 1) // qd)
+            counts[(d, tag)] = int(n)
+    cuts = _iterative_select(proj, active, counts, num_buckets,
+                             fetch_threshold)
+    cut_mat = {d: np.array([cuts[(d, "p25")], cuts[(d, "p50")],
+                            cuts[(d, "p75")]], dtype=np.int64)
+               for d in ("r", "f", "m")}
+
+    def label(batch: pa.Table) -> pa.Table:
+        out = {"user_id": pc.cast(batch["user_id"], pa.int64())}
+        for d in ("r", "f", "m"):
+            v = pc.cast(batch[d], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            c = cut_mat[d]
+            out[f"{d}_bin"] = pa.array(
+                (v > c[0]).astype(np.int64) + (v > c[1]) + (v > c[2]))
+        return pa.table(out)
+
+    return rfm.map_batches(label, batch_format="pyarrow")
+
+
+def sql_user_rfm() -> str:
+    # quantile_disc == the engine's k = ceil(q·n)-th smallest
+    # (sorted value at max(0, ceil(q·n)−1)) — the certified convention
+    dims = {"r": "r", "f": "f", "m": "m"}
+    cut_cols = ", ".join(
+        f"quantile_disc({c}, {q}) AS {d}{int(q * 100)}"
+        for d, c in dims.items() for q in (0.25, 0.5, 0.75))
+    bin_cols = ", ".join(
+        f"((u.{c} > c.{d}25)::BIGINT + (u.{c} > c.{d}50)::BIGINT "
+        f"+ (u.{c} > c.{d}75)::BIGINT)::BIGINT AS {d}_bin"
+        for d, c in dims.items())
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT user_id, epoch_us(max(ts))::BIGINT AS r,
+         count(*)::BIGINT AS f,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS m
+  FROM events GROUP BY user_id),
+c AS (SELECT {cut_cols} FROM u)
+SELECT u.user_id, {bin_cols}
+FROM u CROSS JOIN c
+"""
+
+
 HOUR_US = 3_600_000_000
 
 

@@ -2031,6 +2031,36 @@ def test_throttle_chained(events_ds):
     assert out == {1: True, 2: False, 3: True}
 
 
+def test_user_rfm(events_ds):
+    """RFM segmentation: one row per user; bins follow the certified
+    quartile convention (bin = Σ(v > ceil(q·n)-th smallest)) — checked
+    brute-force on all three dimensions."""
+    from searchengine_ray.pipelines.events import user_rfm
+    rows = {r["user_id"]: (r["r_bin"], r["f_bin"], r["m_bin"])
+            for r in user_rfm(events_ds).take_all()}
+    df = (events_df()
+          .assign(ts_us=lambda d: d["ts"].astype("datetime64[us]")
+                  .astype("int64"),
+                  vc=lambda d: np.round(d["value"] * 100).astype("int64")))
+    g = df.groupby("user_id").agg(r=("ts_us", "max"), f=("vc", "size"),
+                                  m=("vc", "sum"))
+    assert len(rows) == len(g)
+    want = {}
+    cuts = {}
+    for d in ("r", "f", "m"):
+        v = np.sort(g[d].to_numpy())
+        n = len(v)
+        cuts[d] = [int(v[(qn * n + qd - 1) // qd - 1])
+                   for qn, qd in ((1, 4), (1, 2), (3, 4))]
+    for uid, row in g.iterrows():
+        want[int(uid)] = tuple(
+            int(sum(int(row[d]) > c for c in cuts[d]))
+            for d in ("r", "f", "m"))
+    assert rows == want
+    for i in range(3):
+        assert {v[i] for v in rows.values()} == {0, 1, 2, 3}
+
+
 def test_value_quartile(events_ds):
     from searchengine_ray.pipelines.events import value_quartile
     got = {r["event_id"]: r["quartile"]
