@@ -1994,6 +1994,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_seasonality": lambda sf: events.hourly_seasonality(
             _events(sf, ["ts", "event_type"])),
         # quantile-binning feature transform from exact order statistics
+        # rolling DAU: sliding windows via the exact k in [0, width/step)
+        # integer explode + (window,user) pair-dedup digest shuffle
+        "events_sliding_dau": lambda sf: events.sliding_distinct_users(
+            _events(sf, ["user_id", "ts"])),
         # RFM user segmentation: per-user digest + ONE nine-target
         # iterative-selection run for all quartile cuts
         "events_user_rfm": lambda sf: events.user_rfm(
@@ -2211,6 +2215,7 @@ def build_oracles() -> dict[str, str]:
         "events_hourly_seasonality": events.sql_hourly_seasonality(),
         "events_value_quartile": events.sql_value_quartile(),
         "events_user_rfm": events.sql_user_rfm(),
+        "events_sliding_dau": events.sql_sliding_distinct_users(),
         "events_throttle": events.sql_throttle(),
         "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),

@@ -2755,6 +2755,84 @@ FROM events e JOIN c USING (event_type)
 """
 
 
+SLIDE_WIDTH_US = 86_400_000_000      # 1-day window
+SLIDE_STEP_US = 21_600_000_000       # 6-hour step (width % step == 0)
+
+
+def sliding_distinct_users(ds: "ray.data.Dataset",
+                           width_us: int = SLIDE_WIDTH_US,
+                           step_us: int = SLIDE_STEP_US
+                           ) -> "ray.data.Dataset":
+    """SLIDING-window distinct users (rolling DAU): for every step-grid
+    window [w·step, w·step + width) the count of distinct user_ids with
+    an event inside. Columns: window_start_us, n_users (int64).
+
+    An event at t belongs to exactly the ``width/step`` windows
+    ``w = t//step − k, k ∈ [0, width/step)`` (integer identity — no
+    boundary predicate needed), so the plan is: per-batch explode ×
+    (width/step) into (window, user) pairs DEDUPED inside the batch,
+    ONE hash(window, user) shuffle whose reduce dedups exactly and
+    emits per-window counts — the same pair-dedup digest shape as
+    ``value_quantiles``' n_users. Nothing user-sized ever reaches the
+    driver; output rows = number of windows.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+    assert width_us % step_us == 0
+    fan = width_us // step_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        u = pc.cast(batch["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = t // step_us
+        win = (base[:, None] - np.arange(fan, dtype=np.int64)[None, :]) \
+            .ravel()
+        uu = np.repeat(u, fan)
+        tbl = pa.table({"win": pa.array(win), "user_id": pa.array(uu)})
+        return (tbl.group_by(["win", "user_id"], use_threads=False)
+                .aggregate([]))
+
+    def dedup_count(part: pa.Table) -> pa.Table:
+        # a (win, user) pair lands in exactly ONE partition — the dedup
+        # is exact here; the per-win count is PARTIAL (a win's users
+        # spread across partitions under the pair-keyed hash)
+        d = (part.group_by(["win", "user_id"], use_threads=False)
+             .aggregate([]))
+        g = (d.group_by(["win"], use_threads=False)
+             .aggregate([("user_id", "count")]))
+        return pa.table({"win": pc.cast(g["win"], pa.int64()),
+                         "pu": pc.cast(g["user_id_count"], pa.int64())})
+
+    def win_sum(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["win"], use_threads=False)
+             .aggregate([("pu", "sum")]))
+        return pa.table({
+            "window_start_us": pc.multiply(
+                pc.cast(g["win"], pa.int64()),
+                pa.scalar(step_us, type=pa.int64())),
+            "n_users": pc.cast(g["pu_sum"], pa.int64()),
+        })
+
+    partials = grouped_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["win", "user_id"], dedup_count)
+    # second, digest-sized shuffle: ≤ partitions × windows partial rows
+    return grouped_aggregate(partials, ["win"], win_sum)
+
+
+def sql_sliding_distinct_users(width_us: int = SLIDE_WIDTH_US,
+                               step_us: int = SLIDE_STEP_US) -> str:
+    fan = width_us // step_us
+    return f"""
+WITH x AS (
+  SELECT (epoch_us(ts) // {step_us}) - k.k AS win, user_id
+  FROM events, (SELECT unnest(range(0, {fan})) AS k) k)
+SELECT (win * {step_us})::BIGINT AS window_start_us,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM x GROUP BY win
+"""
+
+
 def user_rfm(ds: "ray.data.Dataset", num_buckets: int = 32,
              fetch_threshold: int = 4096) -> "ray.data.Dataset":
     """RFM SEGMENTATION — the classic user-feature composite: per user

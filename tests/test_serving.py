@@ -2031,6 +2031,35 @@ def test_throttle_chained(events_ds):
     assert out == {1: True, 2: False, 3: True}
 
 
+def test_sliding_distinct_users(ray_session):
+    """Hand-built boundary case: each event must appear in EXACTLY
+    width/step windows (grid identity, no predicate), duplicates of a
+    user within a window count once, and counts match a brute pass."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.events import sliding_distinct_users
+    W, S = 40, 10          # width 40, step 10 → fan 4
+    evs = [  # (user, ts)
+        (1, 0), (1, 5), (2, 10), (3, 39), (3, 40), (1, 100),
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in evs], type=pa.int64()),
+        "ts": pa.array([ts for _, ts in evs], type=pa.timestamp("us")),
+    })
+    got = {r["window_start_us"]: r["n_users"] for r in
+           sliding_distinct_users(ray.data.from_arrow(t),
+                                  width_us=W, step_us=S).take_all()}
+    want: dict = {}
+    for u, ts in evs:
+        for k in range(W // S):
+            w = (ts // S - k) * S
+            want.setdefault(w, set()).add(u)
+    assert got == {w: len(us) for w, us in want.items()}
+    # window [40,80) holds only the ts=40 event; [0,40) holds users
+    # 1,2,3; [-30,10) reaches back to only the ts<10 events (user 1)
+    assert got[40] == 1 and got[0] == 3 and got[-30] == 1
+
+
 def test_user_rfm(events_ds):
     """RFM segmentation: one row per user; bins follow the certified
     quartile convention (bin = Σ(v > ceil(q·n)-th smallest)) — checked
