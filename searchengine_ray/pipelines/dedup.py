@@ -842,6 +842,57 @@ def lsh_verified_pairs(ds: "ray.data.Dataset", n: int = 3,
 PAIR_PACK = np.int64(1) << np.int64(32)
 
 
+def leakage_safe_split(docs: "ray.data.Dataset",
+                       pairs: "ray.data.Dataset | None" = None
+                       ) -> "ray.data.Dataset":
+    """Near-dup-LEAKAGE-SAFE train/val/test split: every near-duplicate
+    CLUSTER is assigned to one split atomically — the md5-fence
+    assignment (analysis.train_split's 80/10/10 convention) is keyed by
+    the cluster's component_id (min reachable doc_id) instead of the
+    doc_id, so two near-duplicates can never straddle train and test
+    (the dedup-leakage failure mode the C4/RedPajama/Dolma reports
+    document: eval contamination through duplicated text). Isolated
+    docs are their own cluster and split exactly like train_split.
+    Columns: doc_id, split (string).
+
+    Composition of existing operators: MinHash-LSH pairs (pass a shared
+    materialized set via ``pairs``) → connected components → one
+    vectorized md5-per-DISTINCT-component pass (dictionary-encode +
+    gather; the md5-of-decimal-string contract is shared with the SQL
+    oracle)."""
+    from searchengine_ray.pipelines.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, family="m31")
+    comp = connected_components(pairs, docs.select_columns(["doc_id"]))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+        from searchengine_ray.pipelines.analysis import (_SPLIT_TRAIN_HI,
+                                                         _SPLIT_VAL_HI)
+        cid = batch["component_id"]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        dic = cid.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        uniq = dic.dictionary.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hu = np.fromiter(
+            (fb(md5(b).digest()[:4], "big") for b in uniq.astype("S")),
+            dtype=np.int64, count=len(uniq))
+        h = hu[codes] if len(uniq) else np.empty(0, dtype=np.int64)
+        split = np.where(h < _SPLIT_TRAIN_HI, "train",
+                         np.where(h < _SPLIT_VAL_HI, "val", "test"))
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "split": pa.array(split.tolist(), type=pa.string()),
+        })
+
+    return comp.map_batches(fn, batch_format="pyarrow")
+
+
 def consensus_pairs(docs: "ray.data.Dataset",
                     max_hamming: int = 3,
                     cfg: "IndexConfig | None" = None,

@@ -1078,6 +1078,21 @@ FROM reach GROUP BY node
 """
 
 
+def sql_leakage_safe_split() -> str:
+    """Oracle for dedup.leakage_safe_split: components oracle + the
+    train_split md5-fence CASE keyed by component_id."""
+    from searchengine_ray.pipelines.analysis import (_SPLIT_TRAIN_HI,
+                                                     _SPLIT_VAL_HI)
+    h = "('0x' || substr(md5(component_id::VARCHAR), 1, 8))::BIGINT"
+    return f"""
+WITH comp AS ({sql_minhash_components()})
+SELECT doc_id, CASE WHEN {h} < {_SPLIT_TRAIN_HI} THEN 'train'
+                    WHEN {h} < {_SPLIT_VAL_HI} THEN 'val'
+                    ELSE 'test' END AS split
+FROM comp
+"""
+
+
 def sql_cluster_keep() -> str:
     """Oracle for dedup.neardup_cluster_keep: components oracle (itself a
     WITH RECURSIVE restatement of the LSH pair graph closure) + a
@@ -1804,6 +1819,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_graph_pagerank": lambda sf: graph.pagerank_int(
             shared_minhash_pairs(sf),
             _docs(sf, ["doc_id"])),
+        # leakage-safe split: near-dup clusters assigned to train/val/
+        # test ATOMICALLY (md5 fence on the component representative)
+        "docs_leakage_safe_split": lambda sf: dedup.leakage_safe_split(
+            _docs(sf), pairs=shared_minhash_pairs(sf)),
         "embedding_neardup": lambda sf: similarity.embedding_neardup(_embs(sf)),
         "embedding_neardup_lsh": lambda sf: similarity.embedding_neardup_lsh(
             _embs(sf)),
@@ -2117,6 +2136,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": sql_simhash_neardup(),
         "dedup_minhash_lsh": sql_minhash_lsh(),
         "dedup_minhash_components": sql_minhash_components(),
+        "docs_leakage_safe_split": sql_leakage_safe_split(),
         "dedup_graph_pagerank": sql_pagerank(),
         "fingerprint": sql_fingerprint(),
         "repetition_stats": sql_repetition_stats(),

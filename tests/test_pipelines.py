@@ -2510,6 +2510,43 @@ def test_semantic_dedup_matches_brute(ray_session):
         and any(not k for _, k in want.values())
 
 
+def test_leakage_safe_split_atomic_clusters(ray_session):
+    """Near-dup clusters must land in ONE split (no train/test
+    straddling), and isolated docs must split exactly like train_split
+    (their component is their own id)."""
+    import hashlib
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.analysis import (_SPLIT_TRAIN_HI,
+                                                     _SPLIT_VAL_HI)
+    from searchengine_ray.pipelines.dedup import leakage_safe_split
+    n = 60
+    docs = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "text": pa.array(["x"] * n)})
+    # explicit pair graph: clusters {0..4}, {10,11}, rest isolated
+    pairs = pa.table({
+        "a_id": pa.array([0, 1, 2, 3, 10], type=pa.int64()),
+        "b_id": pa.array([1, 2, 3, 4, 11], type=pa.int64()),
+    })
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        ray.data.from_arrow(docs),
+        pairs=ray.data.from_arrow(pairs)).take_all()}
+    assert len(out) == n
+    assert len({out[i] for i in range(5)}) == 1
+    assert out[10] == out[11]
+
+    def md5split(cid: int) -> str:
+        h = int.from_bytes(
+            hashlib.md5(str(cid).encode()).digest()[:4], "big")
+        return ("train" if h < _SPLIT_TRAIN_HI
+                else "val" if h < _SPLIT_VAL_HI else "test")
+
+    assert out[0] == md5split(0)       # cluster rep = min id
+    assert out[10] == md5split(10)
+    for i in range(12, n):             # isolated == train_split(doc)
+        assert out[i] == md5split(i), i
+
+
 def test_cluster_cap_sample_matches_bruteforce(ray_session):
     """Topic balancing: per-cluster rank-by-vec_id cap equals the
     in-process k-means + pandas rank; caps actually bind (some clusters
