@@ -2013,6 +2013,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_seasonality": lambda sf: events.hourly_seasonality(
             _events(sf, ["ts", "event_type"])),
         # quantile-binning feature transform from exact order statistics
+        # per-day top-k users by value: two digest shuffles, in-partition
+        # multi-day lexsort rank (no global sort)
+        "events_daily_leaderboard": lambda sf: events.daily_leaderboard(
+            _events(sf, ["user_id", "ts", "value"])),
         # rolling DAU: sliding windows via the exact k in [0, width/step)
         # integer explode + (window,user) pair-dedup digest shuffle
         "events_sliding_dau": lambda sf: events.sliding_distinct_users(
@@ -2236,6 +2240,7 @@ def build_oracles() -> dict[str, str]:
         "events_value_quartile": events.sql_value_quartile(),
         "events_user_rfm": events.sql_user_rfm(),
         "events_sliding_dau": events.sql_sliding_distinct_users(),
+        "events_daily_leaderboard": events.sql_daily_leaderboard(),
         "events_throttle": events.sql_throttle(),
         "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),

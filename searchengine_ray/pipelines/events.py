@@ -2755,6 +2755,89 @@ FROM events e JOIN c USING (event_type)
 """
 
 
+DAY_US = 86_400_000_000
+
+
+def daily_leaderboard(ds: "ray.data.Dataset", k: int = 5
+                      ) -> "ray.data.Dataset":
+    """Per-day top-k users by total value (the windowed grouped-top-k
+    dashboard shape). Columns: day_us, user_id, total_c, rank (1..k;
+    ties broken user_id-ascending — deterministic, shared with SQL).
+
+    Two digest shuffles: (1) hash(day, user) pre-aggregate — exact
+    per-(day,user) cent sums, the only pass that reads the log; (2) a
+    day-keyed coarse shuffle whose per-partition top-k is ONE lexsort +
+    run-boundary rank over ALL days in the partition (no per-day
+    Python, no global sort). Output ≤ days × k rows.
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        tbl = pa.table({
+            "day": pa.array((t // DAY_US) * DAY_US),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "vc": pa.array(vc),
+        })
+        g = (tbl.group_by(["day", "user_id"], use_threads=False)
+             .aggregate([("vc", "sum")]))
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "vc": pc.cast(g["vc_sum"], pa.int64())})
+
+    def sum_pairs(p: pa.Table) -> pa.Table:
+        g = (p.group_by(["day", "user_id"], use_threads=False)
+             .aggregate([("vc", "sum")]))
+        return pa.table({"day": g["day"], "user_id": g["user_id"],
+                         "vc": pc.cast(g["vc_sum"], pa.int64())})
+
+    sums = grouped_aggregate(
+        ds.select_columns(["user_id", "ts", "value"])
+          .map_batches(part, batch_format="pyarrow"),
+        ["day", "user_id"], sum_pairs)
+
+    def topk(p: pa.Table) -> pa.Table:
+        day = pc.cast(p["day"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = pc.cast(p["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vc = pc.cast(p["vc"], pa.int64()).to_numpy(zero_copy_only=False)
+        if day.size == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"day_us": z, "user_id": z, "total_c": z,
+                             "rank": z})
+        order = np.lexsort((uid, -vc, day))
+        d = day[order]
+        start = np.empty(d.size, dtype=bool)
+        start[0] = True
+        start[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(start)
+        rank = np.arange(d.size) - np.repeat(
+            starts, np.diff(np.append(starts, d.size))) + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table({"day_us": pa.array(day[sel]),
+                         "user_id": pa.array(uid[sel]),
+                         "total_c": pa.array(vc[sel]),
+                         "rank": pa.array(rank[keep])})
+
+    return grouped_aggregate(sums, ["day"], topk)
+
+
+def sql_daily_leaderboard(k: int = 5) -> str:
+    return f"""
+WITH du AS (
+  SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS day_us, user_id,
+         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_c
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY day_us
+                                   ORDER BY total_c DESC, user_id)
+               AS rank FROM du)
+SELECT day_us::BIGINT AS day_us, user_id, total_c, rank::BIGINT AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
 SLIDE_WIDTH_US = 86_400_000_000      # 1-day window
 SLIDE_STEP_US = 21_600_000_000       # 6-hour step (width % step == 0)
 
