@@ -622,6 +622,125 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", n: int = 3, num_perm: int = 64,
     return grouped_aggregate(candidates, ["a_id", "b_id"], dedup_pairs)
 
 
+def _emit_run_cross_pairs(side: np.ndarray, starts: np.ndarray,
+                          ends: np.ndarray, cap: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """For each key-run, all CROSS pair positions (p_new, p_old) — the
+    asymmetric sibling of :func:`_emit_run_pairs` (runs over ``cap``
+    dropped, runs lacking either side skipped)."""
+    outs_a, outs_b = [], []
+    for s, e in zip(starts, ends):
+        k = e - s
+        if k < 2 or k > cap:
+            continue
+        seg = np.arange(s, e)
+        nw = seg[side[s:e] == 1]
+        od = seg[side[s:e] == 0]
+        if nw.size == 0 or od.size == 0:
+            continue
+        outs_a.append(np.repeat(nw, od.size))
+        outs_b.append(np.tile(od, nw.size))
+    if not outs_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def incremental_neardup(new_docs: "ray.data.Dataset",
+                        corpus_docs: "ray.data.Dataset",
+                        n: int = 3, num_perm: int = 64, bands: int = 16,
+                        tau: float = 0.5, seed: int = 42,
+                        max_bucket: int = 500, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        family: str = "wrap64") -> "ray.data.Dataset":
+    """INCREMENTAL-ingest near-dup check: flag every NEW doc that is a
+    MinHash-LSH near-duplicate of an EXISTING corpus doc — the nightly
+    shape where the new batch is small and the corpus is 100 TB: both
+    sides' signatures ride the SAME banded bucket shuffle, but buckets
+    emit only NEW × CORPUS cross pairs — never corpus × corpus (the
+    quadratic the full pair operator pays), so per-bucket cost is
+    |new∩bucket| × |corpus∩bucket| and a batch with no bucket
+    collisions costs one signature scan of itself plus the bucket keys
+    of the corpus. Columns: new_id, corpus_id, est_matches.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    _POLY = np.uint64(0x9E3779B97F4A7C15)
+    min_matches = int(np.ceil(tau * num_perm))
+
+    def tagged(ds, side_val):
+        sigs = minhash_signatures(ds, n, num_perm, seed, text_col,
+                                  id_col, family=family)
+
+        def explode(batch: pa.Table) -> pa.Table:
+            nb = len(batch)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sig = _sig_matrix(batch["sig"])
+            sig_u = sig.view(np.uint64)
+            out = []
+            with np.errstate(over="ignore"):
+                for bidx in range(bands):
+                    key = np.full(nb, np.uint64(bidx * 2 + 1),
+                                  dtype=np.uint64)
+                    for c in range(bidx * r, (bidx + 1) * r):
+                        key = key * _POLY + sig_u[:, c]
+                    out.append(key)
+            keys = np.concatenate(out)
+            return pa.table({
+                "part": pa.array((keys % np.uint64(NUM_PAIR_PARTITIONS))
+                                 .astype(np.int32)),
+                "bucket": pa.array(keys.view(np.int64)),
+                "doc_id": pa.array(np.tile(ids, bands), type=pa.int64()),
+                "side": pa.array(np.full(nb * bands, side_val,
+                                         dtype=np.int64)),
+                "sig": _sig_list_array(np.tile(sig, (bands, 1))),
+            })
+
+        return sigs.map_batches(explode, batch_format="pyarrow")
+
+    unioned = tagged(new_docs, 1).union(tagged(corpus_docs, 0))
+
+    def emit(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("bucket", "ascending"),
+                           ("doc_id", "ascending")])
+        codes = t["bucket"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        starts, ends = _run_boundaries(codes)
+        pn, po = _emit_run_cross_pairs(side, starts, ends, max_bucket)
+        empty = pa.table({"new_id": pa.array([], type=pa.int64()),
+                          "corpus_id": pa.array([], type=pa.int64()),
+                          "est_matches": pa.array([], type=pa.int64())})
+        if len(pn) == 0:
+            return empty
+        ab = np.unique(np.stack([pn, po], axis=1), axis=0)
+        pn, po = ab[:, 0], ab[:, 1]
+        sig = _sig_matrix(t["sig"])
+        matches = (sig[pn] == sig[po]).sum(axis=1).astype(np.int64)
+        keep = matches >= min_matches
+        return pa.table({
+            "new_id": pa.array(ids[pn[keep]].astype(np.int64)),
+            "corpus_id": pa.array(ids[po[keep]].astype(np.int64)),
+            "est_matches": pa.array(matches[keep]),
+        })
+
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["new_id", "corpus_id"], use_threads=False)
+             .aggregate([("est_matches", "max")]))
+        return pa.table({
+            "new_id": pc.cast(g["new_id"], pa.int64()),
+            "corpus_id": pc.cast(g["corpus_id"], pa.int64()),
+            "est_matches": pc.cast(g["est_matches_max"], pa.int64()),
+        })
+
+    candidates = unioned.groupby("part").map_groups(
+        emit, batch_format="pyarrow")
+    return grouped_aggregate(candidates, ["new_id", "corpus_id"],
+                             dedup_pairs)
+
+
 def neardup_cluster_keep(docs: "ray.data.Dataset",
                          pairs: "ray.data.Dataset | None" = None
                          ) -> "ray.data.Dataset":

@@ -1078,6 +1078,43 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_incremental(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental-ingest dedup over a deterministic parity split of the
+    documents table: odd doc_ids play the NEW batch, even ids the
+    existing corpus — dedup.incremental_neardup emits only the
+    new × corpus cross pairs."""
+    docs = _docs(sf_dir)
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mask = pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, type=pa.int64())),
+                pa.scalar(parity, type=pa.int64()))
+            return b.filter(mask)
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    return dedup.incremental_neardup(half(1), half(0), family="m31")
+
+
+def sql_dedup_incremental(n: int = 3, num_perm: int = 64,
+                          bands: int = 16, tau: float = 0.5,
+                          seed: int = 42, max_bucket: int = 500) -> str:
+    """Oracle for q_dedup_incremental: the full-pair LSH prefix (both
+    sides live in the same bucket population, so the cap semantics
+    coincide) filtered to cross-parity pairs, oriented (new, corpus)."""
+    min_matches = int(np.ceil(tau * num_perm))
+    prefix = _sql_minhash_prefix(n, num_perm, bands, seed, max_bucket)
+    return f"""{prefix}
+SELECT CASE WHEN a_id % 2 = 1 THEN a_id ELSE b_id END::BIGINT AS new_id,
+       CASE WHEN a_id % 2 = 1 THEN b_id ELSE a_id END::BIGINT
+         AS corpus_id,
+       est_matches
+FROM est WHERE est_matches >= {min_matches}
+  AND (a_id % 2) <> (b_id % 2)
+"""
+
+
 def sql_leakage_safe_split() -> str:
     """Oracle for dedup.leakage_safe_split: components oracle + the
     train_split md5-fence CASE keyed by component_id."""
@@ -1819,6 +1856,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_graph_pagerank": lambda sf: graph.pagerank_int(
             shared_minhash_pairs(sf),
             _docs(sf, ["doc_id"])),
+        # incremental-ingest dedup: new batch × existing corpus cross
+        # pairs only (parity split plays the two sides)
+        "dedup_incremental": q_dedup_incremental,
         # leakage-safe split: near-dup clusters assigned to train/val/
         # test ATOMICALLY (md5 fence on the component representative)
         "docs_leakage_safe_split": lambda sf: dedup.leakage_safe_split(
@@ -2141,6 +2181,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": sql_minhash_lsh(),
         "dedup_minhash_components": sql_minhash_components(),
         "docs_leakage_safe_split": sql_leakage_safe_split(),
+        "dedup_incremental": sql_dedup_incremental(),
         "dedup_graph_pagerank": sql_pagerank(),
         "fingerprint": sql_fingerprint(),
         "repetition_stats": sql_repetition_stats(),

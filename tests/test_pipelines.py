@@ -2510,6 +2510,42 @@ def test_semantic_dedup_matches_brute(ray_session):
         and any(not k for _, k in want.values())
 
 
+def test_incremental_neardup_equals_filtered_full(ray_session):
+    """The asymmetric new×corpus plan must produce EXACTLY the
+    cross-parity subset of the full pair operator (same buckets, same
+    cap, same estimate filter) — never a corpus×corpus pair, never a
+    missing cross pair."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from searchengine_ray.pipelines.dedup import (incremental_neardup,
+                                                  minhash_lsh_pairs)
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def half(parity):
+        def fn(b):
+            ids = pc.cast(b["doc_id"], pa.int64())
+            m = pc.equal(pc.bit_wise_and(ids,
+                                         pa.scalar(1, type=pa.int64())),
+                         pa.scalar(parity, type=pa.int64()))
+            return b.filter(m)
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    full = minhash_lsh_pairs(docs, family="m31").take_all()
+    want = set()
+    for r in full:
+        a, b = r["a_id"], r["b_id"]
+        if a % 2 != b % 2:
+            new, old = (a, b) if a % 2 == 1 else (b, a)
+            want.add((new, old, r["est_matches"]))
+    got = {(r["new_id"], r["corpus_id"], r["est_matches"]) for r in
+           incremental_neardup(half(1), half(0),
+                               family="m31").take_all()}
+    assert got == want and got  # non-degenerate on the testdata
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in got)
+
+
 def test_leakage_safe_split_atomic_clusters(ray_session):
     """Near-dup clusters must land in ONE split (no train/test
     straddling), and isolated docs must split exactly like train_split
