@@ -9,7 +9,7 @@ driver-style comparison).
 from __future__ import annotations
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from searchengine_ray.config import DEFAULT_STOPWORDS, IndexConfig
@@ -127,6 +127,16 @@ _text_alphabet = st.characters(
 
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.text(alphabet=_text_alphabet, max_size=120), max_size=8))
+@example(
+    texts=['>9\\M><M\x02',
+     "h`\x0f_\x10J'U^4",
+     '\x08]K\x11\x13D@',
+     '>9\\M><M\x02',
+     'g\x13',
+     'qjZ/-L$\x03\x14',
+     "\x14t){vUP\x19'jl\x1f\x01M-*m\x04",
+     ''],
+).via('discovered failure')
 def test_arrow_matches_python_property(texts):
     assert _arrow_tokens(texts) == [tokenize(t) for t in texts]
 
