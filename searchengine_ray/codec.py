@@ -184,10 +184,10 @@ def decode_postings_blocks(buf: bytes, b_lo: int, b_hi: int
     a full decode (property-tested); the WAND scorer stitches
     non-contiguous spans from repeated calls."""
     n, vb_len, block_size, nblocks, vb0 = _parse_header(buf)
-    if n == 0 or b_hi <= b_lo:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
     b_lo = max(0, b_lo)
     b_hi = min(nblocks, b_hi)
+    if n == 0 or b_hi <= b_lo:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float32)
     offs = np.frombuffer(buf[16:16 + 4 * nblocks], dtype=np.uint32)
     lasts = np.frombuffer(buf[16 + 4 * nblocks:16 + 12 * nblocks],
                           dtype=np.uint64)
