@@ -1501,6 +1501,14 @@ class QueryService:
             return res
         return ray.get(self.submit(query, top_k))
 
+    def search_wand(self, query: str, top_k: int | None = None
+                    ) -> list[dict]:
+        """WAND scorer through the actor pool — result-identical to
+        :meth:`search` (bypasses the result cache; block-skip telemetry
+        stays actor-side)."""
+        import ray
+        return ray.get(self._pick().search_wand.remote(query, top_k))
+
     def boolean_search(self, query: str, mode: str = "and",
                        exclude: str = "") -> np.ndarray:
         import ray
@@ -2149,6 +2157,10 @@ def make_query_actor(index_dir: str, cfg: IndexConfig = IndexConfig(),
 
         def search(self, query: str, top_k: int | None = None):
             return self.engine.search(query, top_k)
+
+        def search_wand(self, query: str, top_k: int | None = None):
+            # result-identical to search(); selective block decode
+            return self.engine.search_wand(query, top_k)
 
         def boolean_search(self, query: str, mode: str, exclude: str):
             return self.engine.boolean_search(query, mode=mode,

@@ -135,6 +135,22 @@ def test_search_wand_base_exact_and_skips_blocks(ray_session, tmp_path):
     assert eng.search_wand("hot", top_k=10) == eng.search("hot", top_k=10)
 
 
+def test_query_service_wand_identical(built):
+    """The actor-pool tier's WAND route answers identically to both its
+    own exhaustive route and the in-process engine."""
+    import ray
+    from searchengine_ray.query import QueryEngine, QueryService
+    svc = QueryService(built.index_dir, built.cfg, num_actors=1)
+    eng = QueryEngine(built.index_dir, built.cfg)
+    try:
+        for q in ["queue71", "py org2", "rust engine"]:
+            assert svc.search_wand(q, top_k=10) == svc.search(q, top_k=10)
+            assert svc.search_wand(q, top_k=10) == eng.search(q, top_k=10)
+    finally:
+        for a in svc._actors:
+            ray.kill(a)
+
+
 def test_search_wand_empty_and_topk_edges(built):
     from searchengine_ray.query import QueryEngine
     eng = QueryEngine(built.index_dir, built.cfg)
