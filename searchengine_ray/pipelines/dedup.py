@@ -110,6 +110,72 @@ def dedup_keep_mask(ds: "ray.data.Dataset", text_col: str = "text",
     return grouped_aggregate(keyed, ["content_sha"], reduce_part)
 
 
+def source_dup_rate(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    source_col: str = "source") -> "ray.data.Dataset":
+    """Per-source exact-duplicate rate — the curation dashboard metric
+    that decides which feeds get dedup attention. A doc is a duplicate
+    iff it is NOT its sha256 group's keeper (min doc_id — the
+    dedup_keep_mask rule; cross-source groups charge the duplicate to
+    the non-keeper's own source). Columns: source, n_docs, n_dups,
+    dup_rate_ppm (int64; n_dups·10⁶ // n_docs — exact integers).
+
+    Same single digest-keyed shuffle as dedup_keep_mask with the source
+    riding along; the per-source rollup is a second digest-sized
+    shuffle (≤ partitions × sources partial rows).
+    """
+    from searchengine_ray.pipelines.common import grouped_aggregate
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+        shas = [hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        return pa.table({
+            "content_sha": pa.array(shas, type=pa.string()),
+            "doc_id": pc.cast(batch[id_col], pa.int64()),
+            "source": pc.cast(batch[source_col], pa.string()),
+        })
+
+    def mark(part: pa.Table) -> pa.Table:
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        g = (part.group_by(["content_sha"], use_threads=False)
+             .aggregate([("doc_id", "min")]))
+        keeper = dict(zip(g["content_sha"].to_pylist(),
+                          g["doc_id_min"].to_pylist()))
+        shas = part["content_sha"].to_pylist()
+        dup = np.fromiter((0 if int(i) == keeper[s] else 1
+                           for i, s in zip(ids, shas)),
+                          dtype=np.int64, count=len(ids))
+        t = pa.table({"source": part["source"],
+                      "dup": pa.array(dup),
+                      "n": pa.array(np.ones(len(ids), dtype=np.int64))})
+        g2 = (t.group_by(["source"], use_threads=False)
+              .aggregate([("dup", "sum"), ("n", "sum")]))
+        return pa.table({"source": pc.cast(g2["source"], pa.string()),
+                         "dups": pc.cast(g2["dup_sum"], pa.int64()),
+                         "n": pc.cast(g2["n_sum"], pa.int64())})
+
+    partials = grouped_aggregate(
+        ds.map_batches(key_batch, batch_format="pyarrow"),
+        ["content_sha"], mark)
+
+    def rollup(part: pa.Table) -> pa.Table:
+        g = (part.group_by(["source"], use_threads=False)
+             .aggregate([("dups", "sum"), ("n", "sum")]))
+        dups = g["dups_sum"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": pc.cast(g["source"], pa.string()),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "n_dups": pa.array(dups.astype(np.int64)),
+            "dup_rate_ppm": pa.array(
+                (dups.astype(np.int64) * 1_000_000)
+                // np.maximum(n.astype(np.int64), 1)),
+        })
+
+    return grouped_aggregate(partials, ["source"], rollup)
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------

@@ -1859,6 +1859,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # incremental-ingest dedup: new batch × existing corpus cross
         # pairs only (parity split plays the two sides)
         "dedup_incremental": q_dedup_incremental,
+        # curation dashboard: per-source exact-dup rate (ppm, exact ints)
+        "source_dup_rate": lambda sf: dedup.source_dup_rate(
+            _docs(sf, ["doc_id", "text", "source"])),
         # leakage-safe split: near-dup clusters assigned to train/val/
         # test ATOMICALLY (md5 fence on the component representative)
         "docs_leakage_safe_split": lambda sf: dedup.leakage_safe_split(
@@ -2053,6 +2056,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_seasonality": lambda sf: events.hourly_seasonality(
             _events(sf, ["ts", "event_type"])),
         # quantile-binning feature transform from exact order statistics
+        # robust MAD outlier flags: two chained selection passes (the
+        # second over a derived |vc − median| column)
+        "events_value_mad_outliers": lambda sf: events.value_mad_outliers(
+            _events(sf, ["event_id", "event_type", "value"])),
         # per-day top-k users by value: two digest shuffles, in-partition
         # multi-day lexsort rank (no global sort)
         "events_daily_leaderboard": lambda sf: events.daily_leaderboard(
@@ -2182,6 +2189,18 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_components": sql_minhash_components(),
         "docs_leakage_safe_split": sql_leakage_safe_split(),
         "dedup_incremental": sql_dedup_incremental(),
+        "source_dup_rate": """
+WITH k AS (
+  SELECT doc_id, source,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+  FROM documents),
+s AS (SELECT source, count(*)::BIGINT AS n_docs,
+             sum((doc_id <> keeper)::INT)::BIGINT AS n_dups
+      FROM k GROUP BY source)
+SELECT source, n_docs, n_dups,
+       (n_dups * 1000000 // greatest(n_docs, 1))::BIGINT AS dup_rate_ppm
+FROM s
+""",
         "dedup_graph_pagerank": sql_pagerank(),
         "fingerprint": sql_fingerprint(),
         "repetition_stats": sql_repetition_stats(),
@@ -2282,6 +2301,7 @@ def build_oracles() -> dict[str, str]:
         "events_user_rfm": events.sql_user_rfm(),
         "events_sliding_dau": events.sql_sliding_distinct_users(),
         "events_daily_leaderboard": events.sql_daily_leaderboard(),
+        "events_value_mad_outliers": events.sql_value_mad_outliers(),
         "events_throttle": events.sql_throttle(),
         "events_throttle_chained": events.sql_throttle_chained(),
         "events_user_type_join": sql_events_user_type_join(),

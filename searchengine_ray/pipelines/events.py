@@ -2755,6 +2755,83 @@ FROM events e JOIN c USING (event_type)
 """
 
 
+def value_mad_outliers(ds: "ray.data.Dataset", k_mult: int = 3,
+                       num_buckets: int = 32,
+                       fetch_threshold: int = 4096
+                       ) -> "ray.data.Dataset":
+    """ROBUST outlier flags via the Median-Absolute-Deviation rule
+    (Hampel): per event_type, flag events with |vc − median| >
+    k·MAD where MAD = median(|vc − median|) — the robust sibling of
+    the IQR/z-score detectors, immune to the outliers it hunts.
+    Columns: event_id, is_outlier (bool). All-integer (cents), so the
+    comparison is exact on both engines.
+
+    TWO chained iterative-distributed-selection passes — the second
+    selects over a derived column (|vc − med|) no storage column holds:
+    (1) per-type medians (digest-only driver traffic), broadcast as ≤
+    |types| scalars; (2) the same machinery over the absolute
+    deviations, computed on the fly inside the scan's projection; then
+    one vectorized flagging pass. Nothing user- or event-sized ever
+    reaches the driver.
+    """
+    med = {r["event_type"]: int(r["median_c"])
+           for r in value_quantile_exact(ds, 1, 2, "median_c",
+                                         num_buckets,
+                                         fetch_threshold).take_all()}
+    types = sorted(med)
+    type_arr = pa.array(types, type=pa.string())
+    med_arr = np.array([med[t] for t in types], dtype=np.int64)
+
+    def project_ad(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        idx = pc.index_in(et, type_arr).to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({"event_type": et,
+                         "vc": pa.array(np.abs(vc - med_arr[idx]))})
+
+    proj = ds.select_columns(["event_type", "value"]) \
+             .map_batches(project_ad, batch_format="pyarrow")
+    stats = _type_value_stats(proj)
+    active = {(t, "mad"): (int(lo) - 1, int(hi), (int(n) + 1) // 2)
+              for t, (n, lo, hi) in stats.items()}
+    counts = {(t, "mad"): int(n) for t, (n, _, _) in stats.items()}
+    mad_res = _iterative_select(proj, active, counts, num_buckets,
+                                fetch_threshold)
+    mad_arr = np.array([mad_res[(t, "mad")] for t in types],
+                       dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        et = pc.cast(batch["event_type"], pa.string())
+        idx = pc.index_in(et, type_arr).to_numpy(zero_copy_only=False)
+        vc = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        out = np.abs(vc - med_arr[idx]) > k_mult * mad_arr[idx]
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "is_outlier": pa.array(out),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_value_mad_outliers(k_mult: int = 3) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+m AS (SELECT event_type, quantile_disc(vc, 0.5) AS med
+      FROM e GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, abs(e.vc - m.med) AS ad
+      FROM e JOIN m USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad
+        FROM d GROUP BY 1)
+SELECT d.event_id, (d.ad > {k_mult} * mad.mad) AS is_outlier
+FROM d JOIN mad USING (event_type)
+"""
+
+
 DAY_US = 86_400_000_000
 
 

@@ -2510,6 +2510,31 @@ def test_semantic_dedup_matches_brute(ray_session):
         and any(not k for _, k in want.values())
 
 
+def test_source_dup_rate_bruteforce(ray_session):
+    """Per-source dup rate: keeper = min doc_id per text; a cross-source
+    dup group charges the duplicate to the NON-keeper's source."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.dedup import source_dup_rate
+    rows = [
+        (0, "alpha text", "s0"), (1, "alpha text", "s1"),   # cross-src dup
+        (2, "beta", "s0"), (3, "beta", "s0"),               # same-src dup
+        (4, "gamma", "s1"), (5, "delta", "s2"), (6, "beta", "s2"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "source": pa.array([r[2] for r in rows]),
+    })
+    got = {r["source"]: (r["n_docs"], r["n_dups"], r["dup_rate_ppm"])
+           for r in source_dup_rate(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    # keepers: 0 (alpha), 2 (beta), 4, 5 → dups: 1(s1), 3(s0), 6(s2)
+    assert got == {"s0": (3, 1, 333333),
+                   "s1": (2, 1, 500000),
+                   "s2": (2, 1, 500000)}
+
+
 def test_incremental_neardup_equals_filtered_full(ray_session):
     """The asymmetric new×corpus plan must produce EXACTLY the
     cross-parity subset of the full pair operator (same buckets, same
