@@ -750,6 +750,37 @@ class QueryEngine:
         order = np.lexsort((acc_ids, -acc_scores))[:top_k]
         return [(int(acc_ids[i]), float(acc_scores[i])) for i in order]
 
+    def _dl_range_min(self, lo_ids: np.ndarray, hi_ids: np.ndarray
+                      ) -> np.ndarray:
+        """Min doc-length over every corpus doc with id in [lo, hi] —
+        one sparse-table (range-min) lookup per block. The table is
+        O(n log n) engine-side metadata over the dense length arrays
+        (doc_id-sorted), built lazily once; at cluster scale it is
+        per-shard metadata like the term dictionary."""
+        if getattr(self, "_dl_rmq", None) is None:
+            v = self._len_vals.astype(np.float64)
+            levels = [v]
+            k = 1
+            while (1 << k) <= len(v):
+                p = levels[-1]
+                levels.append(np.minimum(p[:len(p) - (1 << (k - 1))],
+                                         p[(1 << (k - 1)):]))
+                k += 1
+            self._dl_rmq = levels
+        levels = self._dl_rmq
+        j_lo = np.searchsorted(self._len_ids, lo_ids, side="left")
+        j_hi = np.searchsorted(self._len_ids, hi_ids, side="right")
+        n = np.maximum(j_hi - j_lo, 1)   # block holds ≥1 of its own docs
+        k = np.floor(np.log2(n)).astype(np.int64)
+        out = np.empty(len(j_lo), dtype=np.float64)
+        for kk in np.unique(k):
+            m = k == kk
+            lvl = levels[int(kk)]
+            a = np.minimum(j_lo[m], len(lvl) - 1)
+            bpos = np.minimum(j_hi[m] - (1 << int(kk)), len(lvl) - 1)
+            out[m] = np.minimum(lvl[a], lvl[np.maximum(bpos, 0)])
+        return out
+
     def _wand_candidates(self, query: str, top_k: int,
                          boost_ceiling: float, stats: dict | None):
         from searchengine_ray.wand import ListState, wand_select
@@ -777,11 +808,27 @@ class QueryEngine:
                 continue
             idf = max(0.0, math.log((self.N - df + 0.5) / (df + 0.5)))
             imp = qcfg.term_importance if qt in original_set else 1.0
+
+            def make_contrib(idf=idf, imp=imp):
+                # EXACT per-posting contribution, same float expression
+                # as _score_candidates: (idf · tf_comp) · importance
+                def contrib(ids, tfs):
+                    dl = self._len_vals[np.searchsorted(self._len_ids,
+                                                        ids)]
+                    tf = tfs.astype(np.float64)
+                    tf_comp = ((cfg.k1 + 1) * tf) / (
+                        cfg.k1 * (1 - cfg.b + cfg.b * dl / self.avgdl)
+                        + tf)
+                    return idf * tf_comp * imp
+                return contrib
+
             states = []
             for buf, bm_buf in blobs:
                 ls = ListState(term=qt, buf=buf, idf=idf,
-                               importance=imp, mult=1)
-                ls.prepare(bm_buf, cfg.k1, cfg.b)
+                               importance=imp, mult=1,
+                               contrib_fn=make_contrib())
+                ls.prepare(bm_buf, cfg.k1, cfg.b, avgdl=self.avgdl,
+                           dl_bound_fn=self._dl_range_min)
                 states.append(ls)
             by_term[qt] = states
             order.append(qt)
@@ -793,23 +840,17 @@ class QueryEngine:
         if survivors.size == 0:
             return None
         # exact re-accumulation in _score_candidates' order: per query
-        # OCCURRENCE (filtered order), contrib = idf · tf_comp ·
-        # importance on the decoded fragments — bit-identical float sums
+        # OCCURRENCE (filtered order); fragment contributions were
+        # computed at decode time with the same float expression —
+        # bit-identical sums
         term_arrays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for qt, states in by_term.items():
             frag_i = [f[1] for ls in states for f in ls.frags]
-            frag_t = [f[2] for ls in states for f in ls.frags]
+            frag_c = [f[3] for ls in states for f in ls.frags]
             ids = np.concatenate(frag_i) if frag_i else \
                 np.empty(0, dtype=np.uint64)
-            tfs = np.concatenate(frag_t) if frag_t else \
-                np.empty(0, dtype=np.float32)
-            dl = self._len_vals[np.searchsorted(self._len_ids, ids)] \
-                if ids.size else np.empty(0)
-            tf = tfs.astype(np.float64)
-            tf_comp = ((cfg.k1 + 1) * tf) / (
-                cfg.k1 * (1 - cfg.b + cfg.b * dl / self.avgdl) + tf)
-            imp = states[0].importance
-            contrib = states[0].idf * tf_comp * imp
+            contrib = np.concatenate(frag_c) if frag_c else \
+                np.empty(0, dtype=np.float64)
             term_arrays[qt] = (ids, contrib)
         id_parts = [term_arrays[qt][0] for qt in order]
         contrib_parts = [term_arrays[qt][1] for qt in order]

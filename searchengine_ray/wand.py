@@ -46,12 +46,21 @@ _UB_SLACK = 1.0 + 1e-9
 
 @dataclass
 class ListState:
-    """One physical posting list (a term, or one salted sub-list)."""
+    """One physical posting list (a term, or one salted sub-list).
+
+    ``contrib_fn(ids, tfs) -> float64`` computes the EXACT per-posting
+    contribution (idf · tf_comp(dl) · importance) — evaluated once at
+    decode time. The selection's θ bookkeeping MUST use these exact
+    values: any overestimate (e.g. raw tf) inflates θ and prunes blocks
+    that hold true top-k docs (caught by tools/wand_bench.py on the
+    96k-doc corpus — dl variance makes raw-tf order diverge from
+    tf_comp order)."""
     term: str
     buf: bytes
     idf: float
     importance: float
     mult: int                     # occurrences of the term in the query
+    contrib_fn: object = None     # (ids, tfs) -> exact contribs
     n: int = 0
     nblocks: int = 0
     block_size: int = 0
@@ -59,9 +68,17 @@ class ListState:
     first_lb: np.ndarray = None   # conservative first-id lower bound
     ub: np.ndarray = None         # per-block single-occurrence contrib UB
     decoded: np.ndarray = None    # bool per block
-    frags: list = field(default_factory=list)   # (b_lo, ids, tfs)
+    frags: list = field(default_factory=list)  # (b_lo, ids, tfs, contribs)
 
-    def prepare(self, bm_buf: bytes, k1: float, b: float) -> None:
+    def prepare(self, bm_buf: bytes, k1: float, b: float,
+                avgdl: float = 1.0,
+                dl_bound_fn=None) -> None:
+        """``dl_bound_fn(first_lb, lasts) -> per-block min doc-length``
+        tightens the UB from the doc-len→0 limit to the block's actual
+        id-range minimum (tf_comp is increasing in tf and decreasing in
+        dl, so tf_comp(max_tf, min_dl) still dominates every doc in the
+        block — admissible, and on length-varied corpora the difference
+        is what makes blocks actually prune)."""
         self.n, self.block_size, self.nblocks, self.lasts = \
             postings_block_meta(self.buf)
         self.first_lb = np.concatenate(
@@ -70,8 +87,15 @@ class ListState:
             if self.nblocks else np.empty(0, dtype=np.uint64)
         bm = decode_block_max(bm_buf).astype(np.float64)
         assert len(bm) == self.nblocks, "block_max/postings mismatch"
-        tf_ub = ((k1 + 1.0) * bm) / (k1 * (1.0 - b) + bm) \
-            if self.nblocks else bm
+        if self.nblocks and dl_bound_fn is not None:
+            dlb = np.asarray(dl_bound_fn(self.first_lb, self.lasts),
+                             dtype=np.float64)
+            tf_ub = ((k1 + 1.0) * bm) / (
+                k1 * (1.0 - b + b * dlb / avgdl) + bm)
+        elif self.nblocks:
+            tf_ub = ((k1 + 1.0) * bm) / (k1 * (1.0 - b) + bm)
+        else:
+            tf_ub = bm
         self.ub = self.idf * tf_ub * self.importance * _UB_SLACK
         self.decoded = np.zeros(self.nblocks, dtype=bool)
 
@@ -86,7 +110,9 @@ class ListState:
         for s, e in zip(starts, ends):
             b_lo, b_hi = int(blocks[s]), int(blocks[e - 1]) + 1
             ids, tfs = decode_postings_blocks(self.buf, b_lo, b_hi)
-            self.frags.append((b_lo, ids, tfs))
+            c = self.contrib_fn(ids, tfs) if self.contrib_fn is not None \
+                else self.idf * tfs.astype(np.float64) * self.importance
+            self.frags.append((b_lo, ids, tfs, c))
         self.decoded[blocks] = True
 
     def remaining_ub_at(self, ids: np.ndarray) -> np.ndarray:
@@ -131,12 +157,11 @@ def wand_select(lists: list[ListState], top_k: int, max_boost: float,
             cand = np.empty(0, dtype=np.uint64)
         partial = np.zeros(len(cand), dtype=np.float64)
         for ls in lists:
-            for _b, ids, tfs in ls.frags:
-                # bound-only partial (order-free; exact scores come later)
+            for _b, ids, _tfs, c in ls.frags:
+                # EXACT contributions (order-free sum; θ must never be
+                # computed from an overestimate — see ListState)
                 pos = np.searchsorted(cand, ids)
-                contrib = ls.idf * tfs.astype(np.float64) \
-                    * ls.importance * ls.mult
-                np.add.at(partial, pos, contrib)
+                np.add.at(partial, pos, c * ls.mult)
         rem = np.zeros(len(cand), dtype=np.float64)
         for ls in lists:
             rem += ls.remaining_ub_at(cand)
@@ -152,41 +177,54 @@ def wand_select(lists: list[ListState], top_k: int, max_boost: float,
         if not undecoded_any:
             survivors = cand
             break
-        u_unseen = float(sum(
-            ls.mult * float(ls.ub[~ls.decoded].max())
-            for ls in lists if ls.nblocks and not ls.decoded.all()))
         prunable = (partial + rem) * max_boost < theta
         force = ~full & ~prunable
-        if np.isfinite(theta) and u_unseen * max_boost < theta \
-                and not force.any():
+        # --- choose blocks ---------------------------------------------
+        # pool = undecoded blocks that can STILL produce a top-k doc: a
+        # block of list li matters only if its UB plus every OTHER
+        # list's best undecoded UB clears θ/ceiling (for li = the best
+        # list this reduces to the classic unseen-doc bound, so an
+        # empty pool IS the termination condition)
+        per_max = [float(ls.ub[~ls.decoded].max()) * ls.mult
+                   if ls.nblocks and not ls.decoded.all() else 0.0
+                   for ls in lists]
+        total_max = float(sum(per_max))
+        pool_ls, pool_b, pool_ub = [], [], []
+        for li, ls in enumerate(lists):
+            und = np.flatnonzero(~ls.decoded)
+            if not und.size:
+                continue
+            ub_eff = ls.ub[und] * ls.mult
+            if np.isfinite(theta):
+                others = total_max - per_max[li]
+                m = (ub_eff + others) * max_boost >= theta
+                und, ub_eff = und[m], ub_eff[m]
+                if not und.size:
+                    continue
+            pool_ls.append(np.full(und.size, li, dtype=np.int64))
+            pool_b.append(und)
+            pool_ub.append(ub_eff)
+        if not pool_b:
+            if force.any():
+                fids = cand[force]
+                for ls in lists:
+                    ls.decode_blocks(
+                        ls.undecoded_blocks_containing(fids))
+                continue
             survivors = cand[full]
             break
-        # --- choose blocks ---------------------------------------------
-        if np.isfinite(theta) and u_unseen * max_boost < theta:
-            # only forced candidates remain: decode exactly their blocks
-            fids = cand[force]
-            for ls in lists:
-                ls.decode_blocks(ls.undecoded_blocks_containing(fids))
-        else:
-            pool_ls, pool_b, pool_ub = [], [], []
-            for li, ls in enumerate(lists):
-                und = np.flatnonzero(~ls.decoded)
-                if und.size:
-                    pool_ls.append(np.full(und.size, li, dtype=np.int64))
-                    pool_b.append(und)
-                    pool_ub.append(ls.ub[und] * ls.mult)
-            pls = np.concatenate(pool_ls)
-            pb = np.concatenate(pool_b)
-            pub = np.concatenate(pool_ub)
-            take = min(M, len(pub))
-            top = np.argpartition(-pub, take - 1)[:take] \
-                if take < len(pub) else np.arange(len(pub))
-            for li in np.unique(pls[top]):
-                ls = lists[li]
-                ls.decode_blocks(np.sort(pb[top[pls[top] == li]]))
-            # ×2, not ×4: rounds stay O(log blocks) but a toy-scale list
-            # isn't swallowed whole before θ tightens enough to prune
-            M *= 2
+        pls = np.concatenate(pool_ls)
+        pb = np.concatenate(pool_b)
+        pub = np.concatenate(pool_ub)
+        take = min(M, len(pub))
+        top = np.argpartition(-pub, take - 1)[:take] \
+            if take < len(pub) else np.arange(len(pub))
+        for li in np.unique(pls[top]):
+            ls = lists[li]
+            ls.decode_blocks(np.sort(pb[top[pls[top] == li]]))
+        # ×2, not ×4: rounds stay O(log blocks) but a toy-scale list
+        # isn't swallowed whole before θ tightens enough to prune
+        M *= 2
     if stats is not None:
         stats["blocks_total"] = total_blocks
         stats["blocks_decoded"] = int(sum(ls.decoded.sum()
