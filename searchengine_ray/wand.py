@@ -147,21 +147,33 @@ def wand_select(lists: list[ListState], top_k: int, max_boost: float,
     rounds = 0
     M = max(8, 2 * top_k // max(1, min(ls.block_size or 128
                                        for ls in lists)))
+    # incremental bookkeeping: candidates/partials carry across rounds;
+    # each round folds in only the fragments decoded SINCE the last one
+    # (the full re-union was O(decoded × rounds) — measured as the
+    # dominant wand_ms term at bench scale)
+    cand = np.empty(0, dtype=np.uint64)
+    partial = np.zeros(0, dtype=np.float64)
+    consumed = [0] * len(lists)
     while True:
         rounds += 1
-        # --- bookkeeping over decoded fragments -------------------------
-        frag_ids = [f[1] for ls in lists for f in ls.frags]
-        if frag_ids:
-            cand = np.unique(np.concatenate(frag_ids))
-        else:
-            cand = np.empty(0, dtype=np.uint64)
-        partial = np.zeros(len(cand), dtype=np.float64)
-        for ls in lists:
-            for _b, ids, _tfs, c in ls.frags:
+        # --- fold NEW fragments into (cand, partial) --------------------
+        new_ids, new_contribs = [], []
+        for li, ls in enumerate(lists):
+            for _b, ids, _tfs, c in ls.frags[consumed[li]:]:
                 # EXACT contributions (order-free sum; θ must never be
                 # computed from an overestimate — see ListState)
-                pos = np.searchsorted(cand, ids)
-                np.add.at(partial, pos, c * ls.mult)
+                new_ids.append(ids)
+                new_contribs.append(c * ls.mult)
+            consumed[li] = len(ls.frags)
+        if new_ids:
+            nid = np.concatenate(new_ids)
+            nco = np.concatenate(new_contribs)
+            merged = np.union1d(cand, nid)
+            p2 = np.zeros(len(merged), dtype=np.float64)
+            if cand.size:
+                p2[np.searchsorted(merged, cand)] = partial
+            np.add.at(p2, np.searchsorted(merged, nid), nco)
+            cand, partial = merged, p2
         rem = np.zeros(len(cand), dtype=np.float64)
         for ls in lists:
             rem += ls.remaining_ub_at(cand)
