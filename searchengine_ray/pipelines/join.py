@@ -39,7 +39,11 @@ def _key_part(key: np.ndarray, num_parts: int) -> np.ndarray:
 def _merge_fn(l_schema: pa.Schema, r_schema: pa.Schema,
               left_cols: list[str], right_cols: list[str], how: str):
     """Per-partition vectorized sort-merge shared by the plain and
-    salted joins (the salted variant only changes the partition key)."""
+    salted joins (the salted variant only changes the partition key).
+
+    ``side == 2`` rows are NULL-KEY left rows (SQL semantics: a NULL
+    key matches nothing, but left/anti still emit the row) — they skip
+    the sort-merge entirely and append as unmatched output."""
     with_right = how in ("inner", "left")
 
     def l_type(c):
@@ -61,21 +65,31 @@ def _merge_fn(l_schema: pa.Schema, r_schema: pa.Schema,
 
     def merge(group: pa.Table) -> pa.Table:
         side = group["side"].to_numpy(zero_copy_only=False)
-        key = group["key"].to_numpy(zero_copy_only=False)
+        key = pc.fill_null(group["key"], 0).to_numpy(zero_copy_only=False)
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
+        ni = np.nonzero(side == 2)[0]      # null-key left rows
+
+        def plus_null_rows(tbl: pa.Table) -> pa.Table:
+            if ni.size == 0 or how in ("inner", "semi"):
+                return tbl
+            extra = left_only_rows(group, ni,
+                                   null_right=(how == "left"))
+            return pa.concat_tables([tbl, extra]) if len(tbl) else extra
+
         empty = pa.table(
             {"key": pa.array([], type=pa.int64()),
              **{c: pa.array([], type=l_type(c)) for c in left_cols},
              **({c: pa.array([], type=r_type(c)) for c in right_cols}
                 if with_right else {})})
         if li.size == 0:
-            return empty
+            return plus_null_rows(empty)
         if ri.size == 0:
             if how == "inner" or how == "semi":
                 return empty
             # left: every left row with null right cols; anti: every row
-            return left_only_rows(group, li, null_right=(how == "left"))
+            return plus_null_rows(
+                left_only_rows(group, li, null_right=(how == "left")))
         # deterministic: stable sort both sides by key, keep row order
         lo = li[np.argsort(key[li], kind="stable")]
         ro = ri[np.argsort(key[ri], kind="stable")]
@@ -87,10 +101,12 @@ def _merge_fn(l_schema: pa.Schema, r_schema: pa.Schema,
         if how == "semi":
             return left_only_rows(group, lo[hit], null_right=False)
         if how == "anti":
-            return left_only_rows(group, lo[~hit], null_right=False)
+            return plus_null_rows(
+                left_only_rows(group, lo[~hit], null_right=False))
         miss_lo = lo[~hit]
         if not hit.any():
-            return (left_only_rows(group, miss_lo, null_right=True)
+            return (plus_null_rows(
+                        left_only_rows(group, miss_lo, null_right=True))
                     if how == "left" else empty)
         lo, starts, counts = lo[hit], starts[hit], counts[hit]
         # many-to-many expansion: left row i repeats counts[i] times,
@@ -108,9 +124,9 @@ def _merge_fn(l_schema: pa.Schema, r_schema: pa.Schema,
             cols[c] = pc.take(group[f"r_{c}"], rt)
         matched = pa.table(cols)
         if how == "left" and miss_lo.size:
-            return pa.concat_tables(
+            matched = pa.concat_tables(
                 [matched, left_only_rows(group, miss_lo, null_right=True)])
-        return matched
+        return plus_null_rows(matched)
 
     return merge
 
@@ -164,8 +180,18 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return r_schema.field(c).type
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[left_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        # SQL NULL-key semantics: a NULL key matches nothing. inner/semi
+        # drop the row; left/anti still EMIT it (side=2 — unmatched by
+        # construction, spread uniformly over partitions).
+        karr = pc.cast(batch[left_key], pa.int64())
+        null_rows = None
+        if karr.null_count:
+            valid = pc.is_valid(karr)
+            if how in ("left", "anti"):
+                null_rows = batch.filter(pc.invert(valid))
+            batch = batch.filter(valid)
+            karr = pc.cast(batch[left_key], pa.int64())
+        k = karr.to_numpy(zero_copy_only=False)
         out = {"part": pa.array(_key_part(k, num_parts)),
                "key": pa.array(k),
                "side": pa.array(np.zeros(len(batch), dtype=np.int64))}
@@ -173,11 +199,26 @@ def equi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"l_{c}"] = batch[c]
         for c in right_cols:
             out[f"r_{c}"] = pa.nulls(len(batch), type=r_type(c))
-        return pa.table(out)
+        t = pa.table(out)
+        if null_rows is not None and len(null_rows):
+            n = len(null_rows)
+            nt = {"part": pa.array((np.arange(n) % num_parts)
+                                   .astype(np.int32)),
+                  "key": pa.nulls(n, type=pa.int64()),
+                  "side": pa.array(np.full(n, 2, dtype=np.int64))}
+            for c in left_cols:
+                nt[f"l_{c}"] = null_rows[c]
+            for c in right_cols:
+                nt[f"r_{c}"] = pa.nulls(n, type=r_type(c))
+            t = pa.concat_tables([t, pa.table(nt)])
+        return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[right_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        karr = pc.cast(batch[right_key], pa.int64())
+        if karr.null_count:        # NULL never matches — drop (all modes)
+            batch = batch.filter(pc.is_valid(karr))
+            karr = pc.cast(batch[right_key], pa.int64())
+        k = karr.to_numpy(zero_copy_only=False)
         out = {"part": pa.array(_key_part(k, num_parts)),
                "key": pa.array(k),
                "side": pa.array(np.ones(len(batch), dtype=np.int64))}
@@ -264,8 +305,15 @@ def equi_join_salted(left: "ray.data.Dataset", right: "ray.data.Dataset",
     r_schema = right.schema().base_schema
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[left_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        karr = pc.cast(batch[left_key], pa.int64())
+        null_rows = None
+        if karr.null_count:        # SQL NULL-key semantics (see equi_join)
+            valid = pc.is_valid(karr)
+            if how in ("left", "anti"):
+                null_rows = batch.filter(pc.invert(valid))
+            batch = batch.filter(valid)
+            karr = pc.cast(batch[left_key], pa.int64())
+        k = karr.to_numpy(zero_copy_only=False)
         if hot.size:
             pos = np.searchsorted(hot, k)
             is_hot = (pos < hot.size) & (hot[np.minimum(pos, hot.size - 1)]
@@ -281,11 +329,26 @@ def equi_join_salted(left: "ray.data.Dataset", right: "ray.data.Dataset",
             out[f"l_{c}"] = batch[c]
         for c in right_cols:
             out[f"r_{c}"] = pa.nulls(len(k), type=r_schema.field(c).type)
-        return pa.table(out)
+        t = pa.table(out)
+        if null_rows is not None and len(null_rows):
+            n = len(null_rows)
+            nt = {"part": pa.array((np.arange(n) % num_parts)
+                                   .astype(np.int32)),
+                  "key": pa.nulls(n, type=pa.int64()),
+                  "side": pa.array(np.full(n, 2, dtype=np.int64))}
+            for c in left_cols:
+                nt[f"l_{c}"] = null_rows[c]
+            for c in right_cols:
+                nt[f"r_{c}"] = pa.nulls(n, type=r_schema.field(c).type)
+            t = pa.concat_tables([t, pa.table(nt)])
+        return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        k = pc.cast(batch[right_key], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        karr = pc.cast(batch[right_key], pa.int64())
+        if karr.null_count:        # NULL never matches — drop (all modes)
+            batch = batch.filter(pc.is_valid(karr))
+            karr = pc.cast(batch[right_key], pa.int64())
+        k = karr.to_numpy(zero_copy_only=False)
         if hot.size:
             pos = np.searchsorted(hot, k)
             is_hot = (pos < hot.size) & (hot[np.minimum(pos, hot.size - 1)]
@@ -359,6 +422,10 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
         return l_schema.field(c).type
 
     def tag(batch: pa.Table, side: int) -> pa.Table:
+        # SQL NULL-key semantics: any NULL key column ⇒ the row matches
+        # nothing (right rows drop; left rows drop for inner/semi, emit
+        # unmatched for left/anti via side=2)
+        batch, null_rows = _split_null_keys(batch, keys, side, how)
         h = _hash_key_columns(batch, keys)
         out = {"part": pa.array((h % np.uint64(num_parts))
                                 .astype(np.int32)),
@@ -372,7 +439,20 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
         for c in right_cols:
             out[f"r_{c}"] = batch[c] if side == 1 else \
                 pa.nulls(len(batch), type=r_type(c))
-        return pa.table(out)
+        t = pa.table(out)
+        if null_rows is not None and len(null_rows):
+            n = len(null_rows)
+            nt = {"part": pa.array((np.arange(n) % num_parts)
+                                   .astype(np.int32)),
+                  "side": pa.array(np.full(n, 2, dtype=np.int64))}
+            for c in keys:
+                nt[f"k_{c}"] = pc.cast(null_rows[c], k_type(c))
+            for c in left_cols:
+                nt[f"l_{c}"] = null_rows[c]
+            for c in right_cols:
+                nt[f"r_{c}"] = pa.nulls(n, type=r_type(c))
+            t = pa.concat_tables([t, pa.table(nt)])
+        return t
 
     merge = _merge_multi_fn(l_schema, r_schema, keys, left_cols,
                             right_cols, how)
@@ -382,6 +462,21 @@ def equi_join_multi(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                         batch_format="pyarrow")))
     return unioned.groupby("part").map_groups(merge,
                                               batch_format="pyarrow")
+
+
+def _split_null_keys(batch: pa.Table, keys: list[str], side: int,
+                     how: str):
+    """(valid_rows, null_rows | None) for composite-key tagging — a row
+    with ANY null key column can never match (SQL semantics)."""
+    valid = None
+    for c in keys:
+        v = pc.is_valid(batch[c])
+        valid = v if valid is None else pc.and_(valid, v)
+    if len(batch) == 0 or bool(pc.all(valid).as_py()):
+        return batch, None
+    null_rows = batch.filter(pc.invert(valid)) \
+        if side == 0 and how in ("left", "anti") else None
+    return batch.filter(valid), null_rows
 
 
 def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
@@ -413,8 +508,10 @@ def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
                 raise ValueError(
                     "equi_join_multi: composite key cardinality "
                     "overflows the mixed-radix code; split the join")
-            code = code * card + np.asarray(dic.indices,
-                                            dtype=np.int64)
+            # null-key (side=2) rows ride the group but never compare —
+            # fill their dictionary index with 0 so the cast is defined
+            code = code * card + np.asarray(
+                pc.fill_null(dic.indices, 0), dtype=np.int64)
         return code
 
     def key_cols_at(group: pa.Table, idx: np.ndarray) -> dict:
@@ -437,17 +534,26 @@ def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
         code = composite_code(group)
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
+        ni = np.nonzero(side == 2)[0]      # null-key left rows
+
+        def plus_null_rows(tbl: pa.Table) -> pa.Table:
+            if ni.size == 0 or how in ("inner", "semi"):
+                return tbl
+            extra = left_only(group, ni, null_right=(how == "left"))
+            return pa.concat_tables([tbl, extra]) if len(tbl) else extra
+
         empty = pa.table(
             {**{c: pa.array([], type=k_type(c)) for c in keys},
              **{c: pa.array([], type=l_type(c)) for c in left_cols},
              **({c: pa.array([], type=r_type(c)) for c in right_cols}
                 if with_right else {})})
         if li.size == 0:
-            return empty
+            return plus_null_rows(empty)
         if ri.size == 0:
             if how in ("inner", "semi"):
                 return empty
-            return left_only(group, li, null_right=(how == "left"))
+            return plus_null_rows(
+                left_only(group, li, null_right=(how == "left")))
         lo = li[np.argsort(code[li], kind="stable")]
         ro = ri[np.argsort(code[ri], kind="stable")]
         lk, rk = code[lo], code[ro]
@@ -458,10 +564,12 @@ def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
         if how == "semi":
             return left_only(group, lo[hit], null_right=False)
         if how == "anti":
-            return left_only(group, lo[~hit], null_right=False)
+            return plus_null_rows(
+                left_only(group, lo[~hit], null_right=False))
         miss_lo = lo[~hit]
         if not hit.any():
-            return (left_only(group, miss_lo, null_right=True)
+            return (plus_null_rows(
+                        left_only(group, miss_lo, null_right=True))
                     if how == "left" else empty)
         lo2, starts, counts = lo[hit], starts[hit], counts[hit]
         lidx = np.repeat(lo2, counts)
@@ -476,9 +584,9 @@ def _merge_multi_fn(l_schema: pa.Schema, r_schema: pa.Schema,
             cols[c] = pc.take(group[f"r_{c}"], rt)
         matched = pa.table(cols)
         if how == "left" and miss_lo.size:
-            return pa.concat_tables(
+            matched = pa.concat_tables(
                 [matched, left_only(group, miss_lo, null_right=True)])
-        return matched
+        return plus_null_rows(matched)
 
     return merge
 
@@ -494,6 +602,8 @@ def detect_hot_keys_multi(ds: "ray.data.Dataset", keys: list[str],
     from searchengine_ray.pipelines.common import _hash_key_columns
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null-key rows can never join (SQL semantics) — never hot
+        batch, _ = _split_null_keys(batch, keys, side=1, how="inner")
         h = _hash_key_columns(batch, keys).view(np.int64)
         u, c = np.unique(h, return_counts=True)
         return pa.table({"key": pa.array(u),
@@ -575,6 +685,7 @@ def equi_join_multi_salted(left: "ray.data.Dataset",
             return (mixed % np.uint64(num_parts)).astype(np.int32)
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        batch, null_rows = _split_null_keys(batch, keys, 0, how)
         h = _hash_key_columns(batch, keys).view(np.int64)
         salt = np.where(is_hot(h),
                         np.arange(len(h), dtype=np.int64) % R, 0)
@@ -586,9 +697,23 @@ def equi_join_multi_salted(left: "ray.data.Dataset",
             out[f"l_{c}"] = batch[c]
         for c in right_cols:
             out[f"r_{c}"] = pa.nulls(len(h), type=r_type(c))
-        return pa.table(out)
+        t = pa.table(out)
+        if null_rows is not None and len(null_rows):
+            n = len(null_rows)
+            nt = {"part": pa.array((np.arange(n) % num_parts)
+                                   .astype(np.int32)),
+                  "side": pa.array(np.full(n, 2, dtype=np.int64))}
+            for c in keys:
+                nt[f"k_{c}"] = pc.cast(null_rows[c], k_type(c))
+            for c in left_cols:
+                nt[f"l_{c}"] = null_rows[c]
+            for c in right_cols:
+                nt[f"r_{c}"] = pa.nulls(n, type=r_type(c))
+            t = pa.concat_tables([t, pa.table(nt)])
+        return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        batch, _ = _split_null_keys(batch, keys, 1, how)
         h = _hash_key_columns(batch, keys).view(np.int64)
         reps = np.where(is_hot(h), R, 1).astype(np.int64)
         idx = np.repeat(np.arange(len(h), dtype=np.int64), reps)

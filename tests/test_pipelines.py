@@ -1437,6 +1437,88 @@ def test_equi_join_salted_identical_all_modes(ray_session):
                                     ["lv"], ["rv"]).take_all())
 
 
+def test_equi_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys must follow SQL semantics — NULL matches nothing
+    (previously null int64 keys decayed to garbage and MATCHED each
+    other): inner/semi drop null-key rows, left keeps them with null
+    right columns, anti keeps them. Checked against DuckDB for every
+    mode, single- and composite-key, plain and salted."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.join import (equi_join,
+                                                 equi_join_multi,
+                                                 equi_join_multi_salted,
+                                                 equi_join_salted)
+    l = pa.table({"k": pa.array([1, None, 2, None, 3], type=pa.int64()),
+                  "s": pa.array(["x", "x", None, "y", "x"]),
+                  "lv": pa.array(["a", "b", "c", "d", "e"])})
+    r = pa.table({"k": pa.array([1, None, 3, 3], type=pa.int64()),
+                  "s": pa.array(["x", "x", "x", None]),
+                  "rv": pa.array([10.0, 20.0, 30.0, 40.0])})
+    con = duckdb.connect()
+    con.register("l", l)
+    con.register("r", r)
+    lds, rds = ray.data.from_arrow(l), ray.data.from_arrow(r)
+
+    def canon(rows):
+        out = []
+        for row in rows:
+            vals = []
+            for c in sorted(row):
+                v = row[c]
+                if isinstance(v, float) and v != v:   # NaN → None
+                    v = None
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out,
+                      key=lambda t: tuple((x is None, str(x))
+                                          for x in t))
+
+    sql = {
+        "inner": "SELECT l.k AS key, lv, rv FROM l JOIN r ON l.k = r.k",
+        "left": "SELECT l.k AS key, lv, rv FROM l LEFT JOIN r "
+                "ON l.k = r.k",
+        "semi": "SELECT k AS key, lv FROM l WHERE k IN (SELECT k FROM r)",
+        # anti = NOT EXISTS (Spark LEFT ANTI / DuckDB ANTI): a NULL-key
+        # left row matches nothing, so it IS kept
+        "anti": "SELECT k AS key, lv FROM l WHERE NOT EXISTS "
+                "(SELECT 1 FROM r WHERE r.k = l.k)",
+    }
+    for how, q in sql.items():
+        want = canon(con.execute(q).fetch_arrow_table().to_pylist())
+        got = canon(equi_join(lds, rds, "k", "k", ["lv"], ["rv"],
+                              how=how).take_all())
+        assert got == want, ("single", how)
+        got_s = canon(equi_join_salted(
+            lds, rds, "k", "k", ["lv"], ["rv"],
+            hot_keys=np.array([3], dtype=np.int64), replicate=2,
+            how=how).take_all())
+        assert got_s == want, ("salted", how)
+
+    sql_multi = {
+        "inner": "SELECT l.k, l.s, lv, rv FROM l JOIN r "
+                 "ON l.k = r.k AND l.s = r.s",
+        "left": "SELECT l.k, l.s, lv, rv FROM l LEFT JOIN r "
+                "ON l.k = r.k AND l.s = r.s",
+        "semi": "SELECT k, s, lv FROM l WHERE EXISTS (SELECT 1 FROM r "
+                "WHERE r.k = l.k AND r.s = l.s)",
+        "anti": "SELECT k, s, lv FROM l WHERE NOT EXISTS (SELECT 1 "
+                "FROM r WHERE r.k = l.k AND r.s = l.s)",
+    }
+    from searchengine_ray.pipelines.join import detect_hot_keys_multi
+    hot = detect_hot_keys_multi(lds, ["k", "s"], threshold=1)
+    for how, q in sql_multi.items():
+        want = canon(con.execute(q).fetch_arrow_table().to_pylist())
+        got = canon(equi_join_multi(lds, rds, ["k", "s"], ["lv"],
+                                    ["rv"], how=how).take_all())
+        assert got == want, ("multi", how)
+        got_s = canon(equi_join_multi_salted(
+            lds, rds, ["k", "s"], ["lv"], ["rv"],
+            hot_hashes=hot, replicate=2, how=how).take_all())
+        assert got_s == want, ("multi_salted", how)
+
+
 def test_equi_join_multi_salted_identical_all_modes(ray_session):
     """Composite-key salting (round-4 verdict #4): hot (int, string)
     keys spread/replicate across salts, output row-identical to the
