@@ -9,6 +9,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import HealthCheck, given
+from hypothesis import settings as hyp_settings
+from hypothesis import strategies as st
 
 from searchengine_ray.config import IndexConfig
 from searchengine_ray.functions.tokenizer import filter_tokens, tokenize
@@ -1435,6 +1438,56 @@ def test_equi_join_salted_identical_all_modes(ray_session):
         hot_keys=np.empty(0, dtype=np.int64)).take_all())
     assert nohot == canon(equi_join(lds, rds, "k", "kk",
                                     ["lv"], ["rv"]).take_all())
+
+
+@hyp_settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.one_of(st.none(),
+                                    st.integers(min_value=0, max_value=5)),
+                          st.integers(min_value=0, max_value=99)),
+                min_size=0, max_size=12),
+       st.lists(st.tuples(st.one_of(st.none(),
+                                    st.integers(min_value=0, max_value=5)),
+                          st.integers(min_value=0, max_value=99)),
+                min_size=0, max_size=8))
+def test_equi_join_null_keys_property(ray_session, lrows, rrows):
+    """Randomized null-ridden inputs: every join mode must agree with a
+    brute-force reference implementing SQL NULL semantics."""
+    import pyarrow as pa
+    import ray.data
+    from searchengine_ray.pipelines.join import equi_join
+    l = pa.table({"k": pa.array([k for k, _ in lrows], type=pa.int64()),
+                  "lv": pa.array([v for _, v in lrows],
+                                 type=pa.int64())})
+    r = pa.table({"k": pa.array([k for k, _ in rrows], type=pa.int64()),
+                  "rv": pa.array([v for _, v in rrows],
+                                 type=pa.int64())})
+    lds, rds = ray.data.from_arrow(l), ray.data.from_arrow(r)
+    rk = [k for k, _ in rrows if k is not None]
+    for how in ("inner", "left", "semi", "anti"):
+        want = []
+        for k, v in lrows:
+            matches = [rv for k2, rv in rrows
+                       if k is not None and k2 == k]
+            if how == "inner":
+                want += [(k, v, m) for m in matches]
+            elif how == "left":
+                want += ([(k, v, m) for m in matches]
+                         if matches else [(k, v, None)])
+            elif how == "semi":
+                want += [(k, v)] if matches else []
+            else:                                  # anti: NOT EXISTS
+                want += [] if matches else [(k, v)]
+        got = []
+        for row in equi_join(lds, rds, "k", "k", ["lv"], ["rv"],
+                             how=how).take_all():
+            t = (row["key"], row["lv"]) + \
+                ((row["rv"],) if "rv" in row else ())
+            got.append(tuple(None if isinstance(x, float) and x != x
+                             else x for x in t))
+        skey = (lambda t: tuple((x is None, str(x)) for x in t))
+        assert sorted(got, key=skey) == sorted(want, key=skey), how
 
 
 def test_equi_join_null_keys_sql_semantics(ray_session):
